@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * The reference engine's scan path is `gcs.get_dataset` / BigQuery table
+  * scans (reference: gcs.py:523-557, bq.py:149-163); here every scan is a
+  * columnar parquet read with Catalyst predicate pushdown + column pruning.
+  */
+object Tables {
+  /** All driver-generated tables. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def tune(spark: SparkSession): Unit = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively
+    // (PARQUET_TYPE_ILLEGAL); read nanos as LongType and convert in-loader.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    tune(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // ns → µs truncation (matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast).
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
+
+/** Cross-engine numeric determinism helpers.
+  *
+  * A plain SUM over doubles is order-dependent, so Spark (parallel, partial
+  * aggregation) and the DuckDB oracle would disagree in the low bits. Casting
+  * each row to DECIMAL first makes the sum exact and order-independent; the
+  * final cast back to DOUBLE is then identical in both engines. This is also
+  * the right call at 100 TB: decimal partial aggregation is still map-side
+  * combined and the per-row cast is codegen'd.
+  */
+object Num {
+  val Dec: DecimalType = DecimalType(18, 6)
+
+  /** Order-independent sum of a double expression. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Order-independent average (exact decimal sum / count). */
+  def davg(c: Column): Column = dsum(c) / count(lit(1)).cast("double")
+
+  /** DuckDB spelling of [[dsum]]. */
+  def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** DuckDB spelling of [[davg]]. */
+  def sqlDavg(e: String): String =
+    s"(${sqlDsum(e)} / CAST(COUNT(*) AS DOUBLE))"
+}

@@ -1,0 +1,498 @@
+package graft.queries
+
+import graft.{Num, Tables}
+import graft.merge.Merge
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query pack — SURVEY.md §2b.
+  *
+  * Every query is declarative DataFrame API so Catalyst gets full freedom
+  * (pushdown, pruning, join selection, AQE). Each carries a DuckDB oracle in
+  * [[oracleSql]] with bit-identical numeric conventions (see [[graft.Num]]).
+  * All queries end in a total ORDER BY over their output columns so the
+  * row-order of the verification dump is deterministic in both engines.
+  */
+object Relational {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, QFn] = Map(
+
+    // TPC-H Q1 shape: scan → pushed filter → partial+final hash aggregate.
+    "q_agg_hash" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      l.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Num.dsum(col("l_quantity")).as("sum_qty"),
+          Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          Num.davg(col("l_quantity")).as("avg_qty"),
+          Num.davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Projection + pushed predicate; ReadSchema must be 4 columns only.
+    "q_scan_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))),
+
+    // Compound predicate incl. timestamp bound — all pushed to the scan.
+    "q_filter_pred" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" &&
+          col("l_quantity").between(10, 20) &&
+          col("l_shipdate") >= to_timestamp(lit("2000-01-01")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // Inner equi-join; Catalyst picks broadcast (customer is small) or SMJ.
+    "q_join_inner" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 450000)
+      val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+    }),
+
+    // Star join with explicit broadcast of both small dims — the 100 TB plan:
+    // fact shuffles zero times for the join, once for the aggregate.
+    "q_join_broadcast" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val n = broadcast(t(s, d, "nation"))
+      val r = broadcast(t(s, d, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), Num.dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Left outer join + aggregate (customers keep 0-order rows).
+    "q_join_left" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-semi: existence test without row multiplication.
+    "q_join_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"), col("c_name"))
+    }),
+
+    // Left-anti: the NOT EXISTS building block of upsert (≙ MERGE NOT MATCHED).
+    "q_join_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"), col("c_name"))
+    }),
+
+    // Pure non-equi (theta) join → BroadcastNestedLoopJoin on tiny filtered
+    // inputs; at scale you'd band-bucket the range instead.
+    "q_join_theta" -> ((s, d) => {
+      val sup = t(s, d, "supplier").filter(col("s_acctbal") > 9000)
+      val cus = t(s, d, "customer").filter(col("c_acctbal") > 9800)
+      sup.join(cus, col("s_acctbal") > col("c_acctbal"))
+        .select(col("s_suppkey"), col("c_custkey"))
+        .orderBy(col("s_suppkey"), col("c_custkey"))
+    }),
+
+    // Upsert as anti-join + union (≙ reference MERGE, bq.py:538-547),
+    // summarized per status so the verification dump stays small.
+    "q_upsert_antijoin" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val upd = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      Merge.upsert(o, upd, Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), Num.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Exact distinct aggregation (expand + two-phase agg under the hood).
+    "q_agg_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // ROLLUP grouping sets over the star join.
+    "q_agg_rollup" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val n = broadcast(t(s, d, "nation"))
+      val r = broadcast(t(s, d, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"), col("n_cust"))
+    }),
+
+    // Ranking window: top-3 orders per customer.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // Frame window: running decimal-exact sum + lag, per customer.
+    "q_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(Num.Dec))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("run_sum"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Top-k: Catalyst collapses to TakeOrderedAndProject (no full sort).
+    "q_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // Stable pagination page (≙ reference destination-table paging,
+    // bq.py:165-217): total order + offset + limit.
+    "q_pagination" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .offset(500).limit(100)),
+
+    "q_union" -> ((s, d) => {
+      val a = t(s, d, "customer").filter(col("c_acctbal") > 9000).select(col("c_custkey").as("k"))
+      val b = t(s, d, "orders").filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k"))
+      a.union(b).distinct().orderBy(col("k"))
+    }),
+
+    "q_intersect" -> ((s, d) => {
+      val a = t(s, d, "customer").filter(col("c_acctbal") > 9000).select(col("c_custkey").as("k"))
+      val b = t(s, d, "orders").filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k"))
+      a.intersect(b).orderBy(col("k"))
+    }),
+
+    "q_except" -> ((s, d) => {
+      val a = t(s, d, "customer").filter(col("c_acctbal") > 9000).select(col("c_custkey").as("k"))
+      val b = t(s, d, "orders").filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k"))
+      a.except(b).orderBy(col("k"))
+    }),
+
+    // String scalar pack (≙ sheets string handling, sheets.py:250-253).
+    "q_scalar_string" -> ((s, d) =>
+      t(s, d, "part").filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("bt"),
+          col("p_name").like("%ol%").as("has_ol"),
+          regexp_replace(col("p_type"), "[aeiou]", "").as("novowel"))
+        .orderBy(col("p_partkey"))),
+
+    // Date/time scalar pack (≙ DateTimePartitions, gcs.py:42-55).
+    "q_scalar_date" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mstart"))
+        .orderBy(col("o_orderkey"))),
+
+    // Math + CASE WHEN pack. floor() → BIGINT in both engines.
+    "q_scalar_math" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") % 700 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("high").as("qband"),
+          floor(col("l_extendedprice") / 1000.0).as("price_kbucket"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // JSON extraction from the events.props payload (≙ JSONL records,
+    // gcs.py:342-347; nested RECORDs, test_bq.py:211-249).
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // Inclusive-start/exclusive-end time window (≙ mtime filters,
+    // gcs.py:404-417) — whole-second bounds are ns/µs-truncation safe.
+    "q_time_filter" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") >= to_timestamp(lit("2024-01-10")) &&
+          col("ts") < to_timestamp(lit("2024-01-21")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))),
+
+    // Array ops over the embedding column; sum via scaled-long so the fold
+    // order can't matter (see Num scaladoc).
+    "q_array_ops" -> ((s, d) =>
+      t(s, d, "embeddings").filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("e_first"),
+          expr("aggregate(transform(embedding, x -> cast(round(cast(x as double)*1000000) as bigint)), 0L, (a, x) -> a + x)").as("e_sum6"),
+          col("label"))
+        .orderBy(col("vec_id"))),
+
+    // Stringly-typed coercion semantics (≙ sheets read, sheets.py:250-253):
+    // everything to string, empty string → NULL.
+    "q_str_coerce" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"),
+          col("c_custkey").cast("string").as("custkey_s"),
+          when(col("c_mktsegment") === "", null).otherwise(col("c_mktsegment")).as("seg"),
+          when(lit("") === "", null).otherwise(lit("")).cast("string").as("empty_is_null"))
+        .orderBy(col("c_custkey"))),
+
+    // CTAS body (≙ create_or_replace_table_as, bq.py:420-447): SELECT *.
+    "q_ctas_scan" -> ((s, d) =>
+      t(s, d, "nation").orderBy(col("n_nationkey"))),
+
+    // Latest-partition pruning (≙ gcs.py:499-520): argmax of the partition
+    // tuple, then keep only rows in it. Two-phase: tiny max-aggregate
+    // broadcast back against the scan → partition pruning at scale.
+    "q_latest_partition" -> ((s, d) => {
+      val e = t(s, d, "events").withColumn("day", to_date(col("ts")))
+      val mx = e.agg(max(col("day")).as("max_day"))
+      e.join(broadcast(mx), col("day") === col("max_day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Exact dedup, deterministic representative (min doc_id per text).
+    "q_dedup" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val unionBase =
+    """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+      |%s
+      |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_hash" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Num.sqlDsum("l_quantity")} AS sum_qty,
+         |  ${Num.sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${Num.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${Num.sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${Num.sqlDavg("l_quantity")} AS avg_qty,
+         |  ${Num.sqlDavg("l_extendedprice")} AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 48
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20
+        |  AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 450000
+        |ORDER BY o_orderkey, c_name, o_totalprice""".stripMargin,
+
+    "q_join_broadcast" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${Num.sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey, c_name""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey, c_name""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT s_suppkey, c_custkey
+        |FROM supplier, customer
+        |WHERE s_acctbal > 9000 AND c_acctbal > 9800 AND s_acctbal > c_acctbal
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "q_upsert_antijoin" ->
+      s"""WITH upd AS (
+         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         |         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 100 = 0),
+         |merged AS (
+         |  SELECT * FROM orders o
+         |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+         |  UNION ALL SELECT * FROM upd)
+         |SELECT o_orderstatus, COUNT(*) AS n_rows, ${Num.sqlDsum("o_totalprice")} AS sum_price
+         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST, n_cust""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) x
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+        |  LAG(o_orderkey, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_orderkey
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_pagination" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 500""".stripMargin,
+
+    "q_union" -> (unionBase.format("UNION") + "\nORDER BY k"),
+    "q_intersect" -> (unionBase.format("INTERSECT") + "\nORDER BY k"),
+    "q_except" -> (unionBase.format("EXCEPT") + "\nORDER BY k"),
+
+    "q_scalar_string" ->
+      """SELECT p_partkey,
+        |  UPPER(p_brand) AS brand_u,
+        |  SUBSTRING(p_name, 1, 8) AS name8,
+        |  p_brand || '#' || p_type AS bt,
+        |  (p_name LIKE '%ol%') AS has_ol,
+        |  REGEXP_REPLACE(p_type, '[aeiou]', '', 'g') AS novowel
+        |FROM part WHERE p_partkey % 20 = 0 ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dom,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mstart
+        |FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  CASE WHEN l_quantity < 10 THEN 'low'
+        |       WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qband,
+        |  CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket
+        |FROM lineitem WHERE l_orderkey % 700 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_time_filter" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${Num.sqlDsum("value")} AS sum_value
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts <  TIMESTAMP '2024-01-21 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_array_ops" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS e_first,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS e_sum6,
+        |  label
+        |FROM embeddings WHERE vec_id % 7 = 0 ORDER BY vec_id""".stripMargin,
+
+    "q_str_coerce" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey AS VARCHAR) AS custkey_s,
+        |  NULLIF(c_mktsegment, '') AS seg,
+        |  NULLIF('', '') AS empty_is_null
+        |FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin,
+
+    "q_ctas_scan" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "q_latest_partition" ->
+      """WITH e AS (SELECT *, CAST(ts AS DATE) AS day FROM events)
+        |SELECT event_type, COUNT(*) AS n FROM e
+        |WHERE day = (SELECT MAX(day) FROM e)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+  )
+}
