@@ -11,13 +11,11 @@ object SparkEntry {
 
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (queries1.Relational.queries, queries1.Relational.oracleSql)
+      (graft.queries.Relational.queries, graft.queries.Relational.oracleSql),
+      (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
+      (graft.queries.Dedup.queries, graft.queries.Dedup.oracleSql),
+      (graft.queries.Similarity.queries, graft.queries.Similarity.oracleSql)
     )
-
-  // Indirection so adding a pack is a one-liner above.
-  private object queries1 {
-    val Relational = graft.queries.Relational
-  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over the documents table — the training-data
+  * pipeline extensions: n-gram Jaccard (exact), MinHash+LSH banding
+  * (the scale path), SimHash fingerprints. Exact dedup is `q_dedup` in
+  * [[Relational]]; embedding-cosine near-dup is in [[Similarity]].
+  *
+  * Hashing is md5-based (not xxhash64) so every stage is reproducible in
+  * the DuckDB oracle; at production scale swap [[hashGram]] for xxhash64 —
+  * the pipeline shape (explode → min-per-seed → band → band-join) is
+  * identical.
+  */
+object Dedup {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** doc_id, g: distinct whitespace-token 3-gram shingles per document. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> " +
+          "concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"))
+        .as("g"))
+      .distinct()
+
+  private val Seeds = 8 // MinHash seeds; banded 4 × 2
+
+  val queries: Map[String, QFn] = Map(
+
+    // Exact n-gram Jaccard near-dup pairs. Shuffle-aware shape: the
+    // self-join is on the shingle (a bounded-fanout key), never a cross
+    // join; counts are per-pair aggregates.
+    "q_dedup_ngram" -> ((s, d) => {
+      val ng = shingles(s, d)
+      val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = ng.as("a")
+        .join(ng.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      val jac = col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double")
+      common
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
+          jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MinHash + LSH banding: min over md5(seed:gram) per seed → band keys →
+    // candidate pairs share a band. The band join is the only shuffle and
+    // its key cardinality grows with corpus size — this is the piece that
+    // survives 100 TB where the exact pairwise join cannot.
+    "q_dedup_minhash" -> ((s, d) => {
+      val ng = shingles(s, d)
+      val sig = ng
+        .select(col("doc_id"), col("g"),
+          explode(expr(s"sequence(0, ${Seeds - 1})")).as("seed"))
+        .select(col("doc_id"), col("seed"),
+          md5(encode(concat(col("seed").cast("string"), lit(":"), col("g")), "UTF-8")).as("h"))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(col("h")).as("mh"))
+      val bands = sig
+        .withColumn("band", expr("seed div 2"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh), '|')").as("bv"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // 16-bit SimHash fingerprint per document (sign of per-bit weighted
+    // token-hash sum). Pure map + two local aggregations; pair search is
+    // then a cheap fingerprint self-join (see DedupSpec).
+    "q_dedup_simhash" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("tkn"))
+      val bits = tok
+        .select(col("doc_id"),
+          substring(md5(encode(col("tkn"), "UTF-8")), 1, 4).as("h4"),
+          explode(expr("sequence(0, 15)")).as("b"))
+        .select(col("doc_id"), col("b"),
+          expr("(cast(conv(substring(h4, cast(b div 4 as int) + 1, 1), 16, 10) as bigint) " +
+            "div cast(power(2, 3 - (b % 4)) as bigint)) % 2").as("bit"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("bit") * 2 - 1).as("sb"))
+      bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("sb") >= 0, expr("cast(power(2, b) as bigint)")).otherwise(0L))
+          .as("simhash16"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val ngCte =
+    """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |         FROM documents),
+      |ng AS (SELECT DISTINCT doc_id, g FROM (
+      |         SELECT doc_id,
+      |                UNNEST(list_transform(range(1, len(w) - 1),
+      |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |         FROM toks WHERE len(w) >= 3) z)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_ngram" ->
+      s"""WITH $ngCte,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |       FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, common, ca.n AS n_a, cb.n AS n_b,
+         |  CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS jaccard
+         |FROM pr
+         |JOIN cnt ca ON ca.doc_id = doc_a
+         |JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $ngCte,
+         |sig AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || g)) AS mh
+         |        FROM ng, (SELECT UNNEST(range(0, ${Seeds})) AS seed) sd
+         |        GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // 2 AS band,
+         |                 string_agg(mh, '|' ORDER BY seed) AS bv
+         |          FROM sig GROUP BY doc_id, seed // 2)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a
+         |JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, tkn FROM (
+        |         SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tkn
+        |         FROM documents) z),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(2 * (((strpos('0123456789abcdef',
+        |                             substr(md5(tkn), CAST(b // 4 AS INT) + 1, 1)) - 1)
+        |                     // CAST(POWER(2, 3 - (b % 4)) AS BIGINT)) % 2) - 1) AS sb
+        |         FROM tok, (SELECT UNNEST(range(0, 16)) AS b) bb
+        |         GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sb >= 0 THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
