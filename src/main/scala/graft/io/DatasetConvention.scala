@@ -1,0 +1,125 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+
+/** The partitioned-JSONL dataset convention (≙ reference gcs.py):
+  *
+  *   `{base}/{dataset}/version=V/year=Y/month=M/day=D/…jsonl`
+  *
+  * Path partition values are unpadded ints (gcs.py:61-66); the reference's
+  * file names zero-pad the timestamp (gcs.py:42-55, 82-83) — Spark names
+  * its own part files, so the padded name convention is exposed via
+  * [[fileNameFor]] for single-object writes only.
+  *
+  * Reads use Spark partition discovery: a `version=…/year=…` filter prunes
+  * directories before any file is opened — the moral equivalent of the
+  * reference's prefix listing (gcs.py:539-543), and the thing that keeps a
+  * 100 TB dataset scan bounded to the partitions asked for.
+  */
+object DatasetConvention {
+
+  /** Partition tuple, ordered for argmax (≙ DateTimePartitions, gcs.py:42-49). */
+  final case class Partition(version: Int, year: Int, month: Int, day: Int)
+      extends Ordered[Partition] {
+    def compare(that: Partition): Int =
+      Ordering[(Int, Int, Int, Int)]
+        .compare((version, year, month, day), (that.version, that.year, that.month, that.day))
+    /** Unpadded path segment form (gcs.py:61-66). */
+    def path: String = s"version=$version/year=$year/month=$month/day=$day"
+  }
+
+  def partitionFor(version: Int, ts: Instant): Partition = {
+    val t = LocalDateTime.ofInstant(ts, ZoneOffset.UTC)
+    Partition(version, t.getYear, t.getMonthValue, t.getDayOfMonth)
+  }
+
+  /** Zero-padded single-object file name (≙ gcs.py:82-83, fixture A3):
+    * `{dataset}__YYYY-MM-DDTHH:00.jsonl`. */
+  def fileNameFor(dataset: String, ts: Instant): String = {
+    val t = LocalDateTime.ofInstant(ts, ZoneOffset.UTC)
+    f"${dataset}__${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d" +
+      f"T${t.getHour}%02d:00.jsonl"
+  }
+
+  /** Parse `k=v` int segments from a path (≙ _get_datetime_partitions_from_path,
+    * gcs.py:499-511). Returns None if any of the four segments is missing. */
+  def parsePartition(path: String): Option[Partition] = {
+    val kv = path.split('/').collect {
+      case seg if seg.contains('=') =>
+        val Array(k, v) = seg.split("=", 2); (k, v)
+    }.toMap
+    for {
+      v <- kv.get("version").flatMap(_.toIntOption)
+      y <- kv.get("year").flatMap(_.toIntOption)
+      m <- kv.get("month").flatMap(_.toIntOption)
+      d <- kv.get("day").flatMap(_.toIntOption)
+    } yield Partition(v, y, m, d)
+  }
+
+  /** Latest-partition pruning over listed paths (≙ _get_latest_path_files,
+    * gcs.py:499-520, fixture A4): numeric argmax of (version,year,month,day),
+    * keep files in the max partition only. */
+  def latestPathFiles(paths: Seq[String]): Seq[String] = {
+    val parsed = paths.flatMap(p => parsePartition(p).map(_ -> p))
+    if (parsed.isEmpty) Seq.empty
+    else {
+      val mx = parsed.map(_._1).max
+      parsed.collect { case (part, p) if part == mx => p }
+    }
+  }
+
+  /** Append records to the dataset under the convention path
+    * (≙ add_records_to_dataset, gcs.py:162-218). Partition defaults to
+    * now-UTC at the caller. */
+  def append(df: DataFrame, base: String, dataset: String, version: Int,
+             ts: Instant): Unit = {
+    val p = partitionFor(version, ts)
+    df.write.mode(SaveMode.Append)
+      .json(s"$base/$dataset/${p.path}")
+  }
+
+  /** Read a dataset (≙ get_dataset, gcs.py:523-597): partition-discovered
+    * JSONL under `{base}/{dataset}`, optionally one version, optionally
+    * only the latest (version,year,month,day) partition. The latest-only
+    * path lists directories first and reads just the argmax partition —
+    * listing is metadata-only, so no data file outside the chosen
+    * partition is ever opened. */
+  def read(spark: SparkSession, base: String, dataset: String,
+           version: Option[Int] = None, latestOnly: Boolean = false): DataFrame = {
+    val root = s"$base/$dataset"
+    if (!latestOnly) {
+      val df = spark.read.option("basePath", root).json(root)
+      version.fold(df)(v => df.filter(col("version") === v))
+    } else {
+      val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new Path(root), true)
+      val files = Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next().getPath.toString)
+        .filter(p => version.forall(v => parsePartition(p).exists(_.version == v)))
+        .toSeq
+      val keep = latestPathFiles(files)
+      spark.read.option("basePath", root).json(keep: _*)
+    }
+  }
+
+  /** Inclusive-bounds modification-time file listing (≙ list_files with
+    * updated_after/updated_before, gcs.py:375-420, fixture A5 — both ends
+    * inclusive, unlike Spark's modifiedAfter option which is exclusive). */
+  def listFiles(spark: SparkSession, dir: String,
+                updatedAfter: Option[Instant] = None,
+                updatedBefore: Option[Instant] = None,
+                recursive: Boolean = false): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(dir), recursive)
+    Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter { st =>
+        val mt = Instant.ofEpochMilli(st.getModificationTime)
+        updatedAfter.forall(a => !mt.isBefore(a)) &&
+          updatedBefore.forall(b => !mt.isAfter(b))
+      }
+      .map(_.getPath.toString).toSeq
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+import java.sql.Timestamp
+
+/** Structured Streaming over the events table.
+  *
+  * The reference has no streaming surface — its closest analog is hourly
+  * micro-batch JSONL files (gcs.py:42-55) plus append-only inserts
+  * (bq.py:386-417). This module is the engine's forward-looking stream
+  * layer: a file-source stream (new files per micro-batch ≙ the hourly
+  * objects), watermarked tumbling-window aggregation, and custom session
+  * state via flatMapGroupsWithState. All operators are incremental and
+  * state-bounded (watermark evicts), so the same code runs unbounded at
+  * production scale.
+  */
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, n_events: Int, first_ts: Timestamp,
+                           last_ts: Timestamp, total_value: Double)
+
+  /** The converted (µs-timestamp) events schema — what [[graft.Tables.load]]
+    * produces and what staged stream input dirs contain. */
+  def eventSchema: StructType =
+    StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+
+  /** File-source stream: each new parquet file in `dir` is a micro-batch
+    * (≙ one hourly JSONL object landing in GCS). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Watermarked tumbling-window counts per event type. Late data beyond
+    * the watermark is dropped; state size is bounded by
+    * (#windows in watermark horizon) × (#event types). */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Custom sessionization state machine: per-user sessions closed after
+    * `gapMinutes` of event-time inactivity (flatMapGroupsWithState with
+    * event-time timeout). Emits a row per closed session. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            val closedAndOpen = evs.foldLeft(
+              (List.empty[Session], state.getOption)) {
+              case ((closed, cur), e) =>
+                cur match {
+                  case Some(sess)
+                      if e.ts.getTime - sess.last_ts.getTime <= gapMinutes * 60000L =>
+                    (closed, Some(sess.copy(
+                      n_events = sess.n_events + 1, last_ts = e.ts,
+                      total_value = sess.total_value + e.value)))
+                  case Some(sess) =>
+                    (sess :: closed, Some(Session(userId, 1, e.ts, e.ts, e.value)))
+                  case None =>
+                    (closed, Some(Session(userId, 1, e.ts, e.ts, e.value)))
+                }
+            }
+            closedAndOpen._2.foreach { open =>
+              state.update(open)
+              state.setTimeoutTimestamp(open.last_ts.getTime + gapMinutes * 60000L)
+            }
+            closedAndOpen._1.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.io
+
+import graft.SparkSpec
+import java.time.Instant
+
+class DatasetConventionSpec extends SparkSpec {
+  import DatasetConvention._
+
+  private val frozen = Instant.parse("2022-01-01T00:00:00Z") // fixture A3 clock
+
+  test("fixture A3: convention path unpadded, file name zero-padded") {
+    val p = partitionFor(1, frozen)
+    assert(p.path == "version=1/year=2022/month=1/day=1")
+    assert(fileNameFor("dataset", frozen) == "dataset__2022-01-01T00:00.jsonl")
+  }
+
+  test("fixture A4: latest-partition pruning is numeric, not lexicographic") {
+    val paths = Seq(
+      "dataset/version=1/year=2022/month=12/day=10/file_1.jsonl",
+      "dataset/version=1/year=2022/month=12/day=10/file_2.jsonl",
+      "dataset/version=1/year=2022/month=12/day=9/file_1.jsonl",
+      "dataset/version=1/year=2022/month=9/day=1/file_1.jsonl")
+    assert(latestPathFiles(paths) == paths.take(2))
+  }
+
+  test("parsePartition ignores paths without the full tuple") {
+    assert(parsePartition("x/version=2/year=2023/month=7/day=4/f.jsonl")
+      .contains(Partition(2, 2023, 7, 4)))
+    assert(parsePartition("x/year=2023/f.jsonl").isEmpty)
+  }
+
+  test("fixture A6-ish: append + read round-trip with partition discovery") {
+    import spark.implicits._
+    val base = tmpDir("dsconv")
+    val df = Seq(("1", "x"), ("2", "y")).toDF("id", "v")
+    append(df, base, "ds", 1, frozen)
+    append(df, base, "ds", 2, Instant.parse("2023-06-07T00:00:00Z"))
+
+    val all = read(spark, base, "ds")
+    assert(all.count() == 4)
+    assert(all.columns.toSet ==
+      Set("id", "v", "version", "year", "month", "day")) // partition discovery
+
+    val v1 = read(spark, base, "ds", version = Some(1))
+    assert(v1.count() == 2)
+
+    val latest = read(spark, base, "ds", latestOnly = true)
+    assert(latest.select("version").distinct().as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("fixture A5: mtime listing window is inclusive on both ends") {
+    val dir = tmpDir("mtime")
+    val times = (1 to 5).map(dd => Instant.parse(f"2022-01-0${dd}%dT00:00:00Z"))
+    times.zipWithIndex.foreach { case (ts, i) =>
+      val f = new java.io.File(dir, s"f$i.jsonl")
+      java.nio.file.Files.writeString(f.toPath, "{}")
+      f.setLastModified(ts.toEpochMilli)
+    }
+    val kept = listFiles(spark, dir,
+      updatedAfter = Some(Instant.parse("2022-01-02T00:00:00Z")),
+      updatedBefore = Some(Instant.parse("2022-01-04T00:00:00Z")))
+    assert(kept.map(p => p.substring(p.length - 8)).sorted ==
+      Seq("f1.jsonl", "f2.jsonl", "f3.jsonl")) // the 02, 03, 04 files inclusive
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stage the (ns-converted) events table as a stream input dir. */
+  private def stageEvents(): String = {
+    val dir = tmpDir("stream-in")
+    Tables.load(spark, sf, "events")
+      .repartition(3) // 3 files → 3 micro-batches with maxFilesPerTrigger=1
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed counts over a file stream match the batch answer") {
+    val dir = stageEvents()
+    val q = EventsStream.windowedCounts(EventsStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .groupBy("event_type").agg(sum("n").as("n"))
+        .as[(String, Long)].collect().toMap
+      // Append mode only emits windows closed by the watermark; the final
+      // (unclosed) windows stay in state, so streamed ⊆ batch per type.
+      val batch = Tables.load(spark, sf, "events")
+        .groupBy("event_type").count().as[(String, Long)].collect().toMap
+      assert(streamed.nonEmpty)
+      assert(streamed.forall { case (k, v) => v > 0 && v <= batch(k) })
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions after the inactivity gap") {
+    val dir = tmpDir("sess-in")
+    def ts(min: Int) = new Timestamp(3600_000L * 24 + min * 60_000L)
+    // user 1: two bursts separated by 90 min → first session must close.
+    // user 2: one burst. A late high-watermark event advances event time.
+    val events = Seq(
+      EventsStream.Event(1, ts(0), 1, "click", 1.0),
+      EventsStream.Event(2, ts(10), 1, "click", 2.0),
+      EventsStream.Event(3, ts(100), 1, "view", 3.0),
+      EventsStream.Event(4, ts(5), 2, "click", 4.0),
+      EventsStream.Event(5, ts(600), 3, "view", 0.5)).toDS()
+    events.write.mode("overwrite").parquet(dir)
+
+    val in = spark.readStream.schema(EventsStream.eventSchema).parquet(dir).as[EventsStream.Event]
+    val q = EventsStream.sessionize(in, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("sessions")
+        .as[EventsStream.Session].collect().toSeq
+      val u1 = closed.filter(_.user_id == 1)
+      assert(u1.exists(s => s.n_events == 2 && s.total_value == 3.0),
+        s"expected user 1's first 2-event session closed, got $closed")
+    } finally q.stop()
+  }
+}

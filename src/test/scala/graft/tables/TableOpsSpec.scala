@@ -1,0 +1,69 @@
+package graft.tables
+
+import graft.SparkSpec
+import graft.merge.SchemaMismatchException
+import org.apache.spark.sql.types._
+
+class TableOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshTable(): String = { n += 1; s"t_ops_$n" }
+
+  test("create / check / delete lifecycle; idempotent delete warns not throws") {
+    val t = freshTable()
+    assert(!TableOps.checkTable(spark, t))
+    TableOps.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))))
+    assert(TableOps.checkTable(spark, t))
+    assert(TableOps.tableSchema(spark, t).fieldNames.toSeq == Seq("id", "name"))
+    assert(TableOps.deleteTable(spark, t))
+    assert(!TableOps.deleteTable(spark, t)) // ≙ idempotent wrapper bq.py:276-299
+  }
+
+  test("strict insert appends matching schema, rejects mismatched") {
+    val t = freshTable()
+    TableOps.createTableAs(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    TableOps.insertStrict(spark, t, Seq((2L, "b")).toDF("id", "name"))
+    assert(spark.table(t).count() == 2)
+    intercept[SchemaMismatchException] {
+      TableOps.insertStrict(spark, t, Seq(("x", "b")).toDF("id", "name"))
+    }
+    assert(spark.table(t).count() == 2) // nothing partial landed
+  }
+
+  test("createTableAs overwrite ≙ CREATE OR REPLACE TABLE AS") {
+    val t = freshTable()
+    TableOps.createTableAs(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    TableOps.createTableAs(spark, t, Seq((7L, "z"), (8L, "w")).toDF("id", "name"),
+      overwrite = true)
+    assert(spark.table(t).count() == 2)
+  }
+
+  test("replaceTable swaps through tmp and cleans it up (≙ bq.py:557-591)") {
+    val t = freshTable()
+    TableOps.createTableAs(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    TableOps.replaceTable(spark, t, Seq((9L, "r")).toDF("id", "name"))
+    assert(spark.table(t).as[(Long, String)].collect().toSeq == Seq((9L, "r")))
+    assert(!TableOps.checkTable(spark, s"${t}_tmp")) // tmp dropped
+  }
+
+  test("upsertTable merges by key in place; real table never dropped mid-flight") {
+    val t = freshTable()
+    TableOps.createTableAs(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    TableOps.upsertTable(spark, t, Seq((2L, "B"), (3L, "c")).toDF("id", "name"), Seq("id"))
+    assert(spark.table(t).as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("upsertTable schema mismatch raises and leaves target + no tmp behind") {
+    val t = freshTable()
+    TableOps.createTableAs(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    intercept[SchemaMismatchException] {
+      TableOps.upsertTable(spark, t, Seq(("u", "x")).toDF("uuid", "name"), Seq("id"))
+    }
+    assert(spark.table(t).count() == 1)           // target intact (test_bq.py:486-487)
+    assert(!TableOps.checkTable(spark, s"${t}_tmp")) // cleanup (test_bq.py:506-533)
+  }
+}
