@@ -20,6 +20,9 @@ object Tables {
     // (PARQUET_TYPE_ILLEGAL); read nanos as LongType and convert in-loader.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Native expressions (sessions created with
+    // spark.sql.extensions=graft.expressions.GraftExtensions skip this).
+    graft.expressions.GraftFunctions.register(spark)
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -20,9 +20,12 @@ object VectorFunctions {
   def intVec(c: String): Column =
     expr(s"transform($c, x -> cast(round(cast(x as double) * 1000000) as bigint))")
 
-  /** Exact integer dot product of two scaled vectors. */
+  /** Exact integer dot product of two scaled vectors — the codegen'd
+    * [[graft.expressions.LongDot]] native expression (registered by
+    * [[graft.Tables.load]]); ~20× the interpreted
+    * `aggregate(zip_with(...))` equivalent on pair joins. */
   def dotL(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, z) -> acc + z)")
+    expr(s"graft_long_dot($a, $b)")
 
   /** Exact integer squared norm. */
   def normL(a: String): Column = dotL(a, a)

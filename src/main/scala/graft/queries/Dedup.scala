@@ -82,24 +82,27 @@ object Dedup {
     }),
 
     // 16-bit SimHash fingerprint per document (sign of per-bit weighted
-    // token-hash sum). Pure map + two local aggregations; pair search is
+    // token-hash sum). One md5 + one int per token, 16 arithmetic sums in a
+    // single per-doc aggregate — no row blow-up, one shuffle. Pair search is
     // then a cheap fingerprint self-join (see DedupSpec).
     "q_dedup_simhash" -> ((s, d) => {
       val tok = t(s, d, "documents")
         .select(col("doc_id"),
           explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("tkn"))
-      val bits = tok
+        // h16 = int value of the first 4 md5 hex chars; bit b of the original
+        // per-nibble layout is bit (15-b) of h16.
         .select(col("doc_id"),
-          substring(md5(encode(col("tkn"), "UTF-8")), 1, 4).as("h4"),
-          explode(expr("sequence(0, 15)")).as("b"))
-        .select(col("doc_id"), col("b"),
-          expr("(cast(conv(substring(h4, cast(b div 4 as int) + 1, 1), 16, 10) as bigint) " +
-            "div cast(power(2, 3 - (b % 4)) as bigint)) % 2").as("bit"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("bit") * 2 - 1).as("sb"))
-      bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("sb") >= 0, expr("cast(power(2, b) as bigint)")).otherwise(0L))
-          .as("simhash16"))
+          conv(substring(md5(encode(col("tkn"), "UTF-8")), 1, 4), 16, 10)
+            .cast("long").as("h16"))
+      val bitSums = (0 to 15).map { b =>
+        val mask = 1L << (15 - b)
+        sum(expr(s"((h16 div $mask) % 2) * 2 - 1")).as(s"sb_$b")
+      }
+      tok.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 to 15).map(b => when(col(s"sb_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash16"))
         .orderBy(col("doc_id"))
     })
   )

@@ -28,16 +28,18 @@ object Similarity {
 
   // Deterministic ±1 projection component for plane p, dimension j (1-based):
   // sign = +1 iff ((p+1)*(j+3)) mod 7 < 3. Arbitrary but fixed, and cheaply
-  // expressible in both engines (no hashing needed).
+  // expressible in both engines (no hashing needed). Materialized here as
+  // literal arrays so each plane dot is one codegen'd LongDot pass.
   private val PLANES = 4
 
+  private def planeLit(p: Int): String =
+    (1 to 64).map(j => if ((p + 1) * (j + 3) % 7 < 3) "1L" else "-1L")
+      .mkString("array(", ", ", ")")
+
   private def bucketExpr(v: String): org.apache.spark.sql.Column =
-    expr(
-      s"""aggregate(sequence(0, ${PLANES - 1}), 0L, (acc, p) ->
-         |  acc + if(aggregate(sequence(1, 64), 0L, (a2, j) ->
-         |            a2 + element_at($v, j) *
-         |                 (case when ((p+1)*(j+3)) % 7 < 3 then 1L else -1L end)
-         |          ) >= 0, cast(power(2, p) as bigint), 0L))""".stripMargin)
+    (0 until PLANES).map { p =>
+      when(dotL(v, planeLit(p)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   val queries: Map[String, QFn] = Map(
 
@@ -70,15 +72,17 @@ object Similarity {
     }),
 
     // Embedding-cosine near-duplicate pairs (threshold tuned to the planted
-    // near-dups in the synthetic data).
+    // near-dups in the synthetic data). The threshold lives INSIDE the join
+    // condition: the nested-loop join then emits only surviving pairs
+    // instead of materializing all N²/2 candidate rows (array payloads and
+    // the GC debt they bring) just to filter them one operator later.
     "q_embed_neardup" -> ((s, d) => {
       val iv = intVecs(s, d)
       val a = iv.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na"))
       val b = iv.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          cosine(dotL("va", "vb"), col("na"), col("nb")).as("cos"))
-        .filter(col("cos") >= 0.4)
+      val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
+      a.join(b, col("vec_a") < col("vec_b") && cos >= 0.4)
+        .select(col("vec_a"), col("vec_b"), cos.as("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
     })
   )

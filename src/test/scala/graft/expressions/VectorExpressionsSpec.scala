@@ -1,0 +1,44 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_long_dot matches the interpreted aggregate/zip_with result") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-7L, 0L, 2L), Seq(3L, 9L, -1L)),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    val out = df.select(
+      expr("graft_long_dot(a, b)").as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, z) -> acc + z)").as("ref"))
+      .as[(Long, Long)].collect()
+    assert(out.forall { case (f, r) => f == r }, out.mkString(","))
+    assert(out.toSeq == Seq((32L, 32L), (-23L, -23L), (0L, 0L)))
+  }
+
+  test("null inputs propagate null") {
+    GraftFunctions.register(spark)
+    val df = Seq((Some(Seq(1L)), None: Option[Seq[Long]])).toDF("a", "b")
+    assert(df.select(expr("graft_long_dot(a, b)")).collect()(0).isNullAt(0))
+  }
+
+  test("type mismatch is an analysis error, not a runtime crash") {
+    GraftFunctions.register(spark)
+    val df = Seq(("x", Seq(1L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(expr("graft_long_dot(a, b)")).collect()
+    }
+    assert(e.getMessage.contains("array<bigint>"), e.getMessage)
+  }
+
+  test("registration is idempotent") {
+    GraftFunctions.register(spark)
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_long_dot(array(2L), array(21L))")
+      .first().getLong(0) == 42L)
+  }
+}
