@@ -1,0 +1,82 @@
+package graft.sheets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Missing or reordered header row (≙ reference expected_headers check,
+  * sheets.py:216-253). */
+final class HeaderMismatchException(msg: String) extends RuntimeException(msg)
+
+/** Small-table worksheet operators (≙ reference gcpde/sheets.py).
+  *
+  * The reference talks to Google Sheets; the engine models a spreadsheet
+  * document as a directory and each worksheet as one headered CSV file —
+  * same shape: small, row-oriented, stringly-typed. Semantics preserved:
+  *
+  *   - reads coerce EVERY value to string and `"" → NULL`
+  *     (sheets.py:250-253, fixture A7);
+  *   - replace writes `[columns] + rows` atomically with optional column
+  *     projection (sheets.py:86-117);
+  *   - replace-or-create creates the worksheet when absent
+  *     (sheets.py:120-169); list/delete enumerate and drop worksheets
+  *     (sheets.py:172-213).
+  *
+  * Sheets are driver-small by contract (the reference materializes them as
+  * Python lists), so single-file writes are intentional, not a scale bug.
+  */
+object SheetOps {
+
+  private def wsPath(doc: String, sheet: String) = s"$doc/$sheet.csv"
+
+  private def fs(spark: SparkSession, doc: String): FileSystem =
+    FileSystem.get(new java.net.URI(doc), spark.sparkContext.hadoopConfiguration)
+
+  /** ≙ read_sheet: header row → column names, all values string, ""→NULL. */
+  def readSheet(spark: SparkSession, doc: String, sheet: String,
+                expectedHeaders: Option[Seq[String]] = None): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(wsPath(doc, sheet))
+    expectedHeaders.foreach { exp =>
+      if (raw.columns.toSeq != exp)
+        throw new HeaderMismatchException(
+          s"worksheet $sheet headers ${raw.columns.toSeq} != expected $exp")
+    }
+    raw.select(raw.columns.map(c =>
+      when(col(c) === "", lit(null)).otherwise(col(c).cast("string")).as(c)): _*)
+  }
+
+  /** ≙ read_sheets: all (or the named) worksheets as a name→DataFrame map. */
+  def readSheets(spark: SparkSession, doc: String,
+                 sheets: Option[Seq[String]] = None): Map[String, DataFrame] =
+    sheets.getOrElse(listWorksheets(spark, doc))
+      .map(s => s -> readSheet(spark, doc, s)).toMap
+
+  /** ≙ replace_from_records: full overwrite, optional column projection,
+    * everything written as strings. */
+  def replaceFromRecords(df: DataFrame, doc: String, sheet: String,
+                         columns: Option[Seq[String]] = None): Unit = {
+    val proj = columns.fold(df)(cs => df.select(cs.map(col): _*))
+    proj.select(proj.columns.map(c => col(c).cast("string").as(c)): _*)
+      .coalesce(1) // sheets are driver-small by contract
+      .write.mode("overwrite").option("header", "true").csv(wsPath(doc, sheet))
+  }
+
+  /** ≙ replace_or_create_from_records: same write path — the CSV model
+    * creates on first write, so create-if-missing is inherent. */
+  def replaceOrCreateFromRecords(df: DataFrame, doc: String, sheet: String,
+                                 columns: Option[Seq[String]] = None): Unit =
+    replaceFromRecords(df, doc, sheet, columns)
+
+  /** ≙ list_worksheets. */
+  def listWorksheets(spark: SparkSession, doc: String): Seq[String] = {
+    val p = new Path(doc)
+    val f = fs(spark, doc)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".csv")).map(_.stripSuffix(".csv")).sorted
+  }
+
+  /** ≙ delete_worksheet (idempotent, warn-style false when absent). */
+  def deleteWorksheet(spark: SparkSession, doc: String, sheet: String): Boolean =
+    fs(spark, doc).delete(new Path(wsPath(doc, sheet)), true)
+}
