@@ -64,6 +64,31 @@ object Multimodal {
     }
   }
 
+  /** STUB resize for image-kind rows: deterministic byte downsampling
+    * standing in for pixel resampling — output payload is exactly
+    * targetW×targetH bytes and the metadata struct is updated, so
+    * downstream schema/size contracts are the real ones. Non-image rows
+    * pass through untouched. */
+  def resizeImages(media: Dataset[Media], targetW: Int, targetH: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map {
+        case m if m.kind == "image" && m.bytes != null && m.bytes.nonEmpty =>
+          val n = targetW * targetH
+          val out = new Array[Byte](n)
+          val step = math.max(1.0, m.bytes.length.toDouble / n)
+          var i = 0
+          while (i < n) {
+            out(i) = m.bytes(math.min(m.bytes.length - 1, (i * step).toInt))
+            i += 1
+          }
+          m.copy(bytes = out,
+            meta = m.meta.copy(width = Some(targetW), height = Some(targetH)))
+        case m => m
+      }
+    }
+  }
+
   /** Frame sampling stub for video-kind rows: deterministic byte-range
     * slices standing in for decoded frames (n evenly spaced "frames"). */
   def sampleFrames(media: Dataset[Media], n: Int): DataFrame = {

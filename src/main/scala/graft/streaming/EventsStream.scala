@@ -50,6 +50,14 @@ object EventsStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup by id (the training-pipeline ingest guard):
+    * watermarked `dropDuplicates` keeps one row per id with state bounded
+    * by the watermark horizon — late replays beyond it age out of state. */
+  def dedupedStream(events: DataFrame, idCol: String = "event_id",
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(idCol, "ts")
+
   /** Custom sessionization state machine: per-user sessions closed after
     * `gapMinutes` of event-time inactivity (flatMapGroupsWithState with
     * event-time timeout). Emits a row per closed session. */

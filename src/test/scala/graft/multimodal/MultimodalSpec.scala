@@ -31,6 +31,18 @@ class MultimodalSpec extends SparkSpec {
     assert(total > 0 && total <= "frame0".length * 10)
   }
 
+  test("resizeImages: image payload becomes exactly w*h bytes, meta updated, others untouched") {
+    val out = resizeImages(sampleMedia, targetW = 4, targetH = 3).collect()
+    val img = out.find(_.id == 1).get
+    assert(img.bytes.length == 12)
+    assert(img.meta == MediaMeta(Some(4), Some(3), None))
+    val audio = out.find(_.id == 2).get
+    assert(audio.bytes.sameElements("fake-wav-bytes-0123".getBytes)) // pass-through
+    // deterministic
+    val again = resizeImages(sampleMedia, 4, 3).collect().find(_.id == 1).get
+    assert(img.bytes.sameElements(again.bytes))
+  }
+
   test("metaOnly never reads the binary column (scan prunes bytes)") {
     val dir = tmpDir("media")
     sampleMedia.toDF().write.mode("overwrite").parquet(dir)

@@ -35,6 +35,23 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed ids within the watermark horizon") {
+    val dir = tmpDir("dedup-in")
+    val ev = Tables.load(spark, sf, "events").limit(200)
+    // write the same 200 events twice → a replayed micro-batch
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+    val q = EventsStream.dedupedStream(
+      spark.readStream.schema(EventsStream.eventSchema).parquet(dir))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_stream").count()
+      assert(n == 200, s"expected 200 unique events, got $n")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the inactivity gap") {
     val dir = tmpDir("sess-in")
     def ts(min: Int) = new Timestamp(3600_000L * 24 + min * 60_000L)
