@@ -55,23 +55,25 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // MinHash + LSH banding: min over md5(seed:gram) per seed → band keys →
-    // candidate pairs share a band. The band join is the only shuffle and
-    // its key cardinality grows with corpus size — this is the piece that
-    // survives 100 TB where the exact pairwise join cannot.
+    // MinHash + LSH banding: the 8 hash functions are 16-char slices of ONE
+    // md5 per shingle at offsets 0..7 (cross-engine reproducible, 8× fewer
+    // hashes than hashing per seed); signature = 8 min-aggregates in a
+    // single per-doc groupBy (map-side combined — one light shuffle of
+    // doc-level rows, not (doc,seed)-level); band keys pair the mins; the
+    // band equi-join is the only data-sized join and its key cardinality
+    // grows with the corpus — the piece that survives 100 TB where the
+    // exact pairwise join cannot.
     "q_dedup_minhash" -> ((s, d) => {
       val ng = shingles(s, d)
-      val sig = ng
-        .select(col("doc_id"), col("g"),
-          explode(expr(s"sequence(0, ${Seeds - 1})")).as("seed"))
-        .select(col("doc_id"), col("seed"),
-          md5(encode(concat(col("seed").cast("string"), lit(":"), col("g")), "UTF-8")).as("h"))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(col("h")).as("mh"))
+      val minCols = (0 until Seeds).map(o =>
+        min(substring(md5(encode(col("g"), "UTF-8")), o + 1, 16)).as(s"m$o"))
+      val sig = ng.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 until Seeds / 2).map(b =>
+        struct(lit(b).as("band"),
+          concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bv")))
       val bands = sig
-        .withColumn("band", expr("seed div 2"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh), '|')").as("bv"))
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -131,18 +133,20 @@ object Dedup {
          |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_dedup_minhash" ->
+    "q_dedup_minhash" -> {
+      val mins = (0 until Seeds)
+        .map(o => s"MIN(substr(md5(g), ${o + 1}, 16)) AS m$o").mkString(", ")
+      val bandRows = (0 until Seeds / 2)
+        .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS bv FROM sig")
+        .mkString("\n          UNION ALL ")
       s"""WITH $ngCte,
-         |sig AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || g)) AS mh
-         |        FROM ng, (SELECT UNNEST(range(0, ${Seeds})) AS seed) sd
-         |        GROUP BY doc_id, seed),
-         |bands AS (SELECT doc_id, seed // 2 AS band,
-         |                 string_agg(mh, '|' ORDER BY seed) AS bv
-         |          FROM sig GROUP BY doc_id, seed // 2)
+         |sig AS (SELECT doc_id, $mins FROM ng GROUP BY doc_id),
+         |bands AS ($bandRows)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a
          |JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, tkn FROM (
