@@ -293,6 +293,37 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // CUBE grouping sets (all four combinations of the two dims).
+    "q_agg_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Pivot: status × priority count matrix. Spark's relational pivot;
+    // oracled as conditional aggregation (engine-portable semantics).
+    "q_pivot" -> ((s, d) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus") +: prios.map(p =>
+          coalesce(col(s"`$p`"), lit(0L)).as("p" + p.charAt(0))): _*)
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Continuous percentiles (median/p90) over an exact integer-valued
+    // column — interpolation arithmetic is deterministic across engines.
+    // (approx_percentile/approx_count_distinct exist too but are
+    // implementation-specific sketches, hence not oracle-comparable.)
+    "q_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+        .orderBy(col("l_returnflag"))),
+
     // Exact dedup, deterministic representative (min doc_id per text).
     "q_dedup" -> ((s, d) =>
       t(s, d, "documents")
@@ -493,6 +524,28 @@ object Relational {
 
     "q_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${Num.sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

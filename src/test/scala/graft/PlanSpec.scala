@@ -1,0 +1,44 @@
+package graft
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, top-k collapse) must survive
+  * refactors. String checks over the executed plan at sf0.001. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_agg_hash pushes the shipdate filter to the parquet scan") {
+    val p = plan("q_agg_hash")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q_scan_project reads exactly its four columns") {
+    val p = plan("q_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .forall(read.contains), read)
+    assert(!read.contains("l_shipdate") && !read.contains("l_returnflag"), read)
+  }
+
+  test("q_join_broadcast never shuffles the fact side for the joins") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_topk collapses to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_topk_similarity uses the codegen'd native dot expression") {
+    val p = plan("q_topk_similarity")
+    assert(p.contains("graft_long_dot"), p)
+  }
+
+  test("metadata argmax join in q_latest_partition broadcasts the singleton") {
+    val p = plan("q_latest_partition")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
