@@ -50,6 +50,12 @@ object EventsStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream–static enrichment join: each micro-batch joins against the
+    * (broadcast) dimension snapshot — no streaming state at all, the
+    * standard shape for attaching reference data to a 100 TB/day stream. */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup by id (the training-pipeline ingest guard):
     * watermarked `dropDuplicates` keeps one row per id with state bounded
     * by the watermark horizon — late replays beyond it age out of state. */

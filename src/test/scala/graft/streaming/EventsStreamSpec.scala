@@ -35,6 +35,22 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches every micro-batch from the broadcast dim") {
+    val dir = stageEvents()
+    val dim = Seq(("click", "ui"), ("view", "ui"), ("purchase", "commerce"),
+      ("signup", "growth"), ("error", "ops")).toDF("event_type", "category")
+    val q = EventsStream.enriched(
+      EventsStream.readEvents(spark, dir), dim, "event_type")
+      .writeStream.format("memory").queryName("enriched_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enriched_stream")
+      assert(out.count() == Tables.load(spark, sf, "events").count())
+      assert(out.filter(col("category").isNull).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed ids within the watermark horizon") {
     val dir = tmpDir("dedup-in")
     val ev = Tables.load(spark, sf, "events").limit(200)
