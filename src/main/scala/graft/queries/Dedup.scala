@@ -38,7 +38,43 @@ object Dedup {
     // self-join is on the shingle (a bounded-fanout key), never a cross
     // join; counts are per-pair aggregates.
     "q_dedup_ngram" -> ((s, d) => {
-      val ng = shingles(s, d)
+      val ng = shingles(s, d).localCheckpoint() // 3 consumers, compute once
+      val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = ng.as("a")
+        .join(ng.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      val jac = col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double")
+      common
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
+          jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Production variant of the Jaccard pair search: shingles occurring in
+    // more than 5% of documents are dropped first (the standard df-cut).
+    // The head of the shingle frequency distribution is exactly what blows
+    // up a shingle-key self-join at corpus scale — a stopword-ish 3-gram
+    // shared by 1% of 10^9 docs creates 10^14 candidate pairs on its own
+    // while carrying no dedup signal. Jaccard is then computed over the
+    // surviving (rare, discriminative) shingle sets.
+    "q_dedup_ngram_capped" -> ((s, d) => {
+      // The shingle set feeds four consumers (doc count, df histogram,
+      // both self-join sides): checkpoint it once instead of recomputing
+      // the tokenize→explode→distinct pipeline per branch — the local
+      // analog of the at-scale "materialize shingles before pairing" step.
+      val all = shingles(s, d).localCheckpoint()
+      val nDocs = all.select(col("doc_id")).distinct().count()
+      val cap = math.max(2L, nDocs / 20) // 5% document frequency
+      val rare = all.groupBy(col("g"))
+        .agg(count(lit(1)).as("df")) // shingles are distinct per doc
+        .filter(col("df") <= cap)
+        .select(col("g"))
+      val ng = all.join(rare, "g").select(col("doc_id"), col("g")).localCheckpoint()
       val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val common = ng.as("a")
         .join(ng.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -124,6 +160,23 @@ object Dedup {
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
          |       FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, common, ca.n AS n_a, cb.n AS n_b,
+         |  CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS jaccard
+         |FROM pr
+         |JOIN cnt ca ON ca.doc_id = doc_a
+         |JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_ngram_capped" ->
+      s"""WITH $ngCte,
+         |capv AS (SELECT GREATEST(2, COUNT(DISTINCT doc_id) // 20) AS cap FROM ng),
+         |rare AS (SELECT g FROM ng GROUP BY g HAVING COUNT(*) <= (SELECT cap FROM capv)),
+         |ng2 AS (SELECT ng.doc_id, ng.g FROM ng JOIN rare USING (g)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ng2 GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |       FROM ng2 a JOIN ng2 b ON a.g = b.g AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2)
          |SELECT doc_a, doc_b, common, ca.n AS n_a, cb.n AS n_b,
          |  CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS jaccard

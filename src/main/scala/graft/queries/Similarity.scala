@@ -71,6 +71,33 @@ object Similarity {
         .limit(5)
     }),
 
+    // IVF-style ANN: 8 fixed centroids (vec_ids 1..8), every vector assigned
+    // to its max-cosine centroid (tie-break on centroid id), search probes
+    // only the query's cluster, exact rerank inside it. At scale the
+    // assignment happens once at ingest and `cluster` becomes a partition
+    // key — a query reads one cluster's files, not the corpus.
+    "q_ann_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val iv = intVecs(s, d)
+      val cents = iv.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("cn"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(cosine(dotL("v", "cv"), col("nv"), col("cn")).desc, col("cid").asc)
+      val assigned = iv.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cluster"))
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nv").as("nq"), col("cluster").as("qcluster"))
+      assigned.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .filter(col("cluster") === col("qcluster"))
+        .select(col("vec_id"), col("cluster"),
+          cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // Embedding-cosine near-duplicate pairs (threshold tuned to the planted
     // near-dups in the synthetic data). The threshold lives INSIDE the join
     // condition: the nested-loop join then emits only surviving pairs
@@ -126,6 +153,34 @@ object Similarity {
          |       WHERE bk.bucket = q.qbucket AND iv.vec_id <> 0
          |       GROUP BY iv.vec_id, bk.bucket)
          |SELECT vec_id, bucket,
+         |  CAST(dot AS DOUBLE) / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
+         |FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH $ivCte,
+         |sc_c AS (SELECT iv.vec_id, c.vec_id AS cid,
+         |           SUM(iv.v[i] * c.v[i]) AS dot,
+         |           SUM(iv.v[i] * iv.v[i]) AS nv,
+         |           SUM(c.v[i] * c.v[i]) AS cn
+         |         FROM iv, iv c, idx
+         |         WHERE c.vec_id BETWEEN 1 AND 8
+         |         GROUP BY iv.vec_id, c.vec_id),
+         |assign AS (SELECT vec_id, cid AS cluster FROM (
+         |  SELECT vec_id, cid,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+         |           CAST(dot AS DOUBLE) / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) DESC,
+         |           cid ASC) AS rn
+         |  FROM sc_c) z WHERE rn = 1),
+         |q AS (SELECT iv.v AS qv, a.cluster AS qc
+         |      FROM iv JOIN assign a USING (vec_id) WHERE iv.vec_id = 0),
+         |sc AS (SELECT iv.vec_id, a.cluster,
+         |         SUM(iv.v[i] * q.qv[i]) AS dot,
+         |         SUM(iv.v[i] * iv.v[i]) AS nv,
+         |         SUM(q.qv[i] * q.qv[i]) AS nq
+         |       FROM iv JOIN assign a USING (vec_id), q, idx
+         |       WHERE a.cluster = q.qc AND iv.vec_id <> 0
+         |       GROUP BY iv.vec_id, a.cluster)
+         |SELECT vec_id, cluster,
          |  CAST(dot AS DOUBLE) / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
          |FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
 
