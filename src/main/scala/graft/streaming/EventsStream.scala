@@ -64,6 +64,27 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates(idCol, "ts")
 
+  /** Stream–stream interval join: purchases attributed to the same user's
+    * clicks within `windowMinutes` before the purchase. Both sides are
+    * watermarked so the join state is evicted once event time passes the
+    * interval bound — the canonical bounded-state stream–stream shape. */
+  def purchaseAttribution(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", s"$windowMinutes minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", s"$windowMinutes minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Custom sessionization state machine: per-user sessions closed after
     * `gapMinutes` of event-time inactivity (flatMapGroupsWithState with
     * event-time timeout). Emits a row per closed session. */

@@ -68,6 +68,28 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val dir = stageEvents()
+    val stream = EventsStream.purchaseAttribution(
+      EventsStream.readEvents(spark, dir), windowMinutes = 10)
+    val q = stream.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val batch = EventsStream.purchaseAttribution(
+        Tables.load(spark, sf, "events"), windowMinutes = 10)
+      val streamed = spark.table("attrib")
+        .select("purchase_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batched = batch
+        .select("purchase_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batched.nonEmpty, "no attributable purchase/click pairs in test data")
+      // watermark may hold back pairs near the end of event time → subset
+      assert(streamed.subsetOf(batched))
+      assert(streamed.size >= batched.size / 2,
+        s"streamed ${streamed.size} of ${batched.size} pairs")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the inactivity gap") {
     val dir = tmpDir("sess-in")
     def ts(min: Int) = new Timestamp(3600_000L * 24 + min * 60_000L)
