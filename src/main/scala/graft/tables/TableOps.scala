@@ -42,6 +42,20 @@ object TableOps {
     rows.write.mode(SaveMode.Append).insertInto(table)
   }
 
+  /** ≙ chunked insert (bq.py:386-417): the reference splits records into
+    * chunks of 1000 per request; in Spark the chunk count maps to write
+    * parallelism — one task per chunk, retried independently
+    * (`spark.task.maxFailures` ≙ the per-chunk tenacity retry). */
+  def insertChunked(spark: SparkSession, table: String, rows: DataFrame,
+                    chunks: Int): Unit =
+    insertStrict(spark, table, rows.repartition(chunks))
+
+  /** ≙ run_command (bq.py:219-234): DDL/DML with empty result. */
+  def runCommand(spark: SparkSession, commandSql: String): Unit = {
+    spark.sql(commandSql).collect()
+    ()
+  }
+
   /** ≙ create_table_from_query / create_or_replace_table_as
     * (bq.py:651-675, 420-447). Spark's overwrite of a catalog table is
     * atomic per table, which is the property the reference builds its

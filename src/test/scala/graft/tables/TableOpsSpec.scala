@@ -32,6 +32,17 @@ class TableOpsSpec extends SparkSpec {
     assert(spark.table(t).count() == 2) // nothing partial landed
   }
 
+  test("chunked insert lands all rows; runCommand executes DDL") {
+    val t = freshTable()
+    TableOps.createTableAs(spark, t, Seq((0L, "z")).toDF("id", "name"))
+    TableOps.insertChunked(spark, t,
+      (1L to 20L).map(i => (i, s"r$i")).toDF("id", "name"), chunks = 4)
+    assert(spark.table(t).count() == 21)
+    TableOps.runCommand(spark, s"ALTER TABLE $t SET TBLPROPERTIES ('graft.test'='1')")
+    TableOps.runCommand(spark, s"DROP TABLE $t")
+    assert(!TableOps.checkTable(spark, t))
+  }
+
   test("createTableAs overwrite ≙ CREATE OR REPLACE TABLE AS") {
     val t = freshTable()
     TableOps.createTableAs(spark, t, Seq((1L, "a")).toDF("id", "name"))
