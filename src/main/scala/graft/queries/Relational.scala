@@ -246,6 +246,24 @@ object Relational {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
+    // Schema-based JSON parsing (from_json → typed struct) — the typed
+    // sibling of q_json_extract's path extraction.
+    "q_json_struct" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_id") % 97 === 0)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("j"))
+        .select(col("event_id"), col("j.k").as("k"))
+        .orderBy(col("event_id"))),
+
+    // Positional explode of the embedding array (scaled to exact ints).
+    "q_posexplode" -> ((s, d) =>
+      t(s, d, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .filter(col("pos") < 8)
+        .select(col("vec_id"), col("pos"),
+          (round(col("x").cast("double") * 1000000)).cast("long").as("x6"))
+        .orderBy(col("vec_id"), col("pos"))),
+
     // Inclusive-start/exclusive-end time window (≙ mtime filters,
     // gcs.py:404-417) — whole-second bounds are ns/µs-truncation safe.
     "q_time_filter" -> ((s, d) =>
@@ -489,6 +507,16 @@ object Relational {
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_struct" ->
+      """SELECT event_id, CAST(props->>'k' AS INT) AS k
+        |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+
+    "q_posexplode" ->
+      """SELECT vec_id, CAST(pos AS INT) AS pos,
+        |  CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        |FROM embeddings, (SELECT UNNEST(range(0, 8)) AS pos) p
+        |WHERE vec_id < 10 ORDER BY vec_id, pos""".stripMargin,
 
     "q_time_filter" ->
       s"""SELECT event_type, COUNT(*) AS n, ${Num.sqlDsum("value")} AS sum_value
