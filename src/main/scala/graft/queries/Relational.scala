@@ -135,6 +135,18 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
+    // Sketch-based approximate distinct (HLL++). Deliberately has NO DuckDB
+    // oracle entry: sketch estimates are implementation-specific, so the
+    // driver records the weaker rows-only check — the exact twin is
+    // q_agg_distinct. At 100 TB the sketch is the one you run (fixed-size
+    // partial state vs the expand+dedup shuffle of exact distinct).
+    "q_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("apx_part"),
+          approx_count_distinct(col("l_suppkey")).as("apx_supp"))
+        .orderBy(col("l_returnflag"))),
+
     // ROLLUP grouping sets over the star join.
     "q_agg_rollup" -> ((s, d) => {
       val c = t(s, d, "customer")

@@ -50,6 +50,19 @@ object EventsStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming upsert sink: every micro-batch merges into a catalog table
+    * by key via foreachBatch + [[graft.tables.TableOps.upsertTable]] — the
+    * streaming twin of the reference's MERGE ingestion (bq.py:450-554).
+    * Replays and late duplicates converge to one row per key. */
+  def upsertSink(stream: DataFrame, table: String, keys: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      if (!spark.catalog.tableExists(table))
+        graft.tables.TableOps.createTableAs(spark, table, batch)
+      else
+        graft.tables.TableOps.upsertTable(spark, table, batch, keys)
+    }
+
   /** Stream–static enrichment join: each micro-batch joins against the
     * (broadcast) dimension snapshot — no streaming state at all, the
     * standard shape for attaching reference data to a 100 TB/day stream. */

@@ -35,6 +35,26 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert sink converges replayed batches to one row per key") {
+    val dir = tmpDir("upsert-in")
+    val ev = Tables.load(spark, sf, "events").limit(300)
+    ev.limit(150).write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir) // replays the first 150 + 150 new
+    val q = EventsStream.upsertSink(
+      spark.readStream.schema(EventsStream.eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "stream_upsert_target", Seq("event_id")).start()
+    try {
+      q.processAllAvailable()
+      val table = spark.table("stream_upsert_target")
+      assert(table.count() == 300, s"got ${table.count()}")
+      assert(table.select("event_id").distinct().count() == 300)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stream_upsert_target")
+    }
+  }
+
   test("stream-static join enriches every micro-batch from the broadcast dim") {
     val dir = stageEvents()
     val dim = Seq(("click", "ui"), ("view", "ui"), ("purchase", "commerce"),
