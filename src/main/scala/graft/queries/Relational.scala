@@ -113,6 +113,18 @@ object Relational {
         .orderBy(col("s_suppkey"), col("c_custkey"))
     }),
 
+    // Null-safe equi-join (<=>): null keys match each other, unlike plain =.
+    "q_join_nullsafe" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(nullif(col("c_nationkey") % 5, lit(0)).as("k"), col("c_custkey"))
+      val n = t(s, d, "nation")
+        .select(nullif(col("n_nationkey") % 5, lit(0)).as("k"), col("n_nationkey"))
+      c.join(n, c("k") <=> n("k"))
+        .groupBy(c("k").as("k"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(asc_nulls_first("k"))
+    }),
+
     // Upsert as anti-join + union (≙ reference MERGE, bq.py:538-547),
     // summarized per status so the verification dump stays small.
     "q_upsert_antijoin" -> ((s, d) => {
@@ -168,6 +180,19 @@ object Relational {
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // Distribution windows: ntile / percent_rank / cume_dist under a total
+    // order (tie-broken), so bucket boundaries are deterministic.
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
     // Frame window: running decimal-exact sum + lag, per customer.
@@ -236,6 +261,16 @@ object Relational {
           month(col("o_orderdate")).as("m"),
           dayofmonth(col("o_orderdate")).as("dom"),
           date_trunc("month", col("o_orderdate")).cast("date").as("mstart"))
+        .orderBy(col("o_orderkey"))),
+
+    // Date arithmetic: interval add, day difference, truncation round-trip.
+    "q_date_arith" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") % 300 === 0)
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+          datediff(col("o_orderdate").cast("date"),
+            to_date(lit("1995-01-01"))).as("days_since_epoch_start"),
+          last_day(col("o_orderdate").cast("date")).as("month_end"))
         .orderBy(col("o_orderkey"))),
 
     // Math + CASE WHEN pack. floor() → BIGINT in both engines.
@@ -441,6 +476,29 @@ object Relational {
          |  UNION ALL SELECT * FROM upd)
          |SELECT o_orderstatus, COUNT(*) AS n_rows, ${Num.sqlDsum("o_totalprice")} AS sum_price
          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """WITH c AS (SELECT NULLIF(c_nationkey % 5, 0) AS k, c_custkey FROM customer),
+        |n AS (SELECT NULLIF(n_nationkey % 5, 0) AS k, n_nationkey FROM nation)
+        |SELECT c.k AS k, COUNT(*) AS n_pairs
+        |FROM c JOIN n ON c.k IS NOT DISTINCT FROM n.k
+        |GROUP BY c.k ORDER BY k ASC NULLS FIRST""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders WHERE o_orderkey % 300 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "q_agg_distinct" ->
       """SELECT l_returnflag,
