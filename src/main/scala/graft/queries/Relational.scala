@@ -216,11 +216,13 @@ object Relational {
         .limit(10)),
 
     // Stable pagination page (≙ reference destination-table paging,
-    // bq.py:165-217): total order + offset + limit.
+    // bq.py:165-217): TOTAL order + offset + limit. (l_orderkey,
+    // l_linenumber) is not unique in this data, so the sort must include
+    // every output column or page boundaries are tie-dependent.
     "q_pagination" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .offset(500).limit(100)),
 
     "q_union" -> ((s, d) => {
@@ -539,7 +541,7 @@ object Relational {
 
     "q_pagination" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 500""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100 OFFSET 500""".stripMargin,
 
     "q_union" -> (unionBase.format("UNION") + "\nORDER BY k"),
     "q_intersect" -> (unionBase.format("INTERSECT") + "\nORDER BY k"),
