@@ -15,7 +15,8 @@ object SparkEntry {
       (graft.queries.Sources.queries, graft.queries.Sources.oracleSql),
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
       (graft.queries.Dedup.queries, graft.queries.Dedup.oracleSql),
-      (graft.queries.Similarity.queries, graft.queries.Similarity.oracleSql)
+      (graft.queries.Similarity.queries, graft.queries.Similarity.oracleSql),
+      (graft.queries.Sampling.queries, graft.queries.Sampling.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash split is a pure function of id: stable across partitionings") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = Sampling.withSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.withSplit(docs.repartition(7), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("splits partition the corpus (every doc in exactly one split)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val split = Sampling.withSplit(docs, "doc_id")
+    assert(split.count() == docs.count())
+    assert(split.select("split").distinct().count() == 3)
+  }
+
+  test("stratified sample respects per-stratum fractions (seeded, tolerant)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val fracs = Map("en" -> 0.5, "es" -> 0.1, "de" -> 1.0, "fr" -> 0.0, "zh" -> 0.3)
+    val sampled = Sampling.stratifiedSample(docs, "lang", fracs, seed = 7L)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val base = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains("fr"))
+    assert(byLang("de") == base("de"))
+    val enFrac = byLang.getOrElse("en", 0L).toDouble / base("en")
+    assert(enFrac > 0.25 && enFrac < 0.75, s"en fraction $enFrac")
+    // deterministic for a fixed seed
+    val again = Sampling.stratifiedSample(docs, "lang", fracs, seed = 7L)
+    assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
+      sampled.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+}
