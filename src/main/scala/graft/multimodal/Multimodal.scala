@@ -38,6 +38,29 @@ object Multimodal {
   final case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
                                  features: Array[Float])
 
+  /** Ingest raw media files through Spark's binaryFile source: each file
+    * becomes one row (path, modificationTime, length, content), mapped into
+    * the media schema with kind inferred from the extension. This is the
+    * production ingest path for a media corpus — the source supports
+    * predicate pushdown on path/length/modificationTime, so e.g. a
+    * `length < 10MB` filter prunes oversized blobs before reading content. */
+  def ingestFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  maxBytes: Long = 10L * 1024 * 1024): Dataset[Media] = {
+    import spark.implicits._
+    val kind = when(col("path").rlike("\\.(png|jpe?g|gif)$"), "image")
+      .when(col("path").rlike("\\.(wav|mp3|flac)$"), "audio")
+      .when(col("path").rlike("\\.(mp4|avi|webm)$"), "video")
+      .otherwise("binary")
+    spark.read.format("binaryFile").load(dir)
+      .filter(col("length") <= maxBytes) // pushed to the source
+      .select(
+        xxhash64(col("path")).as("id"),
+        kind.as("kind"),
+        col("content").as("bytes"))
+      .map(r => Media(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2),
+        MediaMeta(None, None, None)))
+  }
+
   /** STUB decode: deterministic pseudo-features from the raw bytes (a real
     * implementation would decode pixels/samples here). Kept deterministic
     * so the distributed plumbing is testable without codecs. */

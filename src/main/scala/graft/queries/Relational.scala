@@ -225,6 +225,46 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .offset(500).limit(100)),
 
+    // Correlated EXISTS with an extra predicate — Catalyst decorrelates to
+    // a semi-join with a compound condition.
+    "q_exists_correlated" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey") &&
+          o("o_totalprice") > c("c_acctbal") * 50, "left_semi")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // Aggregate to a (sorted, hence deterministic) array / joined string.
+    "q_collect_agg" -> ((s, d) =>
+      t(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))),
+
+    // Regex group extraction (group 1 capture → typed cast).
+    "q_regexp_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(max(col("k")).as("max_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    "q_intersect_all" -> ((s, d) => {
+      val a = t(s, d, "lineitem").filter(col("l_quantity") >= 45).select(col("l_suppkey").as("k"))
+      val b = t(s, d, "lineitem").filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+      a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
+    }),
+
+    "q_except_all" -> ((s, d) => {
+      val a = t(s, d, "lineitem").filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+      val b = t(s, d, "lineitem").filter(col("l_quantity") >= 45).select(col("l_suppkey").as("k"))
+      a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
+    }),
+
     "q_union" -> ((s, d) => {
       val a = t(s, d, "customer").filter(col("c_acctbal") > 9000).select(col("c_custkey").as("k"))
       val b = t(s, d, "orders").filter(col("o_totalprice") > 400000).select(col("o_custkey").as("k"))
@@ -542,6 +582,37 @@ object Relational {
     "q_pagination" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100 OFFSET 500""".stripMargin,
+
+    "q_exists_correlated" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_totalprice > c_acctbal * 50)
+        |ORDER BY c_custkey, c_acctbal""".stripMargin,
+
+    "q_collect_agg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_regexp_extract" ->
+      """SELECT event_type,
+        |  CAST(MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_intersect_all" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 45),
+        |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+        |i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |SELECT k, COUNT(*) AS n FROM i GROUP BY k ORDER BY k""".stripMargin,
+
+    "q_except_all" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 45),
+        |e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        |SELECT k, COUNT(*) AS n FROM e GROUP BY k ORDER BY k""".stripMargin,
 
     "q_union" -> (unionBase.format("UNION") + "\nORDER BY k"),
     "q_intersect" -> (unionBase.format("INTERSECT") + "\nORDER BY k"),

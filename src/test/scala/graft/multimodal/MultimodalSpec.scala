@@ -31,6 +31,23 @@ class MultimodalSpec extends SparkSpec {
     assert(total > 0 && total <= "frame0".length * 10)
   }
 
+  test("ingestFiles: binaryFile source rows become typed Media with kind + size filter") {
+    val dir = tmpDir("media-ingest")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.png"), "pngbytes".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.wav"), "wavbytes!".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "c.mp4"), "m".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "huge.bin"),
+      Array.fill[Byte](2048)(1))
+    val media = Multimodal.ingestFiles(spark, dir, maxBytes = 1024).collect()
+    assert(media.length == 3) // huge.bin filtered by length pushdown
+    assert(media.map(_.kind).sorted.toSeq == Seq("audio", "image", "video"))
+    assert(media.find(_.kind == "image").get.bytes.sameElements("pngbytes".getBytes))
+    // features flow straight from ingest
+    val feats = Multimodal.extractFeatures(
+      Multimodal.ingestFiles(spark, dir, maxBytes = 1024)).collect()
+    assert(feats.length == 3 && feats.forall(_.features.length == 8))
+  }
+
   test("resizeImages: image payload becomes exactly w*h bytes, meta updated, others untouched") {
     val out = resizeImages(sampleMedia, targetW = 4, targetH = 3).collect()
     val img = out.find(_.id == 1).get
