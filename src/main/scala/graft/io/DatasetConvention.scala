@@ -105,6 +105,43 @@ object DatasetConvention {
     }
   }
 
+  /** Small-file compaction for one partition: rewrite its JSONL objects
+    * into `targetFiles` files via an atomic directory swap (write to a
+    * `.compact-tmp` sibling, rename over). Hourly appends (one object per
+    * micro-batch, gcs.py:82-83) accumulate thousands of small files per
+    * partition at production scale — listing and task-scheduling overhead
+    * then dominates reads until compaction. Data content is unchanged. */
+  def compactPartition(spark: SparkSession, base: String, dataset: String,
+                       partition: Partition, targetFiles: Int = 1): Unit = {
+    val dir = s"$base/$dataset/${partition.path}"
+    val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return
+    val tmp = new Path(s"$base/$dataset/.compact-tmp-${partition.path.replace('/', '_')}")
+    fs.delete(tmp, true)
+    spark.read.json(dir).coalesce(targetFiles)
+      .write.json(tmp.toString)
+    // swap: drop the old partition dir, move the compacted one in place
+    val dst = new Path(dir)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"compaction swap failed for $dir")
+  }
+
+  /** Per-partition file/byte stats — the ops signal for when to compact. */
+  def partitionStats(spark: SparkSession, base: String,
+                     dataset: String): Seq[(Partition, Int, Long)] = {
+    val root = s"$base/$dataset"
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(root), true)
+    Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter(st => !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .flatMap(st => parsePartition(st.getPath.toString).map(_ -> st.getLen))
+      .toSeq
+      .groupBy(_._1)
+      .map { case (p, xs) => (p, xs.size, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+  }
+
   /** Inclusive-bounds modification-time file listing (≙ list_files with
     * updated_after/updated_before, gcs.py:375-420, fixture A5 — both ends
     * inclusive, unlike Spark's modifiedAfter option which is exclusive). */

@@ -48,6 +48,26 @@ class DatasetConventionSpec extends SparkSpec {
     assert(latest.select("version").distinct().as[Int].collect().toSeq == Seq(2))
   }
 
+  test("compaction shrinks file count, preserves content, and swaps atomically") {
+    import spark.implicits._
+    val base = tmpDir("compact")
+    val part = partitionFor(1, frozen)
+    // 6 small appends → ≥6 part files
+    (1 to 6).foreach { i =>
+      append(Seq((i.toString, s"v$i")).toDF("id", "v"), base, "ds", 1, frozen)
+    }
+    val before = partitionStats(spark, base, "ds")
+    assert(before.head._2 >= 6)
+    val pre = read(spark, base, "ds").select("id", "v").as[(String, String)].collect().toSet
+
+    compactPartition(spark, base, "ds", part, targetFiles = 1)
+
+    val after = partitionStats(spark, base, "ds")
+    assert(after.head._2 < before.head._2, s"before=$before after=$after")
+    val post = read(spark, base, "ds").select("id", "v").as[(String, String)].collect().toSet
+    assert(post == pre)
+  }
+
   test("fixture A5: mtime listing window is inclusive on both ends") {
     val dir = tmpDir("mtime")
     val times = (1 to 5).map(dd => Instant.parse(f"2022-01-0${dd}%dT00:00:00Z"))
