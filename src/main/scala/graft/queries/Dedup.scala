@@ -119,6 +119,40 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // MinHash Jaccard ESTIMATION over the LSH candidates: estimate =
+    // fraction of matching signature components; reported next to the true
+    // Jaccard so the estimator's error is visible. At corpus scale this is
+    // the cheap first-pass score (8 string compares per pair) before any
+    // shingle-set intersection.
+    "q_minhash_estimate" -> ((s, d) => {
+      val ng = shingles(s, d).localCheckpoint()
+      val minCols = (0 until Seeds).map(o =>
+        min(substring(md5(encode(col("g"), "UTF-8")), o + 1, 16)).as(s"m$o"))
+      val sig = ng.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = ng.as("a")
+        .join(ng.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 20) // candidate floor keeps the pair set small
+      val matches = (0 until Seeds)
+        .map(o => when(col(s"a_m$o") === col(s"b_m$o"), 1).otherwise(0))
+        .reduce(_ + _)
+      val sigA = sig.select(col("doc_id").as("doc_a") +:
+        (0 until Seeds).map(o => col(s"m$o").as(s"a_m$o")): _*)
+      val sigB = sig.select(col("doc_id").as("doc_b") +:
+        (0 until Seeds).map(o => col(s"m$o").as(s"b_m$o")): _*)
+      pairs
+        .join(sigA, "doc_a").join(sigB, "doc_b")
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (matches.cast("double") / lit(Seeds.toDouble)).as("est_jaccard"),
+          (col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common")).cast("double")).as("true_jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // 16-bit SimHash fingerprint per document (sign of per-bit weighted
     // token-hash sum). One md5 + one int per token, 16 arithmetic sums in a
     // single per-doc aggregate — no row blow-up, one shuffle. Pair search is
@@ -198,6 +232,28 @@ object Dedup {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a
          |JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_minhash_estimate" -> {
+      val mins = (0 until Seeds)
+        .map(o => s"MIN(substr(md5(g), ${o + 1}, 16)) AS m$o").mkString(", ")
+      val matchSum = (0 until Seeds)
+        .map(o => s"CASE WHEN sa.m$o = sb.m$o THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $ngCte,
+         |sig AS (SELECT doc_id, $mins FROM ng GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |       FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+         |SELECT pr.doc_a, pr.doc_b,
+         |  CAST(($matchSum) AS DOUBLE) / ${Seeds}.0 AS est_jaccard,
+         |  CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS true_jaccard
+         |FROM pr
+         |JOIN sig sa ON sa.doc_id = pr.doc_a
+         |JOIN sig sb ON sb.doc_id = pr.doc_b
+         |JOIN cnt ca ON ca.doc_id = pr.doc_a
+         |JOIN cnt cb ON cb.doc_id = pr.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
