@@ -113,6 +113,18 @@ object Relational {
         .orderBy(col("s_suppkey"), col("c_custkey"))
     }),
 
+    // Salted join (hot-key mitigation): result must be IDENTICAL to the
+    // plain equi-join — the oracle runs the plain join, so the salt
+    // round-trip is semantics-checked, not just spec-checked.
+    "q_join_salted" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+      graft.prune.Skew.saltedJoin(l, sup, "l_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Null-safe equi-join (<=>): null keys match each other, unlike plain =.
     "q_join_nullsafe" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -518,6 +530,11 @@ object Relational {
          |  UNION ALL SELECT * FROM upd)
          |SELECT o_orderstatus, COUNT(*) AS n_rows, ${Num.sqlDsum("o_totalprice")} AS sum_price
          |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_salted" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n, ${Num.sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_join_nullsafe" ->
       """WITH c AS (SELECT NULLIF(c_nationkey % 5, 0) AS k, c_custkey FROM customer),
