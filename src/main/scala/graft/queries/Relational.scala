@@ -386,6 +386,29 @@ object Relational {
           col("label"))
         .orderBy(col("vec_id"))),
 
+    // Higher-order array functions: filter / exists / forall lambdas.
+    "q_array_hof" -> ((s, d) =>
+      t(s, d, "embeddings").filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id"),
+          // compare as double: DuckDB promotes float-vs-literal to double,
+          // a float-side comparison would flip near the threshold
+          size(filter(col("embedding"), x => x.cast("double") > 0.0)).as("n_pos"),
+          exists(col("embedding"), x => x.cast("double") > 0.4).as("has_big"),
+          forall(col("embedding"), x => x.cast("double") < 0.45).as("all_small"))
+        .orderBy(col("vec_id"))),
+
+    // first/last value over the full partition frame.
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").filter(col("o_custkey") < 40)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Stringly-typed coercion semantics (≙ sheets read, sheets.py:250-253):
     // everything to string, empty string → NULL.
     "q_str_coerce" -> ((s, d) =>
@@ -693,6 +716,22 @@ object Relational {
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS e_sum6,
         |  label
         |FROM embeddings WHERE vec_id % 7 = 0 ORDER BY vec_id""".stripMargin,
+
+    "q_array_hof" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos,
+        |  len(list_filter(embedding, x -> x > 0.4)) > 0 AS has_big,
+        |  len(list_filter(embedding, x -> NOT (x < 0.45))) = 0 AS all_small
+        |FROM embeddings WHERE vec_id % 11 = 0 ORDER BY vec_id""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_order
+        |FROM orders WHERE o_custkey < 40
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_str_coerce" ->
       """SELECT c_custkey,
