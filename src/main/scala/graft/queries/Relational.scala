@@ -183,6 +183,27 @@ object Relational {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"), col("n_cust"))
     }),
 
+    // Arbitrary-SQL entry point (≙ the reference's query(sql) surface,
+    // bq.py:149-163): GROUPING SETS + HAVING expressed as raw Spark SQL
+    // over a registered view — the path a reference user's own SQL takes.
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |HAVING COUNT(*) > 10
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST, n""".stripMargin)
+    }),
+
+    // Explicit cartesian product (tiny sides only — by construction).
+    "q_cross_join" -> ((s, d) => {
+      val r = t(s, d, "region").select(col("r_name"))
+      val st = t(s, d, "orders").select(col("o_orderstatus")).distinct()
+      r.crossJoin(st).orderBy(col("r_name"), col("o_orderstatus"))
+    }),
+
     // Ranking window: top-3 orders per customer.
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -596,6 +617,19 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST, n_cust""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |HAVING COUNT(*) > 10
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST, n""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
 
     "q_window_rank" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
