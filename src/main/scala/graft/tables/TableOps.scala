@@ -1,8 +1,10 @@
 package graft.tables
 
 import graft.merge.Merge
+import graft.schema.SchemaInference
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 
 /** Table lifecycle operators (≙ reference BigQuery table management:
   * create/check/get/delete bq.py:50-117, strict insert bq.py:119-147,
@@ -38,8 +40,13 @@ object TableOps {
     * skip_invalid_rows=False — bq.py:142-143): schema must equal the
     * target's (names + types), else reject the whole batch. */
   def insertStrict(spark: SparkSession, table: String, rows: DataFrame): Unit = {
-    Merge.requireSameSchema(spark.table(table), rows)
-    rows.write.mode(SaveMode.Append).insertInto(table)
+    val target = spark.table(table)
+    Merge.requireSameSchema(target, rows)
+    // BigQuery's insert matches values to columns BY NAME; Spark's
+    // insertInto is positional — reorder to the target's layout so a
+    // same-schema-different-order batch lands in the right columns.
+    rows.select(target.columns.map(col): _*)
+      .write.mode(SaveMode.Append).insertInto(table)
   }
 
   /** ≙ chunked insert (bq.py:386-417): the reference splits records into
@@ -103,6 +110,108 @@ object TableOps {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** JSON-record insert with per-row error collection (≙ insert,
+    * bq.py:119-147: `insert_rows_json` returns per-row errors; the
+    * reference gathers ALL of them and raises one ValueError). Validation
+    * runs before any write, so a bad batch leaves the table untouched
+    * (≙ skip_invalid_rows=False rejecting the request). Unknown fields are
+    * errors (≙ ignore_unknown_values=False); missing fields land as NULL.
+    */
+  def insertRecords(spark: SparkSession, table: String, records: Seq[String]): Unit = {
+    val schema = tableSchema(spark, table)
+    val errors = records.zipWithIndex.flatMap { case (rec, i) =>
+      validateRecord(rec, schema, i)
+    }
+    if (errors.nonEmpty)
+      throw new InsertErrorsException(errors)
+    import spark.implicits._
+    // read.schema(...) yields columns in target order → positional insertInto is safe
+    spark.read.schema(schema).json(spark.createDataset(records))
+      .write.mode(SaveMode.Append).insertInto(table)
+  }
+
+  /** ≙ create_table_from_records (bq.py:594-648): empty records → warn
+    * no-op; overwrite → replace-through-tmp; else create with inferred
+    * (or given) schema then insert. Create on an existing table raises
+    * (≙ google Conflict), leaving the existing table untouched. */
+  def createTableFromRecords(spark: SparkSession, table: String,
+                             records: Seq[String], overwrite: Boolean = false,
+                             schema: Option[StructType] = None): Unit = {
+    if (records.isEmpty) {
+      Console.err.println(
+        "[graft] create_table_from_records: no records to create a table from (empty collection given)")
+      return
+    }
+    val sch = schema.getOrElse(SchemaInference.inferFromJson(records))
+    import spark.implicits._
+    if (overwrite) {
+      val df = spark.read.schema(sch).json(spark.createDataset(records))
+      replaceTable(spark, table, df) // tmp-swap, works whether target exists
+    } else {
+      createTable(spark, table, sch)
+      insertRecords(spark, table, records)
+    }
+  }
+
+  /** Driver-side per-row validation of one JSON record against the target
+    * schema. Mirrors the BigQuery streaming-insert contract the reference
+    * relies on: unknown field → error, cross-kind value → error, null /
+    * missing ok (all fields nullable), int accepted where double expected.
+    */
+  private def validateRecord(rec: String, schema: StructType, idx: Int): Seq[String] = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val node =
+      try new ObjectMapper().readTree(rec)
+      catch { case e: Exception =>
+        return Seq(s"row $idx: unparseable JSON: ${e.getMessage}")
+      }
+
+    def check(n: JsonNode, dt: DataType, path: String): Unit = (n, dt) match {
+      case (x, _) if x == null || x.isNull => () // nullable everywhere
+      case (x, LongType | IntegerType | ShortType | ByteType) =>
+        if (!x.isIntegralNumber) errs += s"row $idx: $path: expected integer, got ${x.getNodeType}"
+      case (x, DoubleType | FloatType | _: DecimalType) =>
+        if (!x.isNumber) errs += s"row $idx: $path: expected number, got ${x.getNodeType}"
+      case (x, BooleanType) =>
+        if (!x.isBoolean) errs += s"row $idx: $path: expected boolean, got ${x.getNodeType}"
+      case (x, StringType | TimestampType | DateType | BinaryType) =>
+        if (!x.isTextual) errs += s"row $idx: $path: expected string, got ${x.getNodeType}"
+      case (x, ArrayType(elem, _)) =>
+        if (!x.isArray) errs += s"row $idx: $path: expected array, got ${x.getNodeType}"
+        else {
+          var i = 0
+          val it = x.elements()
+          while (it.hasNext) { check(it.next(), elem, s"$path[$i]"); i += 1 }
+        }
+      case (x, st: StructType) =>
+        if (!x.isObject) errs += s"row $idx: $path: expected object, got ${x.getNodeType}"
+        else checkObj(x, st, path)
+      case _ => () // remaining Spark types have no JSON-record source here
+    }
+
+    def checkObj(n: JsonNode, st: StructType, path: String): Unit = {
+      val known = st.fieldNames.toSet
+      val it = n.fieldNames()
+      while (it.hasNext) {
+        val k = it.next()
+        if (!known.contains(k)) errs += s"row $idx: $path.$k: unknown field"
+      }
+      st.fields.foreach { f =>
+        if (n.has(f.name)) check(n.get(f.name), f.dataType, s"$path.${f.name}")
+      }
+    }
+
+    if (!node.isObject) Seq(s"row $idx: record is not a JSON object")
+    else { checkObj(node, schema, "$"); errs.toSeq }
+  }
+
   private def deleteQuietly(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")
 }
+
+/** All per-row insert errors for a rejected batch (≙ the reference's
+  * `ValueError(f"Found errors when inserting rows: {errors}")`,
+  * bq.py:144-147) — the batch is rejected atomically, nothing written. */
+final class InsertErrorsException(val errors: Seq[String])
+  extends RuntimeException(s"Found errors when inserting rows: ${errors.mkString("; ")}")

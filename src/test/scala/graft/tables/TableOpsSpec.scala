@@ -68,6 +68,71 @@ class TableOpsSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("insertStrict matches columns by NAME: reordered same-type batch lands correctly") {
+    val t = freshTable()
+    TableOps.createTableAs(spark, t, Seq(("alice", "nyc")).toDF("name", "city"))
+    // Swapped column order, same types — positional insert would corrupt.
+    TableOps.insertStrict(spark, t, Seq(("sf", "bob")).toDF("city", "name"))
+    val rows = spark.table(t).as[(String, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(("alice", "nyc"), ("bob", "sf")))
+  }
+
+  test("insertRecords collects ALL per-row errors and writes nothing (≙ bq.py:119-147)") {
+    val t = freshTable()
+    TableOps.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))))
+    val ex = intercept[InsertErrorsException] {
+      TableOps.insertRecords(spark, t, Seq(
+        """{"id": 1, "name": "ok"}""",
+        """{"id": "not-a-number", "name": "bad type"}""",
+        """{"id": 2, "name": "ok2", "extra": true}""",
+        """{"id": 3.5, "name": "frac"}"""))
+    }
+    assert(ex.errors.size == 3) // every bad row reported, good rows not
+    assert(ex.errors.exists(_.contains("row 1")))
+    assert(ex.errors.exists(_.contains("unknown field")))
+    assert(ex.errors.exists(_.contains("row 3")))
+    assert(spark.table(t).count() == 0) // zero partial writes
+    TableOps.insertRecords(spark, t, Seq(
+      """{"id": 1, "name": "a"}""", """{"name": "null-id"}"""))
+    assert(spark.table(t).count() == 2) // missing field → NULL, accepted
+  }
+
+  test("createTableFromRecords: empty → warn no-op (≙ bq.py:608-610)") {
+    val t = freshTable()
+    TableOps.createTableFromRecords(spark, t, Seq.empty)
+    assert(!TableOps.checkTable(spark, t)) // no table created
+  }
+
+  test("createTableFromRecords infers schema, creates, inserts (≙ bq.py:594-648)") {
+    val t = freshTable()
+    TableOps.createTableFromRecords(spark, t, Seq(
+      """{"id": 1, "name": "a", "score": 0.5}""",
+      """{"id": 2, "name": "b", "score": 2}"""))
+    val sch = TableOps.tableSchema(spark, t)
+    assert(sch.fieldNames.toSeq == Seq("id", "name", "score")) // first-seen order
+    assert(sch("id").dataType == LongType)
+    assert(sch("score").dataType == DoubleType) // int+float widens
+    assert(spark.table(t).count() == 2)
+    // existing table without overwrite → raises, table untouched
+    intercept[Exception] {
+      TableOps.createTableFromRecords(spark, t, Seq("""{"id": 3, "name": "c", "score": 1.0}"""))
+    }
+    assert(spark.table(t).count() == 2)
+  }
+
+  test("createTableFromRecords overwrite replaces through tmp (≙ bq.py:624-633)") {
+    val t = freshTable()
+    TableOps.createTableFromRecords(spark, t, Seq("""{"id": 1}""", """{"id": 2}"""))
+    TableOps.createTableFromRecords(spark, t, Seq("""{"id": 9}"""), overwrite = true)
+    assert(spark.table(t).as[Long].collect().toSeq == Seq(9L))
+    assert(!TableOps.checkTable(spark, s"${t}_tmp"))
+    // overwrite on a missing table also works (≙ WRITE_TRUNCATE creating it)
+    val t2 = freshTable()
+    TableOps.createTableFromRecords(spark, t2, Seq("""{"id": 4}"""), overwrite = true)
+    assert(spark.table(t2).count() == 1)
+  }
+
   test("upsertTable schema mismatch raises and leaves target + no tmp behind") {
     val t = freshTable()
     TableOps.createTableAs(spark, t, Seq((1L, "a")).toDF("id", "name"))
