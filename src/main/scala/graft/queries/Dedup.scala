@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection over the documents table — the training-data
   * pipeline extensions: n-gram Jaccard (exact), MinHash+LSH banding
@@ -32,13 +33,37 @@ object Dedup {
 
   private val Seeds = 8 // MinHash seeds; banded 4 × 2
 
+  /** Distinct MinHash-LSH candidate pairs (doc_a < doc_b) — shared by
+    * q_dedup_minhash (reports them) and q_dedup_resolve (resolves them into
+    * a surviving-document set). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val ng = shingles(s, d)
+    val minCols = (0 until Seeds).map(o =>
+      min(substring(md5(encode(col("g"), "UTF-8")), o + 1, 16)).as(s"m$o"))
+    val sig = ng.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until Seeds / 2).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bv")))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   val queries: Map[String, QFn] = Map(
 
     // Exact n-gram Jaccard near-dup pairs. Shuffle-aware shape: the
     // self-join is on the shingle (a bounded-fanout key), never a cross
     // join; counts are per-pair aggregates.
     "q_dedup_ngram" -> ((s, d) => {
-      val ng = shingles(s, d).localCheckpoint() // 3 consumers, compute once
+      // 3 consumers, compute once. DISK_ONLY (not localCheckpoint): survives
+      // executor loss via lineage and is not bounded by executor memory.
+      val ng = shingles(s, d).persist(StorageLevel.DISK_ONLY)
       val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val common = ng.as("a")
         .join(ng.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -64,17 +89,21 @@ object Dedup {
     // surviving (rare, discriminative) shingle sets.
     "q_dedup_ngram_capped" -> ((s, d) => {
       // The shingle set feeds four consumers (doc count, df histogram,
-      // both self-join sides): checkpoint it once instead of recomputing
-      // the tokenize→explode→distinct pipeline per branch — the local
-      // analog of the at-scale "materialize shingles before pairing" step.
-      val all = shingles(s, d).localCheckpoint()
-      val nDocs = all.select(col("doc_id")).distinct().count()
-      val cap = math.max(2L, nDocs / 20) // 5% document frequency
+      // both self-join sides): persist it once instead of recomputing the
+      // tokenize→explode→distinct pipeline per branch — the at-scale
+      // "materialize shingles before pairing" step, durable on disk.
+      val all = shingles(s, d).persist(StorageLevel.DISK_ONLY)
+      // 5%-document-frequency cap as an IN-PLAN scalar (one-row broadcast),
+      // not a driver count(): no extra blocking job, no sync point.
+      val capDf = all.agg(countDistinct(col("doc_id")).as("ndocs"))
+        .select(greatest(lit(2L), expr("ndocs div 20")).as("cap"))
       val rare = all.groupBy(col("g"))
         .agg(count(lit(1)).as("df")) // shingles are distinct per doc
-        .filter(col("df") <= cap)
+        .crossJoin(broadcast(capDf))
+        .filter(col("df") <= col("cap"))
         .select(col("g"))
-      val ng = all.join(rare, "g").select(col("doc_id"), col("g")).localCheckpoint()
+      val ng = all.join(rare, "g").select(col("doc_id"), col("g"))
+        .persist(StorageLevel.DISK_ONLY)
       val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val common = ng.as("a")
         .join(ng.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -99,24 +128,52 @@ object Dedup {
     // band equi-join is the only data-sized join and its key cardinality
     // grows with the corpus — the piece that survives 100 TB where the
     // exact pairwise join cannot.
-    "q_dedup_minhash" -> ((s, d) => {
-      val ng = shingles(s, d)
-      val minCols = (0 until Seeds).map(o =>
-        min(substring(md5(encode(col("g"), "UTF-8")), o + 1, 16)).as(s"m$o"))
-      val sig = ng.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      val bandStructs = (0 until Seeds / 2).map(b =>
-        struct(lit(b).as("band"),
-          concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bv")))
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
-        .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+    "q_dedup_minhash" -> ((s, d) =>
+      minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // The missing last mile of the dedup pipeline: resolve candidate PAIRS
+    // into a per-document verdict. Connected components over the MinHash
+    // candidate graph via join-based min-label propagation — no driver-side
+    // graph, every step a DataFrame join/aggregate. The loop runs only over
+    // docs that appear in at least one pair (the overwhelming minority at
+    // corpus scale); isolated docs join back at the end as their own
+    // component. Iterations are bounded by component diameter (near-dup
+    // clusters are small) with a hard cap; each round is persisted so the
+    // lineage stays flat. Output: (doc_id, component = min doc_id in its
+    // component, keep = 1 iff the doc is its component's representative) —
+    // |keep=1| + |keep=0| = |docs| by construction.
+    "q_dedup_resolve" -> ((s, d) => {
+      val pairs = minhashPairs(s, d).persist(StorageLevel.DISK_ONLY)
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .persist(StorageLevel.DISK_ONLY)
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .select(col("doc"), col("doc").as("comp"))
+        .persist(StorageLevel.DISK_ONLY)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val prop = edges.join(labels, col("src") === col("doc"))
+          .groupBy(col("dst")).agg(min(col("comp")).as("nc"))
+        val next = labels.as("l")
+          .join(prop, col("l.doc") === col("dst"), "left")
+          .select(col("l.doc").as("doc"),
+            least(col("l.comp"), coalesce(col("nc"), col("l.comp"))).as("comp"))
+          .persist(StorageLevel.DISK_ONLY)
+        converged = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
+          .filter(col("n.comp") =!= col("o.comp")).isEmpty
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      val docs = t(s, d, "documents").select(col("doc_id")).distinct()
+      docs.join(labels, col("doc_id") === col("doc"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component"),
+          when(coalesce(col("comp"), col("doc_id")) === col("doc_id"), lit(1L))
+            .otherwise(lit(0L)).as("keep"))
+        .orderBy(col("doc_id"))
     }),
 
     // MinHash Jaccard ESTIMATION over the LSH candidates: estimate =
@@ -125,7 +182,7 @@ object Dedup {
     // the cheap first-pass score (8 string compares per pair) before any
     // shingle-set intersection.
     "q_minhash_estimate" -> ((s, d) => {
-      val ng = shingles(s, d).localCheckpoint()
+      val ng = shingles(s, d).persist(StorageLevel.DISK_ONLY)
       val minCols = (0 until Seeds).map(o =>
         min(substring(md5(encode(col("g"), "UTF-8")), o + 1, 16)).as(s"m$o"))
       val sig = ng.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
@@ -233,6 +290,33 @@ object Dedup {
          |FROM bands a
          |JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_resolve" -> {
+      val mins = (0 until Seeds)
+        .map(o => s"MIN(substr(md5(g), ${o + 1}, 16)) AS m$o").mkString(", ")
+      val bandRows = (0 until Seeds / 2)
+        .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS bv FROM sig")
+        .mkString("\n          UNION ALL ")
+      s"""WITH RECURSIVE $ngCte,
+         |sig AS (SELECT doc_id, $mins FROM ng GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM bands a
+         |       JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |walk(doc, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM edges e JOIN walk w ON w.doc = e.src
+         |),
+         |comp AS (SELECT doc, MIN(lbl) AS comp FROM walk GROUP BY doc)
+         |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component,
+         |  CAST(CASE WHEN COALESCE(c.comp, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN comp c ON c.doc = d.doc_id
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_minhash_estimate" -> {

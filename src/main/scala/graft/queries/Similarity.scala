@@ -98,17 +98,69 @@ object Similarity {
         .limit(5)
     }),
 
-    // Embedding-cosine near-duplicate pairs (threshold tuned to the planted
-    // near-dups in the synthetic data). The threshold lives INSIDE the join
-    // condition: the nested-loop join then emits only surviving pairs
-    // instead of materializing all N²/2 candidate rows (array payloads and
-    // the GC debt they bring) just to filter them one operator later.
+    // Embedding-cosine near-duplicate pairs — EXACT, as a block-partitioned
+    // equi-join rather than a single nested-loop join over the whole table.
+    //
+    // Why not LSH candidates: measured on this data (see SimilaritySpec),
+    // the qualifying pairs sit at cos 0.40–0.63 (θ up to 66°), the vectors
+    // are isotropic (8-centroid assignment radii ≈ 90°, centroid
+    // separations ≈ 90°), and 4-plane sign-LSH buckets of qualifying pairs
+    // span the FULL Hamming range 0..4 — no sub-quadratic candidate filter
+    // (LSH, centroid blocking with angular triangle pruning) can keep
+    // recall 1 at this threshold on this geometry. Exact all-pairs at low
+    // cosine thresholds is inherently quadratic; the scalable fix is to
+    // DISTRIBUTE the quadratic work evenly, not to pretend to prune it:
+    //
+    //   - every vector gets a block id (vec_id mod B);
+    //   - side A replicates each vector to block-pair keys (blk, j≥blk),
+    //     side B to keys (i≤blk, blk) — each unordered vector pair meets in
+    //     EXACTLY one of the B(B+1)/2 keys;
+    //   - the join is a shuffled EQUI-join on the key (no BNLJ, no
+    //     cartesian); the threshold stays inside the join condition so
+    //     losing pairs are never materialized;
+    //   - per-task work is (N/B)² dots with bounded memory; at 100 TB you
+    //     raise B so N/B stays constant — the canonical distributed
+    //     all-pairs shape. The approximate scale path (when recall < 1 is
+    //     acceptable) is q_embed_neardup_lsh below.
     "q_embed_neardup" -> ((s, d) => {
-      val iv = intVecs(s, d)
-      val a = iv.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na"))
-      val b = iv.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb"))
+      val B = 8
+      val iv = intVecs(s, d).withColumn("blk", pmod(col("vec_id"), lit(B)))
+      val a = iv.select(col("vec_id").as("ida"), col("v").as("va"),
+          col("nv").as("na"), col("blk").as("ba"),
+          explode(expr(s"sequence(blk, ${B - 1})")).as("pj"))
+        .withColumn("pk", col("ba") * B + col("pj"))
+      val b = iv.select(col("vec_id").as("idb"), col("v").as("vb"),
+          col("nv").as("nb"), col("blk").as("bb"),
+          explode(expr("sequence(0, blk)")).as("pi"))
+        .withColumn("pk", col("pi") * B + col("bb"))
       val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
-      a.join(b, col("vec_a") < col("vec_b") && cos >= 0.4)
+      a.join(b, a("pk") === b("pk") &&
+          (col("ba") < col("bb") || col("ida") < col("idb")) && cos >= 0.4)
+        .select(least(col("ida"), col("idb")).as("vec_a"),
+          greatest(col("ida"), col("idb")).as("vec_b"), cos.as("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Approximate near-dup via LSH candidates + exact rerank — the scale
+    // path when recall < 1 is acceptable. Candidates = pairs whose
+    // sign-random-projection buckets are equal or Hamming-1 apart
+    // (multi-probe): side B explodes each vector to its 5 probe buckets
+    // {bucket ⊕ m : m ∈ 0,1,2,4,8}, the join is an EQUI-join on
+    // (a.bucket = b.probe) — each qualifying pair matches exactly one probe
+    // mask, so no dedup pass is needed. The candidate set is
+    // deterministic, so the DuckDB oracle reproduces it exactly; recall vs
+    // the exact query is measured in SimilaritySpec (~54% at cos≥0.4 on
+    // this isotropic data — at-scale users pair it with a tighter
+    // threshold or more planes).
+    "q_embed_neardup_lsh" -> ((s, d) => {
+      val iv = intVecs(s, d).withColumn("bucket", bucketExpr("v"))
+      val a = iv.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nv").as("na"), col("bucket").as("bka"))
+      val b = iv.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("nv").as("nb"),
+          explode(expr("transform(array(0L, 1L, 2L, 4L, 8L), m -> bucket ^ m)")).as("pb"))
+      val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
+      a.join(b, col("bka") === col("pb") && col("vec_a") < col("vec_b") && cos >= 0.4)
         .select(col("vec_a"), col("vec_b"), cos.as("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
     })
@@ -183,6 +235,36 @@ object Similarity {
          |SELECT vec_id, cluster,
          |  CAST(dot AS DOUBLE) / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
          |FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "q_embed_neardup_lsh" ->
+      s"""WITH $ivCte,
+         |pl AS (SELECT UNNEST(range(0, ${PLANES})) AS p),
+         |dots AS (SELECT iv.vec_id, p,
+         |           SUM(iv.v[i] * (CASE WHEN ((p+1)*(i+3)) % 7 < 3 THEN 1 ELSE -1 END)) AS dp
+         |         FROM iv, pl, idx GROUP BY iv.vec_id, p),
+         |bk AS (SELECT vec_id,
+         |         CAST(SUM(CASE WHEN dp >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM dots GROUP BY vec_id),
+         |probes AS (SELECT vec_id,
+         |             UNNEST([bucket, xor(bucket, CAST(1 AS BIGINT)),
+         |                     xor(bucket, CAST(2 AS BIGINT)), xor(bucket, CAST(4 AS BIGINT)),
+         |                     xor(bucket, CAST(8 AS BIGINT))]) AS pb
+         |           FROM bk),
+         |cand AS (SELECT a.vec_id AS vec_a, p.vec_id AS vec_b
+         |         FROM bk a JOIN probes p ON a.bucket = p.pb AND a.vec_id < p.vec_id),
+         |sc AS (SELECT c.vec_a, c.vec_b,
+         |         SUM(x.v[i] * y.v[i]) AS dot,
+         |         SUM(x.v[i] * x.v[i]) AS na,
+         |         SUM(y.v[i] * y.v[i]) AS nb
+         |       FROM cand c
+         |       JOIN iv x ON x.vec_id = c.vec_a
+         |       JOIN iv y ON y.vec_id = c.vec_b, idx
+         |       GROUP BY c.vec_a, c.vec_b)
+         |SELECT vec_a, vec_b,
+         |  CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cos
+         |FROM sc
+         |WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_embed_neardup" ->
       s"""WITH $ivCte,

@@ -37,6 +37,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_long_dot"), p)
   }
 
+  test("q_embed_neardup is a shuffled equi-join on block pairs, not a BNLJ/cartesian") {
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // equi-join on the block-pair key (any hash/merge strategy; at sf0.001
+    // the sides fit under the broadcast threshold, at scale it degrades
+    // gracefully to a shuffled join on the same key)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_embed_neardup_lsh joins candidates on the probe bucket (equi), no BNLJ") {
+    val p = plan("q_embed_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("metadata argmax join in q_latest_partition broadcasts the singleton") {
     val p = plan("q_latest_partition")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)

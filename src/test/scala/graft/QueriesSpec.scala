@@ -34,6 +34,37 @@ class QueriesSpec extends SparkSpec {
       s"high-jaccard pairs missed by LSH: ${ngram.diff(cand)}")
   }
 
+  test("q_dedup_resolve partitions the corpus: |keep=1| + |keep=0| = |docs|, reps are component minima") {
+    val res = SparkEntry.queries("q_dedup_resolve")(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents").select("doc_id").distinct().count()
+    val kept = res.count(_.getAs[Long]("keep") == 1L)
+    val dropped = res.count(_.getAs[Long]("keep") == 0L)
+    assert(kept + dropped == docs, s"$kept kept + $dropped dropped != $docs docs")
+    // every component's representative is its min doc_id and is kept
+    val byComp = res.groupBy(_.getAs[Long]("component"))
+    byComp.foreach { case (comp, rows) =>
+      assert(rows.map(_.getAs[Long]("doc_id")).min == comp)
+      assert(rows.filter(r => r.getAs[Long]("doc_id") == comp)
+        .forall(_.getAs[Long]("keep") == 1L))
+    }
+    // candidate pairs always land in the same component
+    SparkEntry.queries("q_dedup_minhash")(spark, sf).collect().foreach { r =>
+      val comp = res.map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("component")).toMap
+      assert(comp(r.getAs[Long]("doc_a")) == comp(r.getAs[Long]("doc_b")))
+    }
+  }
+
+  test("q_embed_neardup block-partitioned join matches and LSH variant recall is measured") {
+    val exact = SparkEntry.queries("q_embed_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("q_embed_neardup_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), s"LSH rerank emitted non-pairs: ${approx.diff(exact)}")
+    val recall = if (exact.isEmpty) 1.0 else approx.size.toDouble / exact.size
+    info(f"LSH candidate recall at cos>=0.4 (isotropic data, 4 planes, Hamming<=1): $recall%.2f")
+    assert(recall >= 0.3) // documented floor: low threshold on isotropic data
+  }
+
   test("ann bucket search returns a subset of brute-force candidates' space") {
     val ann = SparkEntry.queries("q_ann_lsh")(spark, sf).collect()
     val brute = SparkEntry.queries("q_topk_similarity")(spark, sf).collect()
