@@ -81,50 +81,104 @@ object DatasetConvention {
       .json(s"$base/$dataset/${p.path}")
   }
 
+  /** Single-object append (≙ add_records_to_dataset, gcs.py:162-218): one
+    * JSONL object under the partition dirs, named by the zero-padded
+    * convention ([[fileNameFor]]) or a caller-supplied `buildFileName` hook
+    * (≙ BuildFileNameProtocol, gcs.py:70-83). Empty records → warn no-op
+    * (gcs.py:189-191). This is the micro-batch sink; bulk writes go through
+    * [[append]] and Spark's own part naming.
+    *
+    * NOTE: the convention name contains ':' (GCS object names allow it —
+    * the reference's target). Hadoop's checksum-wrapped LOCAL filesystem
+    * cannot form `.crc` sidecars for such names; local sessions should set
+    * `spark.hadoop.fs.file.impl=org.apache.hadoop.fs.RawLocalFileSystem`
+    * (as the test session does) or pass a colon-free `buildFileName`. */
+  def appendRecords(spark: SparkSession, records: Seq[String], base: String,
+                    dataset: String, version: Int, ts: Instant,
+                    buildFileName: Option[() => String] = None): Unit = {
+    if (records.isEmpty) {
+      Console.err.println("[graft] add_records_to_dataset: no records to add (empty collection given)")
+      return
+    }
+    val p = partitionFor(version, ts)
+    val name = buildFileName.fold(fileNameFor(dataset, ts))(f => f())
+    val dir = s"$base/$dataset/${p.path}"
+    // The convention name contains ':' and Hadoop's ChecksumFileSystem
+    // cannot form the relative `.name.crc` sibling for it — unwrap to the
+    // raw filesystem locally (HDFS / object-store FSes are not
+    // checksum-wrapped and pass through unchanged; GCS object names allow
+    // ':', which is why the reference's convention uses it).
+    val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(new Path(s"$dir/$name"), true)
+    try out.write(records.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Read a dataset (≙ get_dataset, gcs.py:523-597): partition-discovered
     * JSONL under `{base}/{dataset}`, optionally one version, optionally
     * only the latest (version,year,month,day) partition. The latest-only
     * path lists directories first and reads just the argmax partition —
     * listing is metadata-only, so no data file outside the chosen
-    * partition is ever opened. */
+    * partition is ever opened. A missing root or a dataset with no
+    * partition files yields an EMPTY DataFrame (≙ the reference returning
+    * an empty record list for an empty prefix). */
   def read(spark: SparkSession, base: String, dataset: String,
            version: Option[Int] = None, latestOnly: Boolean = false): DataFrame = {
     val root = s"$base/$dataset"
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root))) return spark.emptyDataFrame
     if (!latestOnly) {
       val df = spark.read.option("basePath", root).json(root)
       version.fold(df)(v => df.filter(col("version") === v))
     } else {
-      val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(new Path(root), true)
       val files = Iterator.continually(it)
         .takeWhile(_.hasNext).map(_.next().getPath.toString)
         .filter(p => version.forall(v => parsePartition(p).exists(_.version == v)))
         .toSeq
       val keep = latestPathFiles(files)
-      spark.read.option("basePath", root).json(keep: _*)
+      if (keep.isEmpty) spark.emptyDataFrame
+      else spark.read.option("basePath", root).json(keep: _*)
     }
   }
 
   /** Small-file compaction for one partition: rewrite its JSONL objects
-    * into `targetFiles` files via an atomic directory swap (write to a
-    * `.compact-tmp` sibling, rename over). Hourly appends (one object per
-    * micro-batch, gcs.py:82-83) accumulate thousands of small files per
-    * partition at production scale — listing and task-scheduling overhead
-    * then dominates reads until compaction. Data content is unchanged. */
+    * into `targetFiles` files, then swap via rename-aside — the live dir is
+    * moved to a dot-prefixed `.compact-old` sibling BEFORE the compacted
+    * dir moves in, so the data exists under a real directory at every step
+    * (never only in the tmp): a crash mid-swap leaves it recoverable in
+    * `.compact-old` and/or `.compact-tmp`, and a failed second rename is
+    * rolled back. NOTE: rename is atomic on HDFS-like filesystems but NOT
+    * on object stores — there this degrades to copy+delete windows, which
+    * is exactly why every intermediate state here keeps a full copy on
+    * disk. Hourly appends (one object per micro-batch, gcs.py:82-83)
+    * accumulate thousands of small files per partition at production
+    * scale — listing and task-scheduling overhead then dominates reads
+    * until compaction. Data content is unchanged. */
   def compactPartition(spark: SparkSession, base: String, dataset: String,
                        partition: Partition, targetFiles: Int = 1): Unit = {
     val dir = s"$base/$dataset/${partition.path}"
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir))) return
-    val tmp = new Path(s"$base/$dataset/.compact-tmp-${partition.path.replace('/', '_')}")
+    val flat = partition.path.replace('/', '_')
+    val tmp = new Path(s"$base/$dataset/.compact-tmp-$flat")
+    val old = new Path(s"$base/$dataset/.compact-old-$flat") // dot-prefixed: invisible to readers
     fs.delete(tmp, true)
+    fs.delete(old, true)
     spark.read.json(dir).coalesce(targetFiles)
       .write.json(tmp.toString)
-    // swap: drop the old partition dir, move the compacted one in place
     val dst = new Path(dir)
-    fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compaction: failed to move $dir aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // roll the live data back
       throw new java.io.IOException(s"compaction swap failed for $dir")
+    }
+    fs.delete(old, true) // success: drop the old copy last
   }
 
   /** Per-partition file/byte stats — the ops signal for when to compact. */

@@ -1,7 +1,9 @@
 package graft.prune
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
 import java.nio.charset.StandardCharsets
 import java.util.Base64
 
@@ -10,54 +12,82 @@ import java.util.Base64
   *
   * The reference runs the query once into a server-side destination table
   * and pages from it with base64(JSON{destination, page_token}). Here the
-  * destination is a session-scoped parquet materialization; the token is
-  * base64(JSON{path, offset, pageSize}). Later pages never re-run the
-  * query — they read the materialized (already sorted) result, and the
-  * offset/limit collapses to a cheap skip at the file level. A stable total
-  * order at materialization time is what makes tokens deterministic
-  * (SURVEY.md §3 E2); at 100 TB you'd key-range-partition the
-  * materialization instead of relying on a global sort.
+  * destination is a session-scoped parquet materialization carrying an
+  * explicit global row index:
+  *
+  *   - the query is sorted once (total order), zipWithIndex assigns a
+  *     contiguous Long `__idx` distributively (one counting pass + one map —
+  *     no single-partition window), and the result is written out with the
+  *     sort's range partitioning intact, so every parquet file covers a
+  *     contiguous `__idx` range;
+  *   - `total` is counted ONCE at materialization (parquet metadata count)
+  *     and carried in the token — later pages never re-count the
+  *     destination;
+  *   - a page is `__idx ∈ [offset, offset+pageSize)` — a pushed-down range
+  *     predicate that prunes to the file(s) covering the page via parquet
+  *     min/max stats, instead of `offset().limit()` re-scanning every
+  *     preceding row (and truncating offsets at 2³¹);
+  *   - tokens are base64(jackson JSON) — offsets stay Long end-to-end and
+  *     paths survive any quoting.
   */
 object Pagination {
 
   final case class Page(rows: DataFrame, nextToken: Option[String])
 
-  private final case class Token(path: String, offset: Long, pageSize: Int)
+  private final case class Token(path: String, offset: Long, pageSize: Int, total: Long)
 
-  private def encode(t: Token): String =
-    Base64.getEncoder.encodeToString(
-      s"""{"path":"${t.path}","offset":${t.offset},"pageSize":${t.pageSize}}"""
-        .getBytes(StandardCharsets.UTF_8))
+  /** Row-index column written into the materialization; stripped from pages. */
+  private val IdxCol = "__idx"
+
+  private val mapper = new ObjectMapper()
+
+  private def encode(t: Token): String = {
+    val n = mapper.createObjectNode()
+    n.put("path", t.path); n.put("offset", t.offset)
+    n.put("pageSize", t.pageSize); n.put("total", t.total)
+    Base64.getEncoder.encodeToString(n.toString.getBytes(StandardCharsets.UTF_8))
+  }
 
   private def decode(token: String): Token = {
-    val s = new String(Base64.getDecoder.decode(token), StandardCharsets.UTF_8)
-    def field(k: String): String =
-      s.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}').trim.stripPrefix("\"").stripSuffix("\"")
-    Token(field("path"), field("offset").toLong, field("pageSize").toInt)
+    val n = mapper.readTree(new String(Base64.getDecoder.decode(token), StandardCharsets.UTF_8))
+    Token(n.get("path").asText, n.get("offset").asLong,
+      n.get("pageSize").asInt, n.get("total").asLong)
   }
 
-  /** First call: materialize `query` (sorted by `sortCols` for a stable
-    * total order) under `destDir`, return page 0 + continuation token. */
+  /** First call: materialize `query` (sorted by `sortCols`, indexed, range
+    * partitioned) under `destDir`, count it once, return page 0 + token. */
   def firstPage(query: DataFrame, sortCols: Seq[String], pageSize: Int,
                 destDir: String): Page = {
-    query.orderBy(sortCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(destDir)
-    pageAt(query.sparkSession, Token(destDir, 0L, pageSize), sortCols)
+    val spark = query.sparkSession
+    val sorted = query.orderBy(sortCols.map(col): _*)
+    // zipWithIndex keeps the sort's partition order: partition k's rows get
+    // indices after partition k-1's — a contiguous global index without a
+    // global window.
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      sorted.schema.add(IdxCol, LongType, nullable = false))
+    indexed.write.mode(SaveMode.Overwrite).parquet(destDir)
+    val total = spark.read.parquet(destDir).count() // once; metadata-only scan
+    pageAt(spark, Token(destDir, 0L, pageSize, total))
   }
 
-  /** Continuation call: decode the token, skip the query entirely
-    * (≙ bq.py:198-204), page from the materialized destination. */
-  def nextPage(spark: SparkSession, token: String, sortCols: Seq[String]): Page =
-    pageAt(spark, decode(token), sortCols)
+  /** Continuation call: decode the token, skip the query AND the count
+    * entirely (≙ bq.py:198-204), range-read the materialized destination. */
+  def nextPage(spark: SparkSession, token: String): Page =
+    pageAt(spark, decode(token))
 
-  private def pageAt(spark: SparkSession, t: Token, sortCols: Seq[String]): Page = {
-    val dest = spark.read.parquet(t.path)
-    val total = dest.count()
-    val rows = dest.orderBy(sortCols.map(col): _*)
-      .offset(t.offset.toInt).limit(t.pageSize)
+  /** Back-compat shim: sort columns are baked into the materialization. */
+  def nextPage(spark: SparkSession, token: String, sortCols: Seq[String]): Page =
+    nextPage(spark, token)
+
+  private def pageAt(spark: SparkSession, t: Token): Page = {
+    val rows = spark.read.parquet(t.path)
+      .filter(col(IdxCol) >= t.offset && col(IdxCol) < t.offset + t.pageSize)
+      .orderBy(col(IdxCol)) // tiny: at most pageSize rows survive the pushdown
+      .drop(IdxCol)
     val nextOff = t.offset + t.pageSize
     Page(rows,
-      if (nextOff >= total) None // ≙ next_page_token=None terminates (A8)
+      if (nextOff >= t.total) None // ≙ next_page_token=None terminates (A8)
       else Some(encode(t.copy(offset = nextOff))))
   }
 }

@@ -61,11 +61,61 @@ object SheetOps {
       .write.mode("overwrite").option("header", "true").csv(wsPath(doc, sheet))
   }
 
-  /** ≙ replace_or_create_from_records: same write path — the CSV model
-    * creates on first write, so create-if-missing is inherent. */
+  /** Grid capacity of a worksheet (≙ gspread's row_count/col_count — the
+    * sheet's allocated size, not its data size). */
+  final case class WorksheetCapacity(rows: Long, cols: Int)
+
+  private def metaPath(doc: String, sheet: String) = new Path(s"$doc/$sheet.meta.json")
+
+  /** Allocated capacity, if the worksheet exists. A sheet written without
+    * capacity metadata (plain replace) reports its data dimensions. */
+  def worksheetCapacity(spark: SparkSession, doc: String,
+                        sheet: String): Option[WorksheetCapacity] = {
+    val f = fs(spark, doc)
+    val mp = metaPath(doc, sheet)
+    if (f.exists(mp)) {
+      val in = f.open(mp)
+      try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        Some(WorksheetCapacity(n.get("rows").asLong, n.get("cols").asInt))
+      } finally in.close()
+    } else if (f.exists(new Path(wsPath(doc, sheet)))) {
+      val df = readSheet(spark, doc, sheet)
+      Some(WorksheetCapacity(df.count() + 1, df.columns.length))
+    } else None
+  }
+
+  private def writeCapacity(spark: SparkSession, doc: String, sheet: String,
+                            cap: WorksheetCapacity): Unit = {
+    val out = fs(spark, doc).create(metaPath(doc, sheet), true)
+    try out.write(s"""{"rows":${cap.rows},"cols":${cap.cols}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** ≙ replace_or_create_from_records (sheets.py:120-169): creates the
+    * worksheet when absent with `rows = max(min_rows, len+1)`; resizes an
+    * existing one to `rows = max(current, min_rows, len+1)`, `cols =
+    * max(current, len(columns))` — capacity only grows — then clears and
+    * writes header + rows. Capacity is modeled as a sidecar meta file (the
+    * CSV itself holds only data, like a Sheets grid holds empty cells). */
   def replaceOrCreateFromRecords(df: DataFrame, doc: String, sheet: String,
-                                 columns: Option[Seq[String]] = None): Unit =
+                                 columns: Option[Seq[String]] = None,
+                                 minRows: Long = 100L): WorksheetCapacity = {
+    val spark = df.sparkSession
+    val nCols = columns.fold(df.columns.length)(_.length)
+    val requiredRows = df.count() + 1 // data + header (sheets.py:149)
+    val cap = worksheetCapacity(spark, doc, sheet) match {
+      case None =>
+        WorksheetCapacity(math.max(minRows, requiredRows), nCols) // create
+      case Some(c) =>
+        WorksheetCapacity(Seq(c.rows, minRows, requiredRows).max,
+          math.max(c.cols, nCols)) // resize-to-max
+    }
     replaceFromRecords(df, doc, sheet, columns)
+    writeCapacity(spark, doc, sheet, cap)
+    cap
+  }
 
   /** ≙ list_worksheets. */
   def listWorksheets(spark: SparkSession, doc: String): Seq[String] = {
@@ -77,6 +127,9 @@ object SheetOps {
   }
 
   /** ≙ delete_worksheet (idempotent, warn-style false when absent). */
-  def deleteWorksheet(spark: SparkSession, doc: String, sheet: String): Boolean =
-    fs(spark, doc).delete(new Path(wsPath(doc, sheet)), true)
+  def deleteWorksheet(spark: SparkSession, doc: String, sheet: String): Boolean = {
+    val f = fs(spark, doc)
+    f.delete(metaPath(doc, sheet), false)
+    f.delete(new Path(wsPath(doc, sheet)), true)
+  }
 }

@@ -70,12 +70,15 @@ object EventsStream {
     events.join(broadcast(dim), Seq(key), "left")
 
   /** Streaming exact dedup by id (the training-pipeline ingest guard):
-    * watermarked `dropDuplicates` keeps one row per id with state bounded
-    * by the watermark horizon — late replays beyond it age out of state. */
+    * `dropDuplicatesWithinWatermark` keeps ONE row per id even when a
+    * replay re-stamps the event time — duplicates are dropped as long as
+    * they arrive within the watermark delay of the first sighting, and
+    * state is evicted after it (bounded by the horizon). Plain
+    * `dropDuplicates(id, ts)` would only drop exact (id, ts) replays. */
   def dedupedStream(events: DataFrame, idCol: String = "event_id",
                     watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates(idCol, "ts")
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** Stream–stream interval join: purchases attributed to the same user's
     * clicks within `windowMinutes` before the purchase. Both sides are

@@ -13,6 +13,10 @@ object TestSession {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    // raw local FS (no .crc sidecars): the dataset convention's padded file
+    // names contain ':' which Hadoop's ChecksumFileSystem cannot sidecar;
+    // object stores (the production target) have no checksum wrapper.
+    .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     .getOrCreate()
 }
 

@@ -48,6 +48,34 @@ class DatasetConventionSpec extends SparkSpec {
     assert(latest.select("version").distinct().as[Int].collect().toSeq == Seq(2))
   }
 
+  test("appendRecords writes ONE object with the exact padded convention name; hook overrides") {
+    import spark.implicits._
+    val base = tmpDir("dsrec")
+    appendRecords(spark, Seq("""{"id":"1","v":"x"}""", """{"id":"2","v":"y"}"""),
+      base, "ds", 1, frozen)
+    val dir = new java.io.File(s"$base/ds/version=1/year=2022/month=1/day=1")
+    assert(dir.listFiles().map(_.getName).toSeq == Seq("ds__2022-01-01T00:00.jsonl"))
+    assert(read(spark, base, "ds").count() == 2)
+    // custom build_file_name hook (≙ BuildFileNameProtocol, gcs.py:70-83)
+    appendRecords(spark, Seq("""{"id":"3","v":"z"}"""), base, "ds", 1, frozen,
+      buildFileName = Some(() => "custom-name.jsonl"))
+    assert(dir.listFiles().map(_.getName).sorted.toSeq ==
+      Seq("custom-name.jsonl", "ds__2022-01-01T00:00.jsonl"))
+    assert(read(spark, base, "ds").count() == 3)
+    // empty records → warn no-op (gcs.py:189-191)
+    appendRecords(spark, Seq.empty, base, "ds", 1, frozen)
+    assert(read(spark, base, "ds").count() == 3)
+  }
+
+  test("read of a missing or partition-less dataset returns an empty DataFrame, not an error") {
+    val base = tmpDir("dsempty")
+    assert(read(spark, base, "absent").count() == 0)
+    assert(read(spark, base, "absent", latestOnly = true).count() == 0)
+    // root exists but holds no partition files
+    new java.io.File(s"$base/bare").mkdirs()
+    assert(read(spark, base, "bare", latestOnly = true).count() == 0)
+  }
+
   test("compaction shrinks file count, preserves content, and swaps atomically") {
     import spark.implicits._
     val base = tmpDir("compact")

@@ -13,10 +13,10 @@ class PaginationSpec extends SparkSpec {
     assert(p0.rows.as[(Long, String)].collect().map(_._1).toSeq == (1L to 10L))
     assert(p0.nextToken.isDefined)
 
-    val p1 = Pagination.nextPage(spark, p0.nextToken.get, Seq("id"))
+    val p1 = Pagination.nextPage(spark, p0.nextToken.get)
     assert(p1.rows.as[(Long, String)].collect().map(_._1).toSeq == (11L to 20L))
 
-    val p2 = Pagination.nextPage(spark, p1.nextToken.get, Seq("id"))
+    val p2 = Pagination.nextPage(spark, p1.nextToken.get)
     assert(p2.rows.as[(Long, String)].collect().map(_._1).toSeq == (21L to 25L))
     assert(p2.nextToken.isEmpty) // ≙ next_page_token=None terminates
   }
@@ -27,9 +27,39 @@ class PaginationSpec extends SparkSpec {
     var page = Pagination.firstPage(df, Seq("id"), 5, dest)
     var seen = page.rows.as[(Long, Int)].collect().map(_._1).toVector
     while (page.nextToken.isDefined) {
-      page = Pagination.nextPage(spark, page.nextToken.get, Seq("id"))
+      page = Pagination.nextPage(spark, page.nextToken.get)
       seen ++= page.rows.as[(Long, Int)].collect().map(_._1)
     }
     assert(seen == (1L to 17L).toVector)
+  }
+
+  test("continuation pages push the __idx range to the parquet scan — no offset re-scan, no re-count") {
+    val df = (1 to 60).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val dest = tmpDir("page3") + "/dest"
+    val p0 = Pagination.firstPage(df, Seq("id"), 20, dest)
+    val p1 = Pagination.nextPage(spark, p0.nextToken.get)
+    val plan = p1.rows.queryExecution.executedPlan.toString
+    // the page range is a pushed parquet filter (file pruning via min/max),
+    // not a global sort + offset
+    assert(plan.contains("PushedFilters") && plan.contains("__idx"), plan)
+    assert(!plan.contains("GlobalLimit"), plan)
+  }
+
+  test("tokens are jackson-encoded: paths with JSON-hostile characters survive") {
+    val df = (1 to 6).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    // JSON-hostile (quote, comma, colon) but Hadoop-glob-safe characters
+    val dest = tmpDir("page4") + "/de\"st, we:ird"
+    val p0 = Pagination.firstPage(df, Seq("id"), 4, dest)
+    val p1 = Pagination.nextPage(spark, p0.nextToken.get)
+    assert(p1.rows.as[(Long, String)].collect().map(_._1).toSeq == Seq(5L, 6L))
+    assert(p1.nextToken.isEmpty)
+  }
+
+  test("empty result: one empty page, immediate termination") {
+    val df = Seq.empty[(Long, String)].toDF("id", "v")
+    val dest = tmpDir("page5") + "/dest"
+    val p0 = Pagination.firstPage(df, Seq("id"), 10, dest)
+    assert(p0.rows.count() == 0)
+    assert(p0.nextToken.isEmpty)
   }
 }

@@ -38,6 +38,42 @@ class SheetOpsSpec extends SparkSpec {
     assert(SheetOps.readSheet(spark, doc, "ws").count() == 1) // full replace
   }
 
+  test("create sizes capacity to max(min_rows, len+1) (≙ test_sheets create case)") {
+    val doc = tmpDir("sheetdoc5")
+    // mirror: 1 record, 2 columns, min_rows=10 → rows=10, cols=2
+    val cap = SheetOps.replaceOrCreateFromRecords(
+      Seq(("2026-07-20", "1")).toDF("date", "count"), doc, "2026-07-20",
+      minRows = 10L)
+    assert(cap == SheetOps.WorksheetCapacity(10L, 2))
+    // many records beat min_rows: 12 records + header > 10
+    val cap2 = SheetOps.replaceOrCreateFromRecords(
+      (1 to 12).map(i => (s"d$i", s"$i")).toDF("date", "count"), doc, "big",
+      minRows = 10L)
+    assert(cap2 == SheetOps.WorksheetCapacity(13L, 2))
+  }
+
+  test("replace resizes capacity to max(current, min_rows, len+1) — capacity only grows") {
+    val doc = tmpDir("sheetdoc6")
+    val c0 = SheetOps.replaceOrCreateFromRecords(
+      (1 to 30).map(i => (s"$i", s"v$i")).toDF("id", "v"), doc, "ws", minRows = 10L)
+    assert(c0 == SheetOps.WorksheetCapacity(31L, 2))
+    // fewer rows, extra column: rows keep the old 31, cols grow to 3
+    val c1 = SheetOps.replaceOrCreateFromRecords(
+      Seq(("1", "a", "x")).toDF("id", "v", "w"), doc, "ws", minRows = 10L)
+    assert(c1 == SheetOps.WorksheetCapacity(31L, 3))
+    assert(SheetOps.worksheetCapacity(spark, doc, "ws").contains(c1))
+    // data itself was fully replaced
+    assert(SheetOps.readSheet(spark, doc, "ws").count() == 1)
+  }
+
+  test("capacity sidecar is not listed as a worksheet and dies with the sheet") {
+    val doc = tmpDir("sheetdoc7")
+    SheetOps.replaceOrCreateFromRecords(Seq(Tuple1("1")).toDF("x"), doc, "ws")
+    assert(SheetOps.listWorksheets(spark, doc) == Seq("ws"))
+    assert(SheetOps.deleteWorksheet(spark, doc, "ws"))
+    assert(SheetOps.worksheetCapacity(spark, doc, "ws").isEmpty)
+  }
+
   test("list / delete worksheets; readSheets maps all") {
     val doc = tmpDir("sheetdoc4")
     SheetOps.replaceFromRecords(Seq(Tuple1(1)).toDF("x"), doc, "alpha")

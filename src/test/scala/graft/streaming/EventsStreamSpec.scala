@@ -74,9 +74,12 @@ class EventsStreamSpec extends SparkSpec {
   test("streaming dedup drops replayed ids within the watermark horizon") {
     val dir = tmpDir("dedup-in")
     val ev = Tables.load(spark, sf, "events").limit(200)
-    // write the same 200 events twice → a replayed micro-batch
+    // write the same 200 events twice → a replayed micro-batch; the second
+    // replay RE-STAMPS the event time (+5 min) — a per-id dup that plain
+    // dropDuplicates(id, ts) would let through
     ev.write.mode("overwrite").parquet(dir)
-    ev.write.mode("append").parquet(dir)
+    ev.withColumn("ts", org.apache.spark.sql.functions.expr("ts + INTERVAL 5 MINUTES"))
+      .write.mode("append").parquet(dir)
     val q = EventsStream.dedupedStream(
       spark.readStream.schema(EventsStream.eventSchema).parquet(dir))
       .writeStream.format("memory").queryName("dedup_stream")
