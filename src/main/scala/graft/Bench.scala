@@ -27,6 +27,15 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      finally {
+        // Per-query isolation: drop every persisted/checkpointed block the
+        // query left behind. 66 queries × 2 passes otherwise accumulate
+        // session-lifetime storage (persist + localCheckpoint blocks are
+        // only reclaimed by GC + async cleaner), and the resulting GC debt
+        // poisons every later query's measurement.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

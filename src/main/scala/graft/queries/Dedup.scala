@@ -133,15 +133,27 @@ object Dedup {
 
     // The missing last mile of the dedup pipeline: resolve candidate PAIRS
     // into a per-document verdict. Connected components over the MinHash
-    // candidate graph via join-based min-label propagation — no driver-side
+    // candidate graph via join-based min-label propagation with PATH
+    // HALVING (each round also jumps every label to its label's label), so
+    // convergence is O(log diameter), not O(diameter) — no driver-side
     // graph, every step a DataFrame join/aggregate. The loop runs only over
     // docs that appear in at least one pair (the overwhelming minority at
     // corpus scale); isolated docs join back at the end as their own
-    // component. Iterations are bounded by component diameter (near-dup
-    // clusters are small) with a hard cap; each round is persisted so the
-    // lineage stays flat. Output: (doc_id, component = min doc_id in its
-    // component, keep = 1 iff the doc is its component's representative) —
-    // |keep=1| + |keep=0| = |docs| by construction.
+    // component.
+    //
+    // Loop-state discipline: the per-round state MUST be localCheckpoint'd
+    // (eager), not merely persisted — each round references the previous
+    // labels plan twice, and Catalyst plans are trees copied by value, so
+    // without truncation the analyzed plan DOUBLES per iteration
+    // (exponential analyzer cost, then OOM around round 20). persist()
+    // caches data but never cuts the plan; localCheckpoint does both. The
+    // one-shot inputs (pairs, edges) stay on durable DISK_ONLY; on a real
+    // cluster the loop state would use reliable checkpoint() to a cluster
+    // store for executor-loss tolerance.
+    //
+    // Output: (doc_id, component = min doc_id in its component, keep = 1
+    // iff the doc is its component's representative) — |keep=1| + |keep=0|
+    // = |docs| by construction.
     "q_dedup_resolve" -> ((s, d) => {
       val pairs = minhashPairs(s, d).persist(StorageLevel.DISK_ONLY)
       val edges = pairs
@@ -150,21 +162,29 @@ object Dedup {
         .persist(StorageLevel.DISK_ONLY)
       var labels = edges.select(col("src").as("doc")).distinct()
         .select(col("doc"), col("doc").as("comp"))
-        .persist(StorageLevel.DISK_ONLY)
+        .localCheckpoint()
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
+        // neighbor step: take the min label over incoming edges
         val prop = edges.join(labels, col("src") === col("doc"))
           .groupBy(col("dst")).agg(min(col("comp")).as("nc"))
-        val next = labels.as("l")
+        val stepped = labels.as("l")
           .join(prop, col("l.doc") === col("dst"), "left")
           .select(col("l.doc").as("doc"),
-            least(col("l.comp"), coalesce(col("nc"), col("l.comp"))).as("comp"))
-          .persist(StorageLevel.DISK_ONLY)
-        converged = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
-          .filter(col("n.comp") =!= col("o.comp")).isEmpty
-        labels.unpersist()
-        labels = next
+            least(col("l.comp"), coalesce(col("nc"), col("l.comp"))).as("comp"),
+            col("l.comp").as("old_comp")) // carried for the convergence test
+        // path halving: comp := min(comp, comp(comp))
+        val m = stepped.select(col("doc").as("m_doc"), col("comp").as("m_comp"))
+        val next = stepped.as("st")
+          .join(m, col("st.comp") === col("m_doc"), "left")
+          .select(col("st.doc").as("doc"),
+            least(col("st.comp"), coalesce(col("m_comp"), col("st.comp"))).as("comp"),
+            col("st.old_comp").as("old_comp"))
+          .localCheckpoint() // eager: materializes the round, cuts the plan
+        // convergence reads the just-checkpointed blocks — no extra join
+        converged = next.filter(col("comp") =!= col("old_comp")).isEmpty
+        labels = next.select(col("doc"), col("comp"))
         iter += 1
       }
       val docs = t(s, d, "documents").select(col("doc_id")).distinct()
