@@ -39,7 +39,40 @@ object Sources {
         .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n"), col("sum_value"))
-        .orderBy(col("win_start"), col("event_type")))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // Batch sessionization — the oracle-checkable twin of
+    // EventsStream.sessionize (30-min inactivity gap). Gap-cut via lag +
+    // running sum of new-session flags; interval arithmetic (not epoch
+    // casts) so both engines compare timestamps exactly. One shuffle on
+    // user_id serves both window passes and the final per-session
+    // aggregate (same partitioning).
+    "q_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_num", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_num"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+          Num.dsum(col("value")).as("total_value"))
+        .orderBy(col("user_id"), col("session_num"))
+    }),
+
+    // Batch run of the STREAMING interval-join code path:
+    // EventsStream.purchaseAttribution is called on a batch DataFrame
+    // (withWatermark is a no-op in batch), proving the stream and batch
+    // answers come from one implementation — and checking it against the
+    // DuckDB interval join.
+    "q_interval_join" -> ((s, d) =>
+      graft.streaming.EventsStream.purchaseAttribution(t(s, d, "events"), 10)
+        .orderBy(col("purchase_id"), col("click_id")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -51,6 +84,38 @@ object Sources {
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
          |  COUNT(*) AS n, ${Num.sqlDsum("value")} AS sum_value
          |FROM events
-         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH l AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM l),
+         |s AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+         |  FROM f)
+         |SELECT user_id, session_num, COUNT(*) AS n_events,
+         |  CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+         |  CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+         |  ${Num.sqlDsum("value")} AS total_value
+         |FROM s GROUP BY user_id, session_num
+         |ORDER BY user_id, session_num""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  c.event_id AS click_id,
+        |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts, p.value AS value
+        |FROM events p
+        |JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin
   )
 }

@@ -54,6 +54,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_sessionize shuffles user_id ONCE: both windows and the session aggregate share it") {
+    val p = plan("q_sessionize")
+    val dataShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(dataShuffles == 1, p) // the only other Exchange is the output sort
+    assert(p.contains("partial_count"), p) // map-side combine on the aggregate
+  }
+
+  test("q_interval_join is an equi-join on the user with the interval as residual condition") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("metadata argmax join in q_latest_partition broadcasts the singleton") {
     val p = plan("q_latest_partition")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)

@@ -139,4 +139,29 @@ class EventsStreamSpec extends SparkSpec {
         s"expected user 1's first 2-event session closed, got $closed")
     } finally q.stop()
   }
+
+  test("streamed closed sessions agree with the batch q_sessionize twin") {
+    val dir = stageEvents()
+    val in = spark.readStream.schema(EventsStream.eventSchema).parquet(dir)
+      .as[EventsStream.Event]
+    val q = EventsStream.sessionize(in, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_parity")
+        .select("user_id", "first_ts", "n_events")
+        .as[(Long, Timestamp, Int)].collect()
+        .map { case (u, f, n) => (u, f.getTime, n.toLong) }.toSet
+      val batch = graft.SparkEntry.queries("q_sessionize")(spark, sf)
+        .select("user_id", "first_ts", "n_events")
+        .as[(Long, Timestamp, Long)].collect()
+        .map { case (u, f, n) => (u, f.getTime, n) }.toSet
+      // Append mode emits only watermark-closed sessions → subset, but
+      // every emitted session must exist identically in the batch answer.
+      assert(streamed.nonEmpty, "no sessions closed in the stream run")
+      assert(streamed.subsetOf(batch),
+        s"streamed sessions not in batch: ${streamed.diff(batch).take(5)}")
+    } finally q.stop()
+  }
 }
