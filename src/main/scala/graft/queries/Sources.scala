@@ -65,6 +65,30 @@ object Sources {
         .orderBy(col("user_id"), col("session_num"))
     }),
 
+    // As-of join: every purchase carries the user's most recent prior (or
+    // simultaneous) click. Spark-first shape: NO join at all — one window
+    // pass over the event stream carrying the last click forward
+    // (`last(..., ignoreNulls)` over rows-unbounded-preceding), then filter
+    // to purchases. At 100 TB this is one shuffle on user_id and a linear
+    // scan per partition, where a per-key range join would build and probe
+    // giant per-user click sets. Deterministic tiebreak: (ts, event_id).
+    "q_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("last_click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("last_click_id"), col("last_click_ts"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // Batch run of the STREAMING interval-join code path:
     // EventsStream.purchaseAttribution is called on a batch DataFrame
     // (withWatermark is a no-op in batch), proving the stream and batch
@@ -105,6 +129,25 @@ object Sources {
          |  ${Num.sqlDsum("value")} AS total_value
          |FROM s GROUP BY user_id, session_num
          |ORDER BY user_id, session_num""".stripMargin,
+
+    // Equivalent window-carry SQL (DuckDB's native ASOF JOIN has an
+    // unspecified tiebreak among equal timestamps; the window form pins
+    // (ts, event_id) in both engines).
+    "q_asof_join" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS last_click_id,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS last_click_ts
+        |  FROM events)
+        |SELECT event_id AS purchase_id, user_id,
+        |  CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |  last_click_id, CAST(last_click_ts AS TIMESTAMP) AS last_click_ts
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
 
     "q_interval_join" ->
       """SELECT p.user_id AS user_id, p.event_id AS purchase_id,

@@ -62,6 +62,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // map-side combine on the aggregate
   }
 
+  test("q_asof_join is join-free: one user_id shuffle, window carry, no join operator") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("q_interval_join is an equi-join on the user with the interval as residual condition") {
     val p = plan("q_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
