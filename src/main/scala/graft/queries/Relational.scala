@@ -113,6 +113,30 @@ object Relational {
         .orderBy(col("s_suppkey"), col("c_custkey"))
     }),
 
+    // Band (proximity range) join — the SCALE shape q_join_theta's comment
+    // promises: |s - c| <= W re-expressed as an EQUI-join on width-W value
+    // buckets. One side keeps its bucket, the other explodes to
+    // {k-1, k, k+1}; a qualifying pair lands in exactly one bucket match
+    // (no dedup pass), the exact predicate prunes the rest. Shuffles on the
+    // bucket key → distributes by value range instead of a
+    // BroadcastNestedLoopJoin over everything.
+    "q_join_banded" -> ((s, d) => {
+      val W = 10
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"),
+          expr(s"cast(floor(s_acctbal / $W) as bigint)").as("bk"))
+      val cus = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          explode(expr(
+            s"array(cast(floor(c_acctbal / $W) as bigint) - 1, " +
+              s"cast(floor(c_acctbal / $W) as bigint), " +
+              s"cast(floor(c_acctbal / $W) as bigint) + 1)")).as("bk"))
+      sup.join(cus, "bk")
+        .filter(abs(col("s_acctbal") - col("c_acctbal")) <= W)
+        .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"), col("c_acctbal"))
+        .orderBy(col("s_suppkey"), col("c_custkey"))
+    }),
+
     // Salted join (hot-key mitigation): result must be IDENTICAL to the
     // plain equi-join — the oracle runs the plain join, so the salt
     // round-trip is semantics-checked, not just spec-checked.
@@ -561,6 +585,14 @@ object Relational {
       """SELECT s_suppkey, c_custkey
         |FROM supplier, customer
         |WHERE s_acctbal > 9000 AND c_acctbal > 9800 AND s_acctbal > c_acctbal
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    // The oracle states the PREDICATE; the banded bucketing is a pure
+    // execution strategy and must not change the result.
+    "q_join_banded" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM supplier, customer
+        |WHERE ABS(s_acctbal - c_acctbal) <= 10
         |ORDER BY s_suppkey, c_custkey""".stripMargin,
 
     "q_upsert_antijoin" ->

@@ -65,6 +65,23 @@ object Sources {
         .orderBy(col("user_id"), col("session_num"))
     }),
 
+    // Rolling time-range window: per user, count/sum over the trailing 10
+    // minutes of EVENT TIME (a RANGE frame over epoch micros, not a rows
+    // frame) — the per-entity rate/feature shape of a training pipeline.
+    // One shuffle on user_id; range frames treat equal-timestamp peers
+    // identically in both engines, so ties are deterministic.
+    "q_window_timerange" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-600L * 1000000L, 0L)
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_10m"),
+          sum(col("value").cast(Num.Dec)).over(w).cast("double").as("value_10m"))
+        .orderBy(col("event_id"))
+    }),
+
     // As-of join: every purchase carries the user's most recent prior (or
     // simultaneous) click. Spark-first shape: NO join at all — one window
     // pass over the event stream carrying the last click forward
@@ -129,6 +146,15 @@ object Sources {
          |  ${Num.sqlDsum("value")} AS total_value
          |FROM s GROUP BY user_id, session_num
          |ORDER BY user_id, session_num""".stripMargin,
+
+    "q_window_timerange" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  COUNT(*) OVER w AS n_10m,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // Equivalent window-carry SQL (DuckDB's native ASOF JOIN has an
     // unspecified tiebreak among equal timestamps; the window form pins

@@ -68,6 +68,19 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("q_join_banded turns the proximity predicate into a bucket equi-join (no BNLJ)") {
+    val p = plan("q_join_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_window_timerange shuffles user_id once for the range frame") {
+    val p = plan("q_window_timerange")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_interval_join is an equi-join on the user with the interval as residual condition") {
     val p = plan("q_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
