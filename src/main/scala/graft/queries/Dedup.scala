@@ -230,6 +230,25 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Edit-distance rerank of the MinHash candidates: LSH proposes, exact
+    // levenshtein scores. The expensive O(len²) distance runs ONLY on
+    // candidate pairs (never all pairs) — the canonical
+    // candidate-generation → exact-rerank split, here with a second,
+    // independent similarity metric over the same candidate machinery.
+    "q_dedup_fuzzy" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val lev = levenshtein(col("ta"), col("tb"))
+      minhashPairs(s, d)
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          lev.cast("long").as("edit_dist"),
+          (lit(1.0) - lev.cast("double") /
+            greatest(length(col("ta")), length(col("tb"))).cast("double"))
+            .as("edit_sim"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // 16-bit SimHash fingerprint per document (sign of per-bit weighted
     // token-hash sum). One md5 + one int per token, 16 arithmetic sums in a
     // single per-doc aggregate — no row blow-up, one shuffle. Pair search is
@@ -337,6 +356,28 @@ object Dedup {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN comp c ON c.doc = d.doc_id
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_fuzzy" -> {
+      val mins = (0 until Seeds)
+        .map(o => s"MIN(substr(md5(g), ${o + 1}, 16)) AS m$o").mkString(", ")
+      val bandRows = (0 until Seeds / 2)
+        .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS bv FROM sig")
+        .mkString("\n          UNION ALL ")
+      s"""WITH $ngCte,
+         |sig AS (SELECT doc_id, $mins FROM ng GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM bands a
+         |       JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |  1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |        CAST(GREATEST(length(da.text), length(db.text)) AS DOUBLE) AS edit_sim
+         |FROM pr
+         |JOIN documents da ON da.doc_id = pr.doc_a
+         |JOIN documents db ON db.doc_id = pr.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "q_minhash_estimate" -> {
