@@ -16,7 +16,8 @@ object SparkEntry {
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
       (graft.queries.Dedup.queries, graft.queries.Dedup.oracleSql),
       (graft.queries.Similarity.queries, graft.queries.Similarity.oracleSql),
-      (graft.queries.Sampling.queries, graft.queries.Sampling.oracleSql)
+      (graft.queries.Sampling.queries, graft.queries.Sampling.oracleSql),
+      (graft.queries.Pipeline.queries, graft.queries.Pipeline.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

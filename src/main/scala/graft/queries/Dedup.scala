@@ -275,6 +275,32 @@ object Dedup {
     })
   )
 
+  /** Oracle CTE chain ending in `comp(doc, comp)` — the connected-component
+    * assignment over the MinHash candidate graph. Shared by the
+    * q_dedup_resolve oracle and the end-to-end corpus pipeline oracle
+    * ([[Pipeline]]); callers must prefix `WITH RECURSIVE`. */
+  private[queries] lazy val resolveCtes: String = {
+    val mins = (0 until Seeds)
+      .map(o => s"MIN(substr(md5(g), ${o + 1}, 16)) AS m$o").mkString(", ")
+    val bandRows = (0 until Seeds / 2)
+      .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS bv FROM sig")
+      .mkString("\n          UNION ALL ")
+    s"""$ngCte,
+       |sig AS (SELECT doc_id, $mins FROM ng GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM bands a
+       |       JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |          UNION ALL SELECT doc_b, doc_a FROM pr),
+       |walk(doc, lbl) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM edges e JOIN walk w ON w.doc = e.src
+       |),
+       |comp AS (SELECT doc, MIN(lbl) AS comp FROM walk GROUP BY doc)""".stripMargin
+  }
+
   private val ngCte =
     """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
       |         FROM documents),
@@ -331,32 +357,13 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
-    "q_dedup_resolve" -> {
-      val mins = (0 until Seeds)
-        .map(o => s"MIN(substr(md5(g), ${o + 1}, 16)) AS m$o").mkString(", ")
-      val bandRows = (0 until Seeds / 2)
-        .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS bv FROM sig")
-        .mkString("\n          UNION ALL ")
-      s"""WITH RECURSIVE $ngCte,
-         |sig AS (SELECT doc_id, $mins FROM ng GROUP BY doc_id),
-         |bands AS ($bandRows),
-         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |       FROM bands a
-         |       JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-         |          UNION ALL SELECT doc_b, doc_a FROM pr),
-         |walk(doc, lbl) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, w.lbl FROM edges e JOIN walk w ON w.doc = e.src
-         |),
-         |comp AS (SELECT doc, MIN(lbl) AS comp FROM walk GROUP BY doc)
+    "q_dedup_resolve" ->
+      s"""WITH RECURSIVE $resolveCtes
          |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component,
          |  CAST(CASE WHEN COALESCE(c.comp, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN comp c ON c.doc = d.doc_id
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_fuzzy" -> {
       val mins = (0 until Seeds)

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus build — the pipeline a data-curation user
+  * actually runs, composed from the library's own operators in ONE
+  * oracle-verified query:
+  *
+  *   1. quality filter  ([[TextOps.qualityOkExpr]] — length/punct gates)
+  *   2. language filter ([[TextOps.predLangExpr]] = 'en')
+  *   3. exact dedup     (min doc_id per normalized-text md5 fingerprint)
+  *   4. near-dup resolution (MinHash LSH pairs → connected components →
+  *      component representative only, via the registered q_dedup_resolve)
+  *
+  * Shuffle budget at scale: the text predicates and fingerprint are pure
+  * map work; exact dedup is one window over the fingerprint hash; the
+  * near-dup verdict joins on doc_id (broadcastable — the verdict table is
+  * (id, comp, keep), tiny relative to the corpus with its text). Every
+  * stage composes as a DataFrame, so Catalyst fuses the maps and prunes
+  * `text` as soon as nothing downstream needs it.
+  */
+object Pipeline {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    "q_pipeline_corpus" -> ((s, d) => {
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val verdict = Dedup.queries("q_dedup_resolve")(s, d)
+        .filter(col("keep") === 1L).select(col("doc_id"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          size(split(trim(col("text")), "\\s+")).as("n_words"),
+          TextOps.qualityOkExpr.as("q_ok"),
+          TextOps.predLangExpr.as("pred_lang"),
+          md5(encode(norm, "UTF-8")).as("fp"))
+        .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .filter(col("q_ok") && col("pred_lang") === "en" && col("doc_id") === col("rep"))
+        .join(verdict, "doc_id") // near-dup survivors only
+        .select(col("doc_id"), col("n_words"), col("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pipeline_corpus" ->
+      s"""WITH RECURSIVE ${Dedup.resolveCtes},
+         |survivors AS (
+         |  SELECT d.doc_id
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  LEFT JOIN comp c ON c.doc = d.doc_id
+         |  WHERE COALESCE(c.comp, d.doc_id) = d.doc_id),
+         |meta AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_words,
+         |    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS punct,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|is|a)\\b')) AS INT) AS h_en,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(?:el|la|de|que|y|es)\\b')) AS INT) AS h_es,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(?:der|die|das|und|ist)\\b')) AS INT) AS h_de,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(?:le|la|les|et|est)\\b')) AS INT) AS h_fr
+         |  FROM documents),
+         |scored AS (
+         |  SELECT *,
+         |    MIN(doc_id) OVER (PARTITION BY fp) AS rep,
+         |    CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
+         |         WHEN h_es >= h_de AND h_es >= h_fr AND h_es > 0 THEN 'es'
+         |         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
+         |         WHEN h_fr > 0 THEN 'fr'
+         |         ELSE 'und' END AS pred_lang
+         |  FROM meta)
+         |SELECT doc_id, n_words, fp
+         |FROM scored JOIN survivors USING (doc_id)
+         |WHERE n_words BETWEEN 5 AND 1000 AND punct * 5 < length(text)
+         |  AND pred_lang = 'en' AND doc_id = rep
+         |ORDER BY doc_id""".stripMargin
+  )
+}

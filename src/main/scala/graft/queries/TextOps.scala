@@ -27,6 +27,26 @@ object TextOps {
     size(regexp_extract_all(lower(col("text")), lit(s"\\b$pat\\b"), lit(0)))
       .as(s"h_$lang")
 
+  /** Quality verdict over a `text` column (shared by q_text_quality and the
+    * end-to-end corpus pipeline — one definition, no drift). */
+  def qualityOkExpr: org.apache.spark.sql.Column = {
+    val words = size(split(trim(col("text")), "\\s+"))
+    val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+    words >= 5 && words <= 1000 && punct * 5 < length(col("text"))
+  }
+
+  /** Predicted language over a `text` column (argmax stopword heuristic). */
+  def predLangExpr: org.apache.spark.sql.Column = {
+    val Seq(en, es, de, fr) = Stops.map { case (l, p) =>
+      size(regexp_extract_all(lower(col("text")), lit(s"\\b$p\\b"), lit(0)))
+    }
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
   val queries: Map[String, QFn] = Map(
 
     // Token counting: whitespace tokens + a BPE-ish regex segmentation.

@@ -65,6 +65,21 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.3) // documented floor: low threshold on isotropic data
   }
 
+  test("q_pipeline_corpus is the intersection of its component filters") {
+    val kept = SparkEntry.queries("q_pipeline_corpus")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val quality = SparkEntry.queries("q_text_quality")(spark, sf)
+      .filter(col("quality_ok")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val english = SparkEntry.queries("q_lang_id")(spark, sf)
+      .filter(col("pred_lang") === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    val ndSurvivors = SparkEntry.queries("q_dedup_resolve")(spark, sf)
+      .filter(col("keep") === 1L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    assert(kept.subsetOf(quality), "corpus contains low-quality docs")
+    assert(kept.subsetOf(english), "corpus contains non-English docs")
+    assert(kept.subsetOf(ndSurvivors), "corpus contains near-dup casualties")
+  }
+
   test("ann bucket search returns a subset of brute-force candidates' space") {
     val ann = SparkEntry.queries("q_ann_lsh")(spark, sf).collect()
     val brute = SparkEntry.queries("q_topk_similarity")(spark, sf).collect()
