@@ -7,11 +7,26 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries are fully materialized through the `noop` sink — `count()` would
   * let Catalyst prune projections and undercount the real work.
+  *
+  * Measurement discipline (round-3 fix — round 2's recorded numbers were
+  * contaminated by cross-query GC debt, e.g. q_json_extract recorded 5.12 s
+  * vs 0.8–1.4 s isolated):
+  *   - the timed region is the query alone; per-query cleanup (cache clear,
+  *     BLOCKING unpersist of every leftover persisted/checkpointed block,
+  *     then an explicit GC) runs OUTSIDE the timer, so each query starts
+  *     from a clean heap and none pays for its predecessor's debris;
+  *   - each query runs SPARK_GRAFT_BENCH_REPEATS times (default 3) and the
+  *     MEDIAN is reported, so one GC pause or JIT deopt can't fabricate a
+  *     regression.
+  * SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run for local iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,33 +35,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-               dir: String): Double = {
+    // Per-query isolation, outside any timed region: drop every persisted /
+    // checkpointed block the query left behind (blocking, so the next timer
+    // never races the async cleaner), then collect the garbage now instead
+    // of inside a later query's measurement.
+    def settle(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): Double = {
       val t0 = System.nanoTime()
       try fn(spark, dir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      finally {
-        // Per-query isolation: drop every persisted/checkpointed block the
-        // query left behind. 66 queries × 2 passes otherwise accumulate
-        // session-lifetime storage (persist + localCheckpoint blocks are
-        // only reclaimed by GC + async cleaner), and the resulting GC debt
-        // poisons every later query's measurement.
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      settle()
+      dt
     }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // JIT/session warmup at the smallest scale so measured numbers reflect
     // steady-state execution, not first-query class loading.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
-      runOne(n, fn, "/root/testdata/sf0.001")
-    }
+    selected.foreach { case (n, fn) => runOnce(n, fn, "/root/testdata/sf0.001") }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> runOne(name, fn, sfDir)
+    val results = selected.map { case (name, fn) =>
+      name -> median((1 to repeats).map(_ => runOnce(name, fn, sfDir)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -125,26 +125,42 @@ object DatasetConvention {
     * listing is metadata-only, so no data file outside the chosen
     * partition is ever opened. A missing root or a dataset with no
     * partition files yields an EMPTY DataFrame (≙ the reference returning
-    * an empty record list for an empty prefix). */
+    * an empty record list for an empty prefix). Data columns are
+    * JSON-inferred per read, so an empty dataset cannot know them — the
+    * empty result carries ONLY the four convention partition columns
+    * (version, year, month, day), which every non-empty read also has;
+    * referencing a data column on an empty dataset fails exactly like
+    * referencing it on the reference's empty record list would. */
   def read(spark: SparkSession, base: String, dataset: String,
            version: Option[Int] = None, latestOnly: Boolean = false): DataFrame = {
     val root = s"$base/$dataset"
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(root))) return spark.emptyDataFrame
+    if (!fs.exists(new Path(root))) return emptyConvention(spark)
+    // List first on BOTH paths: an existing-but-fileless root would make
+    // spark.read.json throw "unable to infer schema" instead of returning
+    // the promised empty DataFrame.
+    val it = fs.listFiles(new Path(root), true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath.toString)
+      .filter(p => version.forall(v => parsePartition(p).exists(_.version == v)))
+      .toSeq
     if (!latestOnly) {
+      if (files.isEmpty) return emptyConvention(spark)
       val df = spark.read.option("basePath", root).json(root)
       version.fold(df)(v => df.filter(col("version") === v))
     } else {
-      val it = fs.listFiles(new Path(root), true)
-      val files = Iterator.continually(it)
-        .takeWhile(_.hasNext).map(_.next().getPath.toString)
-        .filter(p => version.forall(v => parsePartition(p).exists(_.version == v)))
-        .toSeq
       val keep = latestPathFiles(files)
-      if (keep.isEmpty) spark.emptyDataFrame
+      if (keep.isEmpty) emptyConvention(spark)
       else spark.read.option("basePath", root).json(keep: _*)
     }
   }
+
+  /** Empty read result: no rows, just the convention's partition columns —
+    * so `df.filter(col("version") === v)` composes on an empty dataset. */
+  private def emptyConvention(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq("version", "year", "month", "day")
+        .map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.IntegerType))))
 
   /** Small-file compaction for one partition: rewrite its JSONL objects
     * into `targetFiles` files, then swap via rename-aside — the live dir is
@@ -175,8 +191,13 @@ object DatasetConvention {
     if (!fs.rename(dst, old))
       throw new java.io.IOException(s"compaction: failed to move $dir aside")
     if (!fs.rename(tmp, dst)) {
-      fs.rename(old, dst) // roll the live data back
-      throw new java.io.IOException(s"compaction swap failed for $dir")
+      // Roll the live data back — and if even that fails, say exactly where
+      // the two full copies of the data are, instead of a generic error.
+      if (fs.rename(old, dst))
+        throw new java.io.IOException(s"compaction swap failed for $dir (rolled back)")
+      throw new java.io.IOException(
+        s"compaction swap failed for $dir AND rollback failed: data is intact in " +
+          s"$old (original) and $tmp (compacted); restore by renaming one to $dir")
     }
     fs.delete(old, true) // success: drop the old copy last
   }

@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing for a training-data pipeline.
   *
   * Media (image/audio/video) travels as an opaque `binary` column with a
-  * typed metadata struct. The Spark-side plumbing — schema, partition-wise
-  * batched processing, deterministic output shapes — is real and tested;
-  * the actual codec work is STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] derives deterministic fake features from the
-  * bytes so tests are reproducible. Swap the stub body for a real codec
-  * (e.g. JNI/javacv) without touching any of the surrounding plan.
+  * typed metadata struct. The IMAGE codec path is real — JDK-native
+  * `javax.imageio` (PNG/JPEG/GIF/BMP) decodes pixels for probing, feature
+  * extraction, and resampling; no external libraries. Audio/video codecs
+  * are not in the JDK, so those paths fall back to [[decodeStub]] —
+  * deterministic pseudo-features from the raw bytes — keeping the
+  * distributed plumbing testable; swap the stub for a real codec (e.g.
+  * JNI/javacv) without touching any of the surrounding plan. Image rows
+  * whose payload ImageIO cannot parse take the same stub fallback rather
+  * than poisoning the batch.
   *
   * Processing uses `mapPartitions` over a typed Dataset deliberately:
   * per-record codec work is imperative, per-partition batching amortizes
@@ -61,9 +64,49 @@ object Multimodal {
         MediaMeta(None, None, None)))
   }
 
-  /** STUB decode: deterministic pseudo-features from the raw bytes (a real
-    * implementation would decode pixels/samples here). Kept deterministic
-    * so the distributed plumbing is testable without codecs. */
+  /** JDK-native image decode via javax.imageio (PNG/JPEG/GIF/BMP ship with
+    * the JDK). None when the payload is absent or not a parseable image. */
+  private[multimodal] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+  private[multimodal] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Pixel features: mean luminance per `dim` vertical strips — a real
+    * (if simple) visual descriptor, deterministic across partitionings. */
+  private[multimodal] def pixelFeatures(img: java.awt.image.BufferedImage,
+                                        dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val cnt = new Array[Int](dim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000f / 255f
+        val b = x * dim / img.getWidth
+        out(b) += lum
+        cnt(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < dim) { if (cnt(i) > 0) out(i) /= cnt(i); i += 1 }
+    out
+  }
+
+  /** STUB decode for kinds the JDK has no codec for (audio/video) and for
+    * undecodable image payloads: deterministic pseudo-features from the raw
+    * bytes, so the distributed plumbing stays testable without external
+    * codec libraries. */
   def decodeStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
@@ -74,39 +117,78 @@ object Multimodal {
     out
   }
 
-  /** Feature extraction over a media Dataset: partition-batched map, one
-    * codec "session" per partition (the `it => it.map` shape is where a
-    * real codec would init once per partition). */
+  /** Feature extraction over a media Dataset: partition-batched map, codec
+    * init once per partition. Image rows decode to pixels (ImageIO) and get
+    * [[pixelFeatures]]; everything else — and image payloads ImageIO can't
+    * parse — takes [[decodeStub]]. */
   def extractFeatures(media: Dataset[Media], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real codec: init once here, close after the iterator drains
-      it.map(m => MediaFeatures(m.id, m.kind,
-        Option(m.bytes).map(_.length).getOrElse(0),
-        decodeStub(Option(m.bytes).getOrElse(Array.emptyByteArray), dim)))
+      // per-partition codec init: no disk-backed ImageIO scratch files in
+      // executor tasks (close-after-drain would go here for a real codec)
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
+        val feats = (if (m.kind == "image") decodeImage(bytes) else None)
+          .map(pixelFeatures(_, dim))
+          .getOrElse(decodeStub(bytes, dim))
+        MediaFeatures(m.id, m.kind, bytes.length, feats)
+      }
     }
   }
 
-  /** STUB resize for image-kind rows: deterministic byte downsampling
-    * standing in for pixel resampling — output payload is exactly
-    * targetW×targetH bytes and the metadata struct is updated, so
-    * downstream schema/size contracts are the real ones. Non-image rows
-    * pass through untouched. */
+  /** Probe image rows for their REAL dimensions (ImageIO decode): fills
+    * meta.width/height from the pixels — the ingest-time metadata pass that
+    * lets every later stage filter on dimensions without touching bytes.
+    * Non-image rows and undecodable payloads pass through unchanged. */
+  def probeImages(media: Dataset[Media]): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        if (m.kind != "image") m
+        else decodeImage(m.bytes).fold(m)(img =>
+          m.copy(meta = m.meta.copy(width = Some(img.getWidth),
+            height = Some(img.getHeight))))
+      }
+    }
+  }
+
+  /** Resize image-kind rows. Decodable payloads are REALLY resampled —
+    * bilinear Graphics2D scale to targetW×targetH, re-encoded as PNG — and
+    * the metadata struct updated. Payloads ImageIO cannot parse fall back
+    * to deterministic byte downsampling (exactly targetW×targetH bytes), so
+    * the schema/size contracts hold with or without a decodable image.
+    * Non-image rows pass through untouched. */
   def resizeImages(media: Dataset[Media], targetW: Int, targetH: Int): Dataset[Media] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.map {
         case m if m.kind == "image" && m.bytes != null && m.bytes.nonEmpty =>
-          val n = targetW * targetH
-          val out = new Array[Byte](n)
-          val step = math.max(1.0, m.bytes.length.toDouble / n)
-          var i = 0
-          while (i < n) {
-            out(i) = m.bytes(math.min(m.bytes.length - 1, (i * step).toInt))
-            i += 1
+          decodeImage(m.bytes) match {
+            case Some(img) =>
+              val dst = new java.awt.image.BufferedImage(targetW, targetH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+              g.dispose()
+              m.copy(bytes = encodePng(dst),
+                meta = m.meta.copy(width = Some(targetW), height = Some(targetH)))
+            case None =>
+              val n = targetW * targetH
+              val out = new Array[Byte](n)
+              val step = math.max(1.0, m.bytes.length.toDouble / n)
+              var i = 0
+              while (i < n) {
+                out(i) = m.bytes(math.min(m.bytes.length - 1, (i * step).toInt))
+                i += 1
+              }
+              m.copy(bytes = out,
+                meta = m.meta.copy(width = Some(targetW), height = Some(targetH)))
           }
-          m.copy(bytes = out,
-            meta = m.meta.copy(width = Some(targetW), height = Some(targetH)))
         case m => m
       }
     }

@@ -80,6 +80,18 @@ object Pagination {
   def nextPage(spark: SparkSession, token: String, sortCols: Seq[String]): Page =
     nextPage(spark, token)
 
+  /** End-of-cursor cleanup: drop the materialized destination. BigQuery's
+    * destination tables expire server-side (24 h TTL); the local parquet
+    * materialization has no expiry daemon, so the lifecycle is
+    * caller-scoped — call this when the cursor is abandoned or exhausted.
+    * Idempotent: releasing an already-released token is a no-op, and any
+    * token of the same cursor releases the same destination. */
+  def release(spark: SparkSession, token: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(decode(token).path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
   private def pageAt(spark: SparkSession, t: Token): Page = {
     val rows = spark.read.parquet(t.path)
       .filter(col(IdxCol) >= t.offset && col(IdxCol) < t.offset + t.pageSize)

@@ -33,14 +33,17 @@ object Dedup {
 
   private val Seeds = 8 // MinHash seeds; banded 4 × 2
 
-  /** Distinct MinHash-LSH candidate pairs (doc_a < doc_b) — shared by
-    * q_dedup_minhash (reports them) and q_dedup_resolve (resolves them into
-    * a surviving-document set). */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val ng = shingles(s, d)
+  /** (doc_id, m0..m7): MinHash signature per document — 8 min-aggregates
+    * over 16-char slices of one md5 per shingle. */
+  private def signature(ng: DataFrame): DataFrame = {
     val minCols = (0 until Seeds).map(o =>
       min(substring(md5(encode(col("g"), "UTF-8")), o + 1, 16)).as(s"m$o"))
-    val sig = ng.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    ng.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Distinct LSH candidate pairs (doc_a < doc_b) from a signature table —
+    * band the 8 mins 4 × 2 and equi-join on the band value. */
+  private def bandPairs(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Seeds / 2).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bv")))
@@ -54,6 +57,12 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Distinct MinHash-LSH candidate pairs (doc_a < doc_b) — shared by
+    * q_dedup_minhash (reports them) and q_dedup_resolve (resolves them into
+    * a surviving-document set). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    bandPairs(signature(shingles(s, d)))
 
   val queries: Map[String, QFn] = Map(
 
@@ -156,37 +165,78 @@ object Dedup {
     // = |docs| by construction.
     "q_dedup_resolve" -> ((s, d) => {
       val pairs = minhashPairs(s, d).persist(StorageLevel.DISK_ONLY)
+      // Size the loop's shuffles from the DATA, not the session: the
+      // per-round joins run over |edges| rows — the docs that appear in at
+      // least one candidate pair, a sliver of the corpus — so running them
+      // at the corpus-sized shuffle width mostly schedules empty tasks
+      // (round 2 spent ~39 s at sf0.1 on 32-wide shuffles over a ~500-row
+      // state). One partition per ~100k edges, capped at the session width;
+      // the count also materializes the pair pipeline exactly once, up
+      // front. Edges are pre-hash-partitioned on the join key at that width
+      // so the cached side never re-shuffles inside the loop.
+      val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
+      val nEdges = pairs.count() * 2
+      val loopParts = math.max(1L, math.min(sessionParts.toLong, nEdges / 100000L + 1L)).toInt
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .repartition(loopParts, col("src"))
         .persist(StorageLevel.DISK_ONLY)
-      var labels = edges.select(col("src").as("doc")).distinct()
-        .select(col("doc"), col("doc").as("comp"))
-        .localCheckpoint()
+      val sc = s.sparkContext
+      def persistedIds = sc.getPersistentRDDs.keySet.toSet
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
-        // neighbor step: take the min label over incoming edges
-        val prop = edges.join(labels, col("src") === col("doc"))
-          .groupBy(col("dst")).agg(min(col("comp")).as("nc"))
-        val stepped = labels.as("l")
-          .join(prop, col("l.doc") === col("dst"), "left")
-          .select(col("l.doc").as("doc"),
-            least(col("l.comp"), coalesce(col("nc"), col("l.comp"))).as("comp"),
-            col("l.comp").as("old_comp")) // carried for the convergence test
-        // path halving: comp := min(comp, comp(comp))
-        val m = stepped.select(col("doc").as("m_doc"), col("comp").as("m_comp"))
-        val next = stepped.as("st")
-          .join(m, col("st.comp") === col("m_doc"), "left")
-          .select(col("st.doc").as("doc"),
-            least(col("st.comp"), coalesce(col("m_comp"), col("st.comp"))).as("comp"),
-            col("st.old_comp").as("old_comp"))
-          .localCheckpoint() // eager: materializes the round, cuts the plan
-        // convergence reads the just-checkpointed blocks — no extra join
-        converged = next.filter(col("comp") =!= col("old_comp")).isEmpty
-        labels = next.select(col("doc"), col("comp"))
-        iter += 1
-      }
+      var labels: DataFrame = null
+      var labelIds = Set.empty[Int]
+      s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      try {
+        val base = persistedIds
+        labels = edges.select(col("src").as("doc")).distinct()
+          .select(col("doc"), col("doc").as("comp"))
+          .localCheckpoint()
+        labelIds = persistedIds -- base
+        while (!converged && iter < 20) {
+          // neighbor step: take the min label over incoming edges
+          val prop = edges.join(labels, col("src") === col("doc"))
+            .groupBy(col("dst")).agg(min(col("comp")).as("nc"))
+          val stepped = labels.as("l")
+            .join(prop, col("l.doc") === col("dst"), "left")
+            .select(col("l.doc").as("doc"),
+              least(col("l.comp"), coalesce(col("nc"), col("l.comp"))).as("comp"),
+              col("l.comp").as("old_comp")) // carried for the convergence test
+          // path halving: comp := min(comp, comp(comp))
+          val m = stepped.select(col("doc").as("m_doc"), col("comp").as("m_comp"))
+          val before = persistedIds
+          val next = stepped.as("st")
+            .join(m, col("st.comp") === col("m_doc"), "left")
+            .select(col("st.doc").as("doc"),
+              least(col("st.comp"), coalesce(col("m_comp"), col("st.comp"))).as("comp"),
+              col("st.old_comp").as("old_comp"))
+            .localCheckpoint() // eager: materializes the round, cuts the plan
+          val nextIds = persistedIds -- before
+          iter += 1
+          // Convergence check every 2nd round (reads the just-checkpointed
+          // blocks — no extra join). Worst case: one extra round over
+          // already-converged (tiny) state; saves half the per-round
+          // blocking actions. The cap 20 is even, so the final permitted
+          // round always checks.
+          converged = iter % 2 == 0 &&
+            next.filter(col("comp") =!= col("old_comp")).isEmpty
+          // The superseded round's checkpoint blocks are dead the moment we
+          // swap labels — free them now rather than carrying every round's
+          // blocks to the end of the query.
+          labelIds.foreach(id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+          labelIds = nextIds
+          labels = next.select(col("doc"), col("comp"))
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      // Path halving converges in O(log diameter) — 20 rounds covers any
+      // graph this side of 2^20 hops. If the cap is ever hit, the emitted
+      // components would silently disagree with the oracle's transitive
+      // closure; fail loudly instead.
+      if (!converged) throw new IllegalStateException(
+        s"q_dedup_resolve: label propagation did not converge within $iter rounds")
       val docs = t(s, d, "documents").select(col("doc_id")).distinct()
       docs.join(labels, col("doc_id") === col("doc"), "left")
         .select(col("doc_id"),
@@ -200,18 +250,19 @@ object Dedup {
     // fraction of matching signature components; reported next to the true
     // Jaccard so the estimator's error is visible. At corpus scale this is
     // the cheap first-pass score (8 string compares per pair) before any
-    // shingle-set intersection.
+    // shingle-set intersection — and the true Jaccard is computed ONLY on
+    // the candidate pairs (join each side's shingle set on (doc, g)), so
+    // the fanout is |candidates| × shingles-per-doc, never the corpus-wide
+    // hot-shingle pair explosion of an uncapped shingle self-join.
     "q_minhash_estimate" -> ((s, d) => {
       val ng = shingles(s, d).persist(StorageLevel.DISK_ONLY)
-      val minCols = (0 until Seeds).map(o =>
-        min(substring(md5(encode(col("g"), "UTF-8")), o + 1, 16)).as(s"m$o"))
-      val sig = ng.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val sig = signature(ng)
       val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = ng.as("a")
-        .join(ng.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("common"))
-        .filter(col("common") >= 20) // candidate floor keeps the pair set small
+      val cand = bandPairs(sig).persist(StorageLevel.DISK_ONLY)
+      val common = cand
+        .join(ng.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+        .join(ng.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
       val matches = (0 until Seeds)
         .map(o => when(col(s"a_m$o") === col(s"b_m$o"), 1).otherwise(0))
         .reduce(_ + _)
@@ -219,14 +270,16 @@ object Dedup {
         (0 until Seeds).map(o => col(s"m$o").as(s"a_m$o")): _*)
       val sigB = sig.select(col("doc_id").as("doc_b") +:
         (0 until Seeds).map(o => col(s"m$o").as(s"b_m$o")): _*)
-      pairs
+      val cm = coalesce(col("common"), lit(0L))
+      cand
+        .join(common, Seq("doc_a", "doc_b"), "left")
         .join(sigA, "doc_a").join(sigB, "doc_b")
         .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
         .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (matches.cast("double") / lit(Seeds.toDouble)).as("est_jaccard"),
-          (col("common").cast("double") /
-            (col("n_a") + col("n_b") - col("common")).cast("double")).as("true_jaccard"))
+          (cm.cast("double") /
+            (col("n_a") + col("n_b") - cm).cast("double")).as("true_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -390,23 +443,34 @@ object Dedup {
     "q_minhash_estimate" -> {
       val mins = (0 until Seeds)
         .map(o => s"MIN(substr(md5(g), ${o + 1}, 16)) AS m$o").mkString(", ")
+      val bandRows = (0 until Seeds / 2)
+        .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS bv FROM sig")
+        .mkString("\n          UNION ALL ")
       val matchSum = (0 until Seeds)
         .map(o => s"CASE WHEN sa.m$o = sb.m$o THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH $ngCte,
          |sig AS (SELECT doc_id, $mins FROM ng GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM bands a
+         |       JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
-         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-         |       FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+         |cm AS (SELECT pr.doc_a, pr.doc_b, COUNT(*) AS common
+         |       FROM pr
+         |       JOIN ng na ON na.doc_id = pr.doc_a
+         |       JOIN ng nb ON nb.doc_id = pr.doc_b AND nb.g = na.g
+         |       GROUP BY 1, 2)
          |SELECT pr.doc_a, pr.doc_b,
          |  CAST(($matchSum) AS DOUBLE) / ${Seeds}.0 AS est_jaccard,
-         |  CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS true_jaccard
+         |  CAST(COALESCE(cm.common, 0) AS DOUBLE) /
+         |    CAST(ca.n + cb.n - COALESCE(cm.common, 0) AS DOUBLE) AS true_jaccard
          |FROM pr
+         |LEFT JOIN cm ON cm.doc_a = pr.doc_a AND cm.doc_b = pr.doc_b
          |JOIN sig sa ON sa.doc_id = pr.doc_a
          |JOIN sig sb ON sb.doc_id = pr.doc_b
          |JOIN cnt ca ON ca.doc_id = pr.doc_a
          |JOIN cnt cb ON cb.doc_id = pr.doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY pr.doc_a, pr.doc_b""".stripMargin
     },
 
     "q_dedup_simhash" ->

@@ -32,10 +32,32 @@ object SheetOps {
   private def fs(spark: SparkSession, doc: String): FileSystem =
     FileSystem.get(new java.net.URI(doc), spark.sparkContext.hadoopConfiguration)
 
-  /** ≙ read_sheet: header row → column names, all values string, ""→NULL. */
+  /** ≙ read_sheet: header row → column names, all values string, ""→NULL.
+    * `head` picks WHICH row is the header, 1-based in spreadsheet
+    * numeration (≙ gspread get_all_records(head=...), sheets.py:220-232):
+    * rows above it — title rows, merged banners — are ignored, rows below
+    * it are the data. */
   def readSheet(spark: SparkSession, doc: String, sheet: String,
-                expectedHeaders: Option[Seq[String]] = None): DataFrame = {
-    val raw = spark.read.option("header", "true").csv(wsPath(doc, sheet))
+                expectedHeaders: Option[Seq[String]] = None,
+                head: Int = 1): DataFrame = {
+    require(head >= 1, s"head must be >= 1 (spreadsheet row numeration), got $head")
+    val raw =
+      if (head == 1) spark.read.option("header", "true").csv(wsPath(doc, sheet))
+      else {
+        // Sheets are driver-small by contract; multiLine forces the file to
+        // be read unsplit so zipWithIndex is file order — the spreadsheet's
+        // row numeration.
+        val rows = spark.read.option("header", "false").option("multiLine", "true")
+          .csv(wsPath(doc, sheet))
+        val indexed = rows.rdd.zipWithIndex()
+        val headerRow = indexed.filter(_._2 == head - 1L).map(_._1).collect()
+          .headOption.getOrElse(throw new HeaderMismatchException(
+            s"worksheet $sheet has no row $head to use as header"))
+        val names = (0 until headerRow.length)
+          .map(i => Option(headerRow.get(i)).map(_.toString).getOrElse(""))
+        spark.createDataFrame(indexed.filter(_._2 >= head.toLong).map(_._1), rows.schema)
+          .toDF(names: _*)
+      }
     expectedHeaders.foreach { exp =>
       if (raw.columns.toSeq != exp)
         throw new HeaderMismatchException(

@@ -11,9 +11,10 @@ import org.apache.spark.sql.types._
   * CTAS bq.py:420-447/651-675, low-downtime replace bq.py:557-591,
   * upsert bq.py:450-554) on the Spark session catalog.
   *
-  * The reference's retry/backoff machinery (bq.py:321-383) is subsumed by
+  * The reference's per-chunk insert retry (bq.py:367-383) is subsumed by
   * Spark's task retries; its chunked-insert batching (bq.py:386-417) by
-  * partition-parallel writes (`repartition(n)` ≙ chunk count).
+  * partition-parallel writes (`repartition(n)` ≙ chunk count); its
+  * create-on-Conflict retry (bq.py:321-364) is [[createTableRetrying]].
   */
 object TableOps {
 
@@ -29,6 +30,38 @@ object TableOps {
   def createTable(spark: SparkSession, table: String, schema: StructType): Unit = {
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     empty.write.mode(SaveMode.ErrorIfExists).saveAsTable(table)
+  }
+
+  /** ≙ create_table's Conflict retry (bq.py:321-364: tenacity 3 attempts,
+    * exponential backoff min 1 s): a TRANSIENT Conflict — a just-deleted
+    * table whose deletion is still settling in an eventually-consistent
+    * catalog — resolves on a later attempt; a persistent Conflict (the
+    * table really exists) propagates after the final attempt. The local
+    * catalog is strongly consistent, so this is observable-behavior parity,
+    * exercised in TableOpsSpec via an injected transient conflict. */
+  def createTableRetrying(spark: SparkSession, table: String, schema: StructType,
+                          attempts: Int = 3,
+                          sleep: Long => Unit = Thread.sleep): Unit =
+    retryOnConflict(attempts, sleep)(createTable(spark, table, schema))
+
+  /** Retry `body` on table-already-exists up to `attempts` times with
+    * exponential backoff (1 s, 2 s, …, ≙ tenacity.wait_exponential(min=1));
+    * the last attempt's Conflict propagates. */
+  private[tables] def retryOnConflict[T](attempts: Int, sleep: Long => Unit)
+                                        (body: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+          if (attempt >= attempts) throw e
+          Console.err.println(
+            s"[graft] create_table: Conflict on attempt $attempt/$attempts, retrying: ${e.getMessage}")
+          sleep(1000L << (attempt - 1))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** ≙ idempotent delete_table (bq.py:276-299): check-first, warn-if-absent. */
@@ -175,8 +208,23 @@ object TableOps {
         if (!x.isNumber) errs += s"row $idx: $path: expected number, got ${x.getNodeType}"
       case (x, BooleanType) =>
         if (!x.isBoolean) errs += s"row $idx: $path: expected boolean, got ${x.getNodeType}"
-      case (x, StringType | TimestampType | DateType | BinaryType) =>
+      case (x, StringType | BinaryType) =>
         if (!x.isTextual) errs += s"row $idx: $path: expected string, got ${x.getNodeType}"
+      // Malformed temporal strings must reject the BATCH (≙ BigQuery raising
+      // per-row insert errors) — without this check the subsequent
+      // PERMISSIVE-mode read would silently land them as NULL. Parse with
+      // Spark's own lexer so validation acceptance matches the reader's.
+      case (x, TimestampType) =>
+        if (!x.isTextual) errs += s"row $idx: $path: expected timestamp string, got ${x.getNodeType}"
+        else if (org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(x.asText()),
+          java.time.ZoneOffset.UTC).isEmpty)
+          errs += s"row $idx: $path: unparseable timestamp '${x.asText()}'"
+      case (x, DateType) =>
+        if (!x.isTextual) errs += s"row $idx: $path: expected date string, got ${x.getNodeType}"
+        else if (org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToDate(
+          org.apache.spark.unsafe.types.UTF8String.fromString(x.asText())).isEmpty)
+          errs += s"row $idx: $path: unparseable date '${x.asText()}'"
       case (x, ArrayType(elem, _)) =>
         if (!x.isArray) errs += s"row $idx: $path: expected array, got ${x.getNodeType}"
         else {

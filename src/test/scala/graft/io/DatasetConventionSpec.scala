@@ -2,6 +2,7 @@ package graft.io
 
 import graft.SparkSpec
 import java.time.Instant
+import org.apache.spark.sql.functions.col
 
 class DatasetConventionSpec extends SparkSpec {
   import DatasetConvention._
@@ -71,9 +72,16 @@ class DatasetConventionSpec extends SparkSpec {
     val base = tmpDir("dsempty")
     assert(read(spark, base, "absent").count() == 0)
     assert(read(spark, base, "absent", latestOnly = true).count() == 0)
-    // root exists but holds no partition files
+    // root exists but holds no partition files — BOTH paths (the
+    // non-latestOnly one used to hit "unable to infer schema" here)
     new java.io.File(s"$base/bare").mkdirs()
+    assert(read(spark, base, "bare").count() == 0)
     assert(read(spark, base, "bare", latestOnly = true).count() == 0)
+    // the empty result carries the partition columns, so the same
+    // downstream filters compose on empty and non-empty datasets alike
+    assert(read(spark, base, "bare").filter(col("version") === 1).count() == 0)
+    assert(read(spark, base, "bare", version = Some(2), latestOnly = true)
+      .select("year", "month", "day").count() == 0)
   }
 
   test("compaction shrinks file count, preserves content, and swaps atomically") {

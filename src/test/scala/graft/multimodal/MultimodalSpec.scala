@@ -60,6 +60,47 @@ class MultimodalSpec extends SparkSpec {
     assert(img.bytes.sameElements(again.bytes))
   }
 
+  /** A real 8×6 PNG: left half black, right half white. */
+  private def realPng(w: Int = 8, h: Int = 6): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decodes: probe fills true dimensions, features are pixel luminance") {
+    val media = Seq(
+      Media(10, "image", realPng(), MediaMeta(None, None, None)),
+      Media(11, "image", "not-an-image".getBytes, MediaMeta(None, None, None))).toDS()
+    val probed = probeImages(media).collect()
+    assert(probed.find(_.id == 10).get.meta == MediaMeta(Some(8), Some(6), None))
+    assert(probed.find(_.id == 11).get.meta == MediaMeta(None, None, None)) // undecodable untouched
+    val feats = extractFeatures(media, dim = 2).collect()
+    val f10 = feats.find(_.id == 10).get.features
+    assert(math.abs(f10(0)) < 1e-6f, "left half is black → ~0 luminance")
+    assert(math.abs(f10(1) - 1.0f) < 1e-2f, "right half is white → ~1 luminance")
+    // undecodable image falls back to the deterministic byte stub
+    assert(feats.find(_.id == 11).get.features
+      .sameElements(decodeStub("not-an-image".getBytes, 2)))
+  }
+
+  test("real PNG resize: output is a decodable PNG with the target dimensions") {
+    val media = Seq(Media(10, "image", realPng(8, 6), MediaMeta(Some(8), Some(6), None))).toDS()
+    val out = resizeImages(media, targetW = 4, targetH = 3).collect().head
+    assert(out.meta == MediaMeta(Some(4), Some(3), None))
+    val reread = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.bytes))
+    assert(reread.getWidth == 4 && reread.getHeight == 3)
+    // resampled content preserves the black→white split
+    assert((reread.getRGB(0, 1) & 0xffffff) == 0x000000)
+    assert((reread.getRGB(3, 1) & 0xffffff) == 0xffffff)
+    // deterministic
+    val again = resizeImages(media, 4, 3).collect().head
+    assert(out.bytes.sameElements(again.bytes))
+  }
+
   test("metaOnly never reads the binary column (scan prunes bytes)") {
     val dir = tmpDir("media")
     sampleMedia.toDF().write.mode("overwrite").parquet(dir)

@@ -55,6 +55,16 @@ class PaginationSpec extends SparkSpec {
     assert(p1.nextToken.isEmpty)
   }
 
+  test("release drops the materialized destination; idempotent") {
+    val df = (1 to 8).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val dest = tmpDir("pagerel") + "/dest"
+    val p0 = Pagination.firstPage(df, Seq("id"), 5, dest)
+    assert(new java.io.File(dest).exists())
+    Pagination.release(spark, p0.nextToken.get)
+    assert(!new java.io.File(dest).exists()) // destination gone
+    Pagination.release(spark, p0.nextToken.get) // second release: no-op, no error
+  }
+
   test("empty result: one empty page, immediate termination") {
     val df = Seq.empty[(Long, String)].toDF("id", "v")
     val dest = tmpDir("page5") + "/dest"

@@ -18,6 +18,26 @@ class SheetOpsSpec extends SparkSpec {
       .forall(_.dataType.typeName == "string")) // numbers become strings
   }
 
+  test("head=N: row N is the header, title rows above it are ignored (sheets.py:220-232)") {
+    val doc = tmpDir("sheetdoc_head")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(doc, "ws.csv"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(doc, "ws.csv", "part-0.csv"),
+      "Quarterly report,\nGenerated 2026-07-01,\nid,name\n1,a\n2,\n")
+    val df = SheetOps.readSheet(spark, doc, "ws", head = 3)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    val out = df.as[(Option[String], Option[String])].collect().toSeq
+    assert(out == Seq((Some("1"), Some("a")), (Some("2"), None))) // ""→NULL holds
+    // expected_headers composes with head
+    intercept[HeaderMismatchException] {
+      SheetOps.readSheet(spark, doc, "ws", expectedHeaders = Some(Seq("id", "name")), head = 2)
+    }
+    // header row beyond the sheet raises
+    intercept[HeaderMismatchException] {
+      SheetOps.readSheet(spark, doc, "ws", head = 99)
+    }
+  }
+
   test("expected_headers mismatch raises") {
     val doc = tmpDir("sheetdoc2")
     SheetOps.replaceFromRecords(Seq((1, "a")).toDF("id", "name"), doc, "ws")

@@ -2,6 +2,7 @@ package graft.tables
 
 import graft.SparkSpec
 import graft.merge.SchemaMismatchException
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 class TableOpsSpec extends SparkSpec {
@@ -98,6 +99,30 @@ class TableOpsSpec extends SparkSpec {
     assert(spark.table(t).count() == 2) // missing field → NULL, accepted
   }
 
+  test("insertRecords rejects malformed timestamp/date strings instead of landing NULLs") {
+    val t = freshTable()
+    TableOps.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("d", DateType))))
+    val ex = intercept[InsertErrorsException] {
+      TableOps.insertRecords(spark, t, Seq(
+        """{"id": 1, "ts": "2026-08-12T10:00:00Z", "d": "2026-08-12"}""",
+        """{"id": 2, "ts": "not a time", "d": "2026-08-12"}""",
+        """{"id": 3, "ts": "2026-08-12 10:00:00", "d": "12/08/2026"}"""))
+    }
+    assert(ex.errors.size == 2)
+    assert(ex.errors.exists(e => e.contains("row 1") && e.contains("unparseable timestamp")))
+    assert(ex.errors.exists(e => e.contains("row 2") && e.contains("unparseable date")))
+    assert(spark.table(t).count() == 0) // batch rejected atomically
+    // well-formed variants (ISO instant, space-separated local) land intact
+    TableOps.insertRecords(spark, t, Seq(
+      """{"id": 1, "ts": "2026-08-12T10:00:00Z", "d": "2026-08-12"}""",
+      """{"id": 2, "ts": "2026-08-12 10:00:00", "d": "2026-01-31"}""",
+      """{"id": 3, "ts": null, "d": null}"""))
+    assert(spark.table(t).count() == 3)
+    assert(spark.table(t).filter(col("ts").isNull).count() == 1) // only the real null
+  }
+
   test("createTableFromRecords: empty → warn no-op (≙ bq.py:608-610)") {
     val t = freshTable()
     TableOps.createTableFromRecords(spark, t, Seq.empty)
@@ -131,6 +156,27 @@ class TableOpsSpec extends SparkSpec {
     val t2 = freshTable()
     TableOps.createTableFromRecords(spark, t2, Seq("""{"id": 4}"""), overwrite = true)
     assert(spark.table(t2).count() == 1)
+  }
+
+  test("createTableRetrying: transient Conflict resolves, persistent Conflict raises after 3 (≙ bq.py:321-364)") {
+    val t = freshTable()
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // Injected transient conflict: table exists on attempt 1, is dropped by a
+    // "settling delete" during the first backoff, attempt 2 succeeds.
+    TableOps.createTable(spark, t, schema)
+    TableOps.createTableRetrying(spark, t, schema,
+      sleep = ms => { sleeps += ms; TableOps.deleteTable(spark, t); () })
+    assert(TableOps.checkTable(spark, t))
+    assert(sleeps.toSeq == Seq(1000L)) // exponential backoff base (wait_exponential min=1)
+    // Persistent Conflict: all 3 attempts hit the existing table, then raise;
+    // backoff doubles between attempts.
+    val sleeps2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      TableOps.createTableRetrying(spark, t, schema, sleep = sleeps2 += _)
+    }
+    assert(sleeps2.toSeq == Seq(1000L, 2000L))
+    assert(TableOps.checkTable(spark, t)) // existing table untouched
   }
 
   test("upsertTable schema mismatch raises and leaves target + no tmp behind") {
