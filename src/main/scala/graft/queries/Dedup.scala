@@ -60,9 +60,13 @@ object Dedup {
 
   /** Distinct MinHash-LSH candidate pairs (doc_a < doc_b) — shared by
     * q_dedup_minhash (reports them) and q_dedup_resolve (resolves them into
-    * a surviving-document set). */
+    * a surviving-document set). The signature table is persisted because
+    * the band self-join consumes it TWICE — without it each side recomputes
+    * the whole tokenize→shingle→md5→min-agg pipeline. It's also the narrow
+    * (doc_id + 8×16 chars) artifact worth durably materializing at corpus
+    * scale, where recomputing shingles is the expensive step. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    bandPairs(signature(shingles(s, d)))
+    bandPairs(signature(shingles(s, d)).persist(StorageLevel.DISK_ONLY))
 
   val queries: Map[String, QFn] = Map(
 
@@ -290,15 +294,22 @@ object Dedup {
     // independent similarity metric over the same candidate machinery.
     "q_dedup_fuzzy" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val lev = levenshtein(col("ta"), col("tb"))
+      // graft_levenshtein = builtin levenshtein with common-prefix/suffix
+      // stripping (distance-preserving; bit-identical results) — near-dup
+      // candidates share most of their text, so the O(n·m) DP shrinks to
+      // the small differing middle. The distance lands in its OWN
+      // projection and edit_sim derives from the aliased column: a
+      // twice-referenced non-cheap alias is not inlined by CollapseProject,
+      // so the DP runs exactly once per pair.
+      val lev = expr("graft_levenshtein(ta, tb)")
       minhashPairs(s, d)
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           lev.cast("long").as("edit_dist"),
-          (lit(1.0) - lev.cast("double") /
-            greatest(length(col("ta")), length(col("tb"))).cast("double"))
-            .as("edit_sim"))
+          greatest(length(col("ta")), length(col("tb"))).cast("double").as("len_mx"))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+          (lit(1.0) - col("edit_dist").cast("double") / col("len_mx")).as("edit_sim"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -87,6 +87,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q_minhash_estimate never joins on the bare shingle key (candidate-restricted Jaccard)") {
+    val p = plan("q_minhash_estimate")
+    // The true-Jaccard side must be restricted to LSH candidate pairs: every
+    // join touching the shingle column must also carry a doc key. A join
+    // keyed on the shingle ALONE is the corpus-scale hot-shingle pair
+    // explosion this query used to carry (only q_dedup_ngram, the
+    // documented exact baseline, is allowed that shape).
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[g#""".r
+      .findFirstIn(p).isEmpty, p)
+  }
+
   test("metadata argmax join in q_latest_partition broadcasts the singleton") {
     val p = plan("q_latest_partition")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)

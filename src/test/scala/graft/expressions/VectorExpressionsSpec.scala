@@ -41,4 +41,32 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_long_dot(array(2L), array(21L))")
       .first().getLong(0) == 42L)
   }
+
+  test("graft_levenshtein is bit-identical to the builtin on adversarial inputs") {
+    GraftFunctions.register(spark)
+    val base = "the quick brown fox jumps over the lazy dog " * 20
+    val cases = Seq(
+      ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+      ("kitten", "sitting"), ("flaw", "lawn"),
+      (base, base),                                        // full trim, no DP
+      (base + "xyz", base + "abc"),                        // shared prefix
+      ("xyz" + base, "abc" + base),                        // shared suffix
+      (base + "MID" + base, base + "middle" + base),       // both ends shared
+      ("ab", "ba"), ("aaaa", "aa"),                        // trim interacts with repeats
+      ("café", "cafe"),                               // non-ASCII
+      ("a😀b", "a😁b"),                // surrogate pairs mid-string
+      ("😀abc", "😀abd"),              // surrogate prefix
+      ("abc😀", "abd😀"))              // surrogate suffix
+    val df = cases.toDF("a", "b")
+    val out = df.select(
+      expr("graft_levenshtein(a, b)").as("fast"),
+      levenshtein(col("a"), col("b")).as("ref"))
+      .as[(Int, Int)].collect()
+    out.zip(cases).foreach { case ((f, r), c) =>
+      assert(f == r, s"mismatch on $c: trimmed=$f builtin=$r")
+    }
+    // null propagation
+    assert(Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(expr("graft_levenshtein(a, b)")).collect()(0).isNullAt(0))
+  }
 }
