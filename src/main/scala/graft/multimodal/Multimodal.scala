@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * Media (image/audio/video) travels as an opaque `binary` column with a
   * typed metadata struct. The IMAGE codec path is real — JDK-native
   * `javax.imageio` (PNG/JPEG/GIF/BMP) decodes pixels for probing, feature
-  * extraction, and resampling; no external libraries. Audio/video codecs
-  * are not in the JDK, so those paths fall back to [[decodeStub]] —
-  * deterministic pseudo-features from the raw bytes — keeping the
-  * distributed plumbing testable; swap the stub for a real codec (e.g.
-  * JNI/javacv) without touching any of the surrounding plan. Image rows
-  * whose payload ImageIO cannot parse take the same stub fallback rather
+  * extraction, and resampling — and so is the AUDIO path for WAV/AIFF via
+  * JDK-native `javax.sound.sampled` (sample-rate probe, PCM decode, RMS
+  * energy features); no external libraries. Compressed audio (mp3/flac)
+  * and video codecs are not in the JDK, so those payloads fall back to
+  * [[decodeStub]] — deterministic pseudo-features from the raw bytes —
+  * keeping the distributed plumbing testable; swap the stub for a real
+  * codec (e.g. JNI/javacv) without touching any of the surrounding plan.
+  * Undecodable payloads of any kind take the same stub fallback rather
   * than poisoning the batch.
   *
   * Processing uses `mapPartitions` over a typed Dataset deliberately:
@@ -103,8 +105,83 @@ object Multimodal {
     out
   }
 
-  /** STUB decode for kinds the JDK has no codec for (audio/video) and for
-    * undecodable image payloads: deterministic pseudo-features from the raw
+  /** JDK-native audio decode via javax.sound.sampled (WAV/AIFF PCM ship
+    * with the JDK): (sample_rate, mono samples in [-1, 1]). Multi-channel
+    * audio is downmixed by averaging. None when the payload is absent, a
+    * format the JDK can't parse (mp3/flac), or a non-PCM encoding. */
+  private[multimodal] def decodeAudio(bytes: Array[Byte]): Option[(Int, Array[Float])] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = fmt.getSampleSizeInBits
+          val ch = fmt.getChannels
+          if ((!signed && !unsigned) || (bits != 8 && bits != 16) || ch < 1) None
+          else {
+            val raw = in.readAllBytes()
+            val bytesPerSample = bits / 8
+            val frameBytes = bytesPerSample * ch
+            val nFrames = raw.length / frameBytes
+            val out = new Array[Float](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0f
+              var c = 0
+              while (c < ch) {
+                val o = f * frameBytes + c * bytesPerSample
+                val v =
+                  if (bits == 8) {
+                    if (signed) raw(o).toFloat / 128f
+                    else ((raw(o) & 0xff) - 128).toFloat / 128f
+                  } else {
+                    val lo = raw(if (fmt.isBigEndian) o + 1 else o) & 0xff
+                    val hi = raw(if (fmt.isBigEndian) o else o + 1)
+                    val s = (hi << 8) | lo
+                    (if (signed) s else (s & 0xffff) - 32768).toFloat / 32768f
+                  }
+                acc += v
+                c += 1
+              }
+              out(f) = acc / ch
+              f += 1
+            }
+            Some((fmt.getSampleRate.toInt, out))
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+  /** Audio features: RMS energy per `dim` time slices — deterministic and
+    * partitioning-independent, like [[pixelFeatures]] for images. */
+  private[multimodal] def audioFeatures(sampleRate: Int, samples: Array[Float],
+                                        dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val cnt = new Array[Int](dim)
+    var i = 0
+    while (i < samples.length) {
+      val b = (i.toLong * dim / samples.length).toInt
+      out(b) += samples(i) * samples(i)
+      cnt(b) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < dim) {
+      if (cnt(j) > 0) out(j) = math.sqrt(out(j) / cnt(j)).toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** STUB decode for formats the JDK has no codec for (mp3/flac/video) and
+    * for undecodable payloads: deterministic pseudo-features from the raw
     * bytes, so the distributed plumbing stays testable without external
     * codec libraries. */
   def decodeStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
@@ -119,8 +196,9 @@ object Multimodal {
 
   /** Feature extraction over a media Dataset: partition-batched map, codec
     * init once per partition. Image rows decode to pixels (ImageIO) and get
-    * [[pixelFeatures]]; everything else — and image payloads ImageIO can't
-    * parse — takes [[decodeStub]]. */
+    * [[pixelFeatures]]; audio rows decode to PCM (javax.sound) and get
+    * [[audioFeatures]]; everything else — and payloads the JDK codecs
+    * can't parse — takes [[decodeStub]]. */
   def extractFeatures(media: Dataset[Media], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -129,27 +207,38 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
-        val feats = (if (m.kind == "image") decodeImage(bytes) else None)
-          .map(pixelFeatures(_, dim))
-          .getOrElse(decodeStub(bytes, dim))
+        val feats = m.kind match {
+          case "image" => decodeImage(bytes).map(pixelFeatures(_, dim))
+            .getOrElse(decodeStub(bytes, dim))
+          case "audio" => decodeAudio(bytes)
+            .map { case (sr, samples) => audioFeatures(sr, samples, dim) }
+            .getOrElse(decodeStub(bytes, dim))
+          case _ => decodeStub(bytes, dim)
+        }
         MediaFeatures(m.id, m.kind, bytes.length, feats)
       }
     }
   }
 
-  /** Probe image rows for their REAL dimensions (ImageIO decode): fills
-    * meta.width/height from the pixels — the ingest-time metadata pass that
-    * lets every later stage filter on dimensions without touching bytes.
-    * Non-image rows and undecodable payloads pass through unchanged. */
+  /** Probe image/audio rows for their REAL metadata (ImageIO / javax.sound
+    * decode): fills meta.width/height from the pixels and meta.sample_rate
+    * from the audio header — the ingest-time metadata pass that lets every
+    * later stage filter on dimensions without touching bytes. Other kinds
+    * and undecodable payloads pass through unchanged. */
   def probeImages(media: Dataset[Media]): Dataset[Media] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        if (m.kind != "image") m
-        else decodeImage(m.bytes).fold(m)(img =>
-          m.copy(meta = m.meta.copy(width = Some(img.getWidth),
-            height = Some(img.getHeight))))
+        m.kind match {
+          case "image" => decodeImage(m.bytes).fold(m)(img =>
+            m.copy(meta = m.meta.copy(width = Some(img.getWidth),
+              height = Some(img.getHeight))))
+          case "audio" => decodeAudio(m.bytes).fold(m) { case (sr, _) =>
+            m.copy(meta = m.meta.copy(sample_rate = Some(sr)))
+          }
+          case _ => m
+        }
       }
     }
   }

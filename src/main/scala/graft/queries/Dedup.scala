@@ -260,7 +260,10 @@ object Dedup {
     // hot-shingle pair explosion of an uncapped shingle self-join.
     "q_minhash_estimate" -> ((s, d) => {
       val ng = shingles(s, d).persist(StorageLevel.DISK_ONLY)
-      val sig = signature(ng)
+      // sig feeds three consumers (both band-join sides + the signature
+      // compare) — persist the narrow table instead of re-aggregating the
+      // shingle set per branch
+      val sig = signature(ng).persist(StorageLevel.DISK_ONLY)
       val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val cand = bandPairs(sig).persist(StorageLevel.DISK_ONLY)
       val common = cand

@@ -101,6 +101,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out.bytes.sameElements(again.bytes))
   }
 
+  /** A real 16-bit mono 8 kHz WAV: 440 Hz sine for the first half,
+    * silence for the second. */
+  private def realWav(sampleRate: Int = 8000, nSamples: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples / 2) {
+      val v = (math.sin(2 * math.Pi * 440 * i / sampleRate) * 0.8 * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decodes: probe fills sample_rate, features are RMS energy per slice") {
+    val media = Seq(
+      Media(20, "audio", realWav(), MediaMeta(None, None, None)),
+      Media(21, "audio", "not-audio".getBytes, MediaMeta(None, None, None))).toDS()
+    val probed = probeImages(media).collect()
+    assert(probed.find(_.id == 20).get.meta == MediaMeta(None, None, Some(8000)))
+    assert(probed.find(_.id == 21).get.meta == MediaMeta(None, None, None)) // undecodable untouched
+    val feats = extractFeatures(media, dim = 2).collect()
+    val f20 = feats.find(_.id == 20).get.features
+    // first half: 0.8-amplitude sine → RMS ≈ 0.8/√2 ≈ 0.566; second half: silence
+    assert(math.abs(f20(0) - 0.566f) < 0.02f, f20.mkString(","))
+    assert(math.abs(f20(1)) < 1e-3f, f20.mkString(","))
+    // undecodable audio falls back to the deterministic byte stub
+    assert(feats.find(_.id == 21).get.features
+      .sameElements(decodeStub("not-audio".getBytes, 2)))
+  }
+
   test("metaOnly never reads the binary column (scan prunes bytes)") {
     val dir = tmpDir("media")
     sampleMedia.toDF().write.mode("overwrite").parquet(dir)
