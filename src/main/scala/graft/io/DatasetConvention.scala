@@ -138,17 +138,27 @@ object DatasetConvention {
     if (!fs.exists(new Path(root))) return emptyConvention(spark)
     // List first on BOTH paths: an existing-but-fileless root would make
     // spark.read.json throw "unable to infer schema" instead of returning
-    // the promised empty DataFrame.
+    // the promised empty DataFrame. Only files Spark's reader would
+    // actually see count — '.'/'_'-prefixed names (markers like _SUCCESS,
+    // compaction's .compact-* leftovers) are ignored by the scan, so a root
+    // holding nothing else must take the empty path too.
+    val qualifiedRoot = fs.makeQualified(new Path(root)).toString
     val it = fs.listFiles(new Path(root), true)
-    val files = Iterator.continually(it)
+    val allFiles = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next().getPath.toString)
-      .filter(p => version.forall(v => parsePartition(p).exists(_.version == v)))
+      .filter(p => !p.stripPrefix(qualifiedRoot).stripPrefix("/").split('/')
+        .exists(seg => seg.startsWith(".") || seg.startsWith("_")))
       .toSeq
+    if (allFiles.isEmpty) return emptyConvention(spark)
     if (!latestOnly) {
-      if (files.isEmpty) return emptyConvention(spark)
+      // A version that matches no partition of a POPULATED dataset filters
+      // to zero rows through the normal read, keeping the data schema —
+      // only a dataset with no files at all gets the partition-only frame.
       val df = spark.read.option("basePath", root).json(root)
       version.fold(df)(v => df.filter(col("version") === v))
     } else {
+      val files = allFiles
+        .filter(p => version.forall(v => parsePartition(p).exists(_.version == v)))
       val keep = latestPathFiles(files)
       if (keep.isEmpty) emptyConvention(spark)
       else spark.read.option("basePath", root).json(keep: _*)

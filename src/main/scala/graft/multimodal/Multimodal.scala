@@ -67,12 +67,16 @@ object Multimodal {
   }
 
   /** JDK-native image decode via javax.imageio (PNG/JPEG/GIF/BMP ship with
-    * the JDK). None when the payload is absent or not a parseable image. */
+    * the JDK). None when the payload is absent or not a parseable image.
+    * Catches NonFatal, not just IOException: plugin decoders throw
+    * RuntimeExceptions (AIOOBE, NegativeArraySize, IllegalArgument) on
+    * payloads whose header parses but whose body is malformed, and one bad
+    * blob must not kill the task. */
   private[multimodal] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (bytes == null || bytes.isEmpty) None
     else
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
   private[multimodal] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -122,12 +126,17 @@ object Multimodal {
           val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
           val bits = fmt.getSampleSizeInBits
           val ch = fmt.getChannels
-          if ((!signed && !unsigned) || (bits != 8 && bits != 16) || ch < 1) None
+          // 8/16/24/32-bit integer PCM, either endianness (24-bit is a
+          // common studio export — rejecting it would silently hand the
+          // caller stub pseudo-features for a perfectly decodable file)
+          if ((!signed && !unsigned) || bits < 8 || bits > 32 || bits % 8 != 0 || ch < 1) None
           else {
             val raw = in.readAllBytes()
             val bytesPerSample = bits / 8
             val frameBytes = bytesPerSample * ch
             val nFrames = raw.length / frameBytes
+            val half = 1L << (bits - 1)
+            val full = 1L << bits
             val out = new Array[Float](nFrames)
             var f = 0
             while (f < nFrames) {
@@ -135,17 +144,15 @@ object Multimodal {
               var c = 0
               while (c < ch) {
                 val o = f * frameBytes + c * bytesPerSample
-                val v =
-                  if (bits == 8) {
-                    if (signed) raw(o).toFloat / 128f
-                    else ((raw(o) & 0xff) - 128).toFloat / 128f
-                  } else {
-                    val lo = raw(if (fmt.isBigEndian) o + 1 else o) & 0xff
-                    val hi = raw(if (fmt.isBigEndian) o else o + 1)
-                    val s = (hi << 8) | lo
-                    (if (signed) s else (s & 0xffff) - 32768).toFloat / 32768f
-                  }
-                acc += v
+                var u = 0L
+                var k = 0
+                while (k < bytesPerSample) {
+                  val idx = o + (if (fmt.isBigEndian) k else bytesPerSample - 1 - k)
+                  u = (u << 8) | (raw(idx) & 0xffL)
+                  k += 1
+                }
+                val sv = if (signed) { if (u >= half) u - full else u } else u - half
+                acc += sv.toFloat / half
                 c += 1
               }
               out(f) = acc / ch
@@ -154,10 +161,7 @@ object Multimodal {
             Some((fmt.getSampleRate.toInt, out))
           }
         } finally in.close()
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
-      }
+      } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Audio features: RMS energy per `dim` time slices — deterministic and
     * partitioning-independent, like [[pixelFeatures]] for images. */

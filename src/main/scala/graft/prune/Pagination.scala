@@ -32,7 +32,11 @@ import java.util.Base64
   */
 object Pagination {
 
-  final case class Page(rows: DataFrame, nextToken: Option[String])
+  /** One result page. `nextToken=None` terminates the cursor (fixture A8);
+    * `token` identifies the page's own cursor and stays valid on the FINAL
+    * page, so a caller that paged to exhaustion still has something to
+    * hand [[release]]. */
+  final case class Page(rows: DataFrame, nextToken: Option[String], token: String)
 
   private final case class Token(path: String, offset: Long, pageSize: Int, total: Long)
 
@@ -100,6 +104,7 @@ object Pagination {
     val nextOff = t.offset + t.pageSize
     Page(rows,
       if (nextOff >= t.total) None // ≙ next_page_token=None terminates (A8)
-      else Some(encode(t.copy(offset = nextOff))))
+      else Some(encode(t.copy(offset = nextOff))),
+      encode(t))
   }
 }

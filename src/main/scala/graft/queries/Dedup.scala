@@ -186,6 +186,11 @@ object Dedup {
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .repartition(loopParts, col("src"))
         .persist(StorageLevel.DISK_ONLY)
+      // Force the edges cache NOW: its RDD only registers in
+      // getPersistentRDDs on first materialization, and if that happens
+      // inside the first checkpoint's id-delta window, round 1's cleanup
+      // would unpersist the very cache the whole loop depends on.
+      edges.count()
       val sc = s.sparkContext
       def persistedIds = sc.getPersistentRDDs.keySet.toSet
       var converged = false

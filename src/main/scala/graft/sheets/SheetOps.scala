@@ -44,19 +44,38 @@ object SheetOps {
     val raw =
       if (head == 1) spark.read.option("header", "true").csv(wsPath(doc, sheet))
       else {
-        // Sheets are driver-small by contract; multiLine forces the file to
-        // be read unsplit so zipWithIndex is file order — the spreadsheet's
-        // row numeration.
-        val rows = spark.read.option("header", "false").option("multiLine", "true")
-          .csv(wsPath(doc, sheet))
-        val indexed = rows.rdd.zipWithIndex()
-        val headerRow = indexed.filter(_._2 == head - 1L).map(_._1).collect()
-          .headOption.getOrElse(throw new HeaderMismatchException(
-            s"worksheet $sheet has no row $head to use as header"))
-        val names = (0 until headerRow.length)
-          .map(i => Option(headerRow.get(i)).map(_.toString).getOrElse(""))
-        spark.createDataFrame(indexed.filter(_._2 >= head.toLong).map(_._1), rows.schema)
-          .toDF(names: _*)
+        // Sheets are driver-small by contract, so parse driver-side with
+        // the CSV parser Spark itself bundles (univocity). Spark's own CSV
+        // reader sizes the schema from the FIRST row — a one-cell title
+        // row above the header would silently truncate every data row to
+        // one column; here the header row defines the width and short rows
+        // pad with NULL (≙ a spreadsheet grid's empty cells).
+        import scala.jdk.CollectionConverters._
+        val f = fs(spark, doc)
+        val dir = new Path(wsPath(doc, sheet))
+        val parts = f.listStatus(dir).toSeq.map(_.getPath)
+          .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+          .sortBy(_.getName)
+        val settings = new com.univocity.parsers.csv.CsvParserSettings
+        settings.setMaxColumns(16384)
+        val parser = new com.univocity.parsers.csv.CsvParser(settings)
+        val rows = parts.flatMap { p =>
+          val in = f.open(p)
+          try parser.parseAll(new java.io.InputStreamReader(in,
+            java.nio.charset.StandardCharsets.UTF_8)).asScala.toSeq
+          finally in.close()
+        }
+        if (rows.length < head)
+          throw new HeaderMismatchException(
+            s"worksheet $sheet has no row $head to use as header")
+        val names = rows(head - 1).map(v => Option(v).getOrElse("")).toSeq
+        val data = rows.drop(head).map(r =>
+          org.apache.spark.sql.Row.fromSeq(
+            names.indices.map(i => if (i < r.length) r(i) else null)))
+        spark.createDataFrame(data.asJava,
+          org.apache.spark.sql.types.StructType(names.map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType, nullable = true))))
       }
     expectedHeaders.foreach { exp =>
       if (raw.columns.toSeq != exp)

@@ -82,6 +82,25 @@ class DatasetConventionSpec extends SparkSpec {
     assert(read(spark, base, "bare").filter(col("version") === 1).count() == 0)
     assert(read(spark, base, "bare", version = Some(2), latestOnly = true)
       .select("year", "month", "day").count() == 0)
+    // a root holding ONLY reader-invisible files (markers, compaction
+    // leftovers) is still "empty" — spark.read.json would see no files
+    new java.io.File(s"$base/markers").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(base, "markers", "_SUCCESS"), "")
+    new java.io.File(s"$base/markers/.compact-tmp-v1").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "markers", ".compact-tmp-v1", "part-0.json"), """{"a":1}""")
+    assert(read(spark, base, "markers").count() == 0)
+    assert(read(spark, base, "markers", latestOnly = true).count() == 0)
+  }
+
+  test("version miss on a POPULATED dataset keeps the data schema (zero rows)") {
+    import spark.implicits._
+    val base = tmpDir("dsmiss")
+    append(Seq(("1", "x")).toDF("id", "payload"), base, "ds", 1, frozen)
+    val miss = read(spark, base, "ds", version = Some(99))
+    assert(miss.count() == 0)
+    assert(miss.columns.contains("payload")) // data column survives the miss
+    assert(miss.select("payload").count() == 0) // selectable, unlike a bare empty frame
   }
 
   test("compaction shrinks file count, preserves content, and swaps atomically") {

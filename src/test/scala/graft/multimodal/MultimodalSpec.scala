@@ -119,6 +119,30 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("24-bit PCM WAV decodes (studio export width), matching 16-bit RMS") {
+    val sampleRate = 8000
+    val n = 4000
+    val pcm24 = new Array[Byte](n * 3)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * 440 * i / sampleRate) * 0.8 * 8388607).toInt
+      pcm24(3 * i) = (v & 0xff).toByte
+      pcm24(3 * i + 1) = ((v >> 8) & 0xff).toByte
+      pcm24(3 * i + 2) = ((v >> 16) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 24, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm24), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val decoded = Multimodal.decodeAudio(bos.toByteArray)
+    assert(decoded.isDefined, "24-bit PCM must decode, not fall back to the stub")
+    val (sr, samples) = decoded.get
+    assert(sr == sampleRate && samples.length == n)
+    val rms = math.sqrt(samples.map(s => s * s).sum / n)
+    assert(math.abs(rms - 0.8 / math.sqrt(2)) < 0.01, s"rms=$rms")
+  }
+
   test("real WAV decodes: probe fills sample_rate, features are RMS energy per slice") {
     val media = Seq(
       Media(20, "audio", realWav(), MediaMeta(None, None, None)),

@@ -55,14 +55,16 @@ class PaginationSpec extends SparkSpec {
     assert(p1.nextToken.isEmpty)
   }
 
-  test("release drops the materialized destination; idempotent") {
+  test("release drops the materialized destination; callable from the FINAL page; idempotent") {
     val df = (1 to 8).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val dest = tmpDir("pagerel") + "/dest"
     val p0 = Pagination.firstPage(df, Seq("id"), 5, dest)
     assert(new java.io.File(dest).exists())
-    Pagination.release(spark, p0.nextToken.get)
+    val last = Pagination.nextPage(spark, p0.nextToken.get)
+    assert(last.nextToken.isEmpty) // exhausted cursor…
+    Pagination.release(spark, last.token) // …still releasable via its own token
     assert(!new java.io.File(dest).exists()) // destination gone
-    Pagination.release(spark, p0.nextToken.get) // second release: no-op, no error
+    Pagination.release(spark, p0.token) // release via any page's token: no-op, no error
   }
 
   test("empty result: one empty page, immediate termination") {

@@ -21,13 +21,17 @@ class SheetOpsSpec extends SparkSpec {
   test("head=N: row N is the header, title rows above it are ignored (sheets.py:220-232)") {
     val doc = tmpDir("sheetdoc_head")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(doc, "ws.csv"))
+    // title rows are NARROWER than the header (the normal spreadsheet
+    // shape — a one-cell banner): the header row must still define the
+    // column count, and a short data row pads with NULL
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(doc, "ws.csv", "part-0.csv"),
-      "Quarterly report,\nGenerated 2026-07-01,\nid,name\n1,a\n2,\n")
+      "Quarterly report\nGenerated 2026-07-01\nid,name\n1,a\n2,\n3\n")
     val df = SheetOps.readSheet(spark, doc, "ws", head = 3)
     assert(df.columns.toSeq == Seq("id", "name"))
     val out = df.as[(Option[String], Option[String])].collect().toSeq
-    assert(out == Seq((Some("1"), Some("a")), (Some("2"), None))) // ""→NULL holds
+    assert(out == Seq((Some("1"), Some("a")), (Some("2"), None), // ""→NULL holds
+      (Some("3"), None))) // ragged row padded
     // expected_headers composes with head
     intercept[HeaderMismatchException] {
       SheetOps.readSheet(spark, doc, "ws", expectedHeaders = Some(Seq("id", "name")), head = 2)
