@@ -20,8 +20,12 @@ object Dedup {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  /** doc_id, g: distinct whitespace-token 3-gram shingles per document. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** doc_id, g: whitespace-token 3-gram shingles per document, WITH
+    * repeats. Consumers that need set semantics (Jaccard counts) apply
+    * [[shingles]]; the MinHash signature path deliberately does not —
+    * min() over duplicate shingles equals min() over the distinct set, so
+    * the corpus-wide distinct shuffle is pure waste there. */
+  private def shinglesRaw(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
@@ -29,7 +33,10 @@ object Dedup {
         "transform(sequence(1, size(w) - 2), i -> " +
           "concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"))
         .as("g"))
-      .distinct()
+
+  /** doc_id, g: distinct whitespace-token 3-gram shingles per document. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesRaw(s, d).distinct()
 
   private val Seeds = 8 // MinHash seeds; banded 4 × 2
 
@@ -66,7 +73,7 @@ object Dedup {
     * (doc_id + 8×16 chars) artifact worth durably materializing at corpus
     * scale, where recomputing shingles is the expensive step. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    bandPairs(signature(shingles(s, d)).persist(StorageLevel.DISK_ONLY))
+    bandPairs(signature(shinglesRaw(s, d)).persist(StorageLevel.DISK_ONLY))
 
   val queries: Map[String, QFn] = Map(
 
