@@ -204,7 +204,14 @@ object Dedup {
       var iter = 0
       var labels: DataFrame = null
       var labelIds = Set.empty[Int]
+      // Loop-scoped session tuning, restored in finally: fixed small
+      // shuffle width (above), and AQE OFF — adaptive execution
+      // materializes every shuffle stage as its own job to collect runtime
+      // stats, which is pure per-round latency when the loop state is tiny
+      // and the partitioning is already chosen from the data.
+      val sessionAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
       s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val base = persistedIds
         labels = edges.select(col("src").as("doc")).distinct()
@@ -232,10 +239,12 @@ object Dedup {
           val nextIds = persistedIds -- before
           iter += 1
           // Convergence check every 2nd round (reads the just-checkpointed
-          // blocks — no extra join). Worst case: one extra round over
-          // already-converged (tiny) state; saves half the per-round
-          // blocking actions. The cap 20 is even, so the final permitted
-          // round always checks.
+          // blocks — no extra join). The sf0.1 candidate graph has a
+          // diameter-10 giant component → ~5 path-halved rounds, so
+          // checking half as often saves ~2 blocking actions at the cost
+          // of at most one extra round over converged (tiny) state —
+          // measured the better trade. The cap 20 is even, so the final
+          // permitted round always checks.
           converged = iter % 2 == 0 &&
             next.filter(col("comp") =!= col("old_comp")).isEmpty
           // The superseded round's checkpoint blocks are dead the moment we
@@ -246,7 +255,10 @@ object Dedup {
           labelIds = nextIds
           labels = next.select(col("doc"), col("comp"))
         }
-      } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", sessionParts)
+        s.conf.set("spark.sql.adaptive.enabled", sessionAqe)
+      }
       // Path halving converges in O(log diameter) — 20 rounds covers any
       // graph this side of 2^20 hops. If the cap is ever hit, the emitted
       // components would silently disagree with the oracle's transitive
