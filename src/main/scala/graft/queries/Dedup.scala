@@ -152,119 +152,24 @@ object Dedup {
       minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
 
     // The missing last mile of the dedup pipeline: resolve candidate PAIRS
-    // into a per-document verdict. Connected components over the MinHash
-    // candidate graph via join-based min-label propagation with PATH
-    // HALVING (each round also jumps every label to its label's label), so
-    // convergence is O(log diameter), not O(diameter) — no driver-side
-    // graph, every step a DataFrame join/aggregate. The loop runs only over
-    // docs that appear in at least one pair (the overwhelming minority at
-    // corpus scale); isolated docs join back at the end as their own
-    // component.
-    //
-    // Loop-state discipline: the per-round state MUST be localCheckpoint'd
-    // (eager), not merely persisted — each round references the previous
-    // labels plan twice, and Catalyst plans are trees copied by value, so
-    // without truncation the analyzed plan DOUBLES per iteration
-    // (exponential analyzer cost, then OOM around round 20). persist()
-    // caches data but never cuts the plan; localCheckpoint does both. The
-    // one-shot inputs (pairs, edges) stay on durable DISK_ONLY; on a real
-    // cluster the loop state would use reliable checkpoint() to a cluster
-    // store for executor-loss tolerance.
+    // into a per-document verdict — connected components over the MinHash
+    // candidate graph ([[graft.operators.Graph.connectedComponents]]:
+    // join-based min-label propagation with path halving, O(log diameter)
+    // rounds, no driver-side graph). The loop runs only over docs that
+    // appear in at least one pair (the overwhelming minority at corpus
+    // scale); isolated docs join back at the end as their own component.
     //
     // Output: (doc_id, component = min doc_id in its component, keep = 1
     // iff the doc is its component's representative) — |keep=1| + |keep=0|
     // = |docs| by construction.
     "q_dedup_resolve" -> ((s, d) => {
-      val pairs = minhashPairs(s, d).persist(StorageLevel.DISK_ONLY)
-      // Size the loop's shuffles from the DATA, not the session: the
-      // per-round joins run over |edges| rows — the docs that appear in at
-      // least one candidate pair, a sliver of the corpus — so running them
-      // at the corpus-sized shuffle width mostly schedules empty tasks
-      // (round 2 spent ~39 s at sf0.1 on 32-wide shuffles over a ~500-row
-      // state). One partition per ~100k edges, capped at the session width;
-      // the count also materializes the pair pipeline exactly once, up
-      // front. Edges are pre-hash-partitioned on the join key at that width
-      // so the cached side never re-shuffles inside the loop.
-      val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
-      val nEdges = pairs.count() * 2
-      val loopParts = math.max(1L, math.min(sessionParts.toLong, nEdges / 100000L + 1L)).toInt
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .repartition(loopParts, col("src"))
-        .persist(StorageLevel.DISK_ONLY)
-      // Force the edges cache NOW: its RDD only registers in
-      // getPersistentRDDs on first materialization, and if that happens
-      // inside the first checkpoint's id-delta window, round 1's cleanup
-      // would unpersist the very cache the whole loop depends on.
-      edges.count()
-      val sc = s.sparkContext
-      def persistedIds = sc.getPersistentRDDs.keySet.toSet
-      var converged = false
-      var iter = 0
-      var labels: DataFrame = null
-      var labelIds = Set.empty[Int]
-      // Loop-scoped session tuning, restored in finally: fixed small
-      // shuffle width (above), and AQE OFF — adaptive execution
-      // materializes every shuffle stage as its own job to collect runtime
-      // stats, which is pure per-round latency when the loop state is tiny
-      // and the partitioning is already chosen from the data.
-      val sessionAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
-      s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        val base = persistedIds
-        labels = edges.select(col("src").as("doc")).distinct()
-          .select(col("doc"), col("doc").as("comp"))
-          .localCheckpoint()
-        labelIds = persistedIds -- base
-        while (!converged && iter < 20) {
-          // neighbor step: take the min label over incoming edges
-          val prop = edges.join(labels, col("src") === col("doc"))
-            .groupBy(col("dst")).agg(min(col("comp")).as("nc"))
-          val stepped = labels.as("l")
-            .join(prop, col("l.doc") === col("dst"), "left")
-            .select(col("l.doc").as("doc"),
-              least(col("l.comp"), coalesce(col("nc"), col("l.comp"))).as("comp"),
-              col("l.comp").as("old_comp")) // carried for the convergence test
-          // path halving: comp := min(comp, comp(comp))
-          val m = stepped.select(col("doc").as("m_doc"), col("comp").as("m_comp"))
-          val before = persistedIds
-          val next = stepped.as("st")
-            .join(m, col("st.comp") === col("m_doc"), "left")
-            .select(col("st.doc").as("doc"),
-              least(col("st.comp"), coalesce(col("m_comp"), col("st.comp"))).as("comp"),
-              col("st.old_comp").as("old_comp"))
-            .localCheckpoint() // eager: materializes the round, cuts the plan
-          val nextIds = persistedIds -- before
-          iter += 1
-          // Convergence check every 2nd round (reads the just-checkpointed
-          // blocks — no extra join). The sf0.1 candidate graph has a
-          // diameter-10 giant component → ~5 path-halved rounds, so
-          // checking half as often saves ~2 blocking actions at the cost
-          // of at most one extra round over converged (tiny) state —
-          // measured the better trade. The cap 20 is even, so the final
-          // permitted round always checks.
-          converged = iter % 2 == 0 &&
-            next.filter(col("comp") =!= col("old_comp")).isEmpty
-          // The superseded round's checkpoint blocks are dead the moment we
-          // swap labels — free them now rather than carrying every round's
-          // blocks to the end of the query.
-          labelIds.foreach(id =>
-            sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-          labelIds = nextIds
-          labels = next.select(col("doc"), col("comp"))
-        }
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", sessionParts)
-        s.conf.set("spark.sql.adaptive.enabled", sessionAqe)
-      }
-      // Path halving converges in O(log diameter) — 20 rounds covers any
-      // graph this side of 2^20 hops. If the cap is ever hit, the emitted
-      // components would silently disagree with the oracle's transitive
-      // closure; fail loudly instead.
-      if (!converged) throw new IllegalStateException(
-        s"q_dedup_resolve: label propagation did not converge within $iter rounds")
+      // All the loop mechanics — data-sized shuffle width, pre-partitioned
+      // cached edges, eager checkpoints with plan truncation, loop-scoped
+      // AQE off, convergence cadence, non-convergence throw — live in the
+      // extracted library operator, spec-tested on adversarial graph
+      // shapes (ConnectedComponentsSpec).
+      val labels = graft.operators.Graph.connectedComponents(
+        minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
       val docs = t(s, d, "documents").select(col("doc_id")).distinct()
       docs.join(labels, col("doc_id") === col("doc"), "left")
         .select(col("doc_id"),
