@@ -1,8 +1,9 @@
 package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import java.time.{Instant, LocalDateTime, ZoneOffset}
 
 /** The partitioned-JSONL dataset convention (≙ reference gcs.py):
@@ -168,9 +169,9 @@ object DatasetConvention {
   /** Empty read result: no rows, just the convention's partition columns —
     * so `df.filter(col("version") === v)` composes on an empty dataset. */
   private def emptyConvention(spark: SparkSession): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq("version", "year", "month", "day")
-        .map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.IntegerType))))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq("version", "year", "month", "day")
+        .map(StructField(_, IntegerType))))
 
   /** Small-file compaction for one partition: rewrite its JSONL objects
     * into `targetFiles` files, then swap via rename-aside — the live dir is

@@ -229,7 +229,7 @@ object Multimodal {
     * from the audio header — the ingest-time metadata pass that lets every
     * later stage filter on dimensions without touching bytes. Other kinds
     * and undecodable payloads pass through unchanged. */
-  def probeImages(media: Dataset[Media]): Dataset[Media] = {
+  def probeMedia(media: Dataset[Media]): Dataset[Media] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)

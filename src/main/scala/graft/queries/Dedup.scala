@@ -168,8 +168,7 @@ object Dedup {
       // AQE off, convergence cadence, non-convergence throw — live in the
       // extracted library operator, spec-tested on adversarial graph
       // shapes (ConnectedComponentsSpec).
-      val labels = graft.operators.Graph.connectedComponents(
-        minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      val labels = graft.operators.Graph.connectedComponents(minhashPairs(s, d))
       val docs = t(s, d, "documents").select(col("doc_id")).distinct()
       docs.join(labels, col("doc_id") === col("doc"), "left")
         .select(col("doc_id"),

@@ -1,8 +1,9 @@
 package graft.sheets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Missing or reordered header row (≙ reference expected_headers check,
   * sheets.py:216-253). */
@@ -70,12 +71,9 @@ object SheetOps {
             s"worksheet $sheet has no row $head to use as header")
         val names = rows(head - 1).map(v => Option(v).getOrElse("")).toSeq
         val data = rows.drop(head).map(r =>
-          org.apache.spark.sql.Row.fromSeq(
-            names.indices.map(i => if (i < r.length) r(i) else null)))
+          Row.fromSeq(names.indices.map(i => if (i < r.length) r(i) else null)))
         spark.createDataFrame(data.asJava,
-          org.apache.spark.sql.types.StructType(names.map(n =>
-            org.apache.spark.sql.types.StructField(n,
-              org.apache.spark.sql.types.StringType, nullable = true))))
+          StructType(names.map(StructField(_, StringType, nullable = true))))
       }
     expectedHeaders.foreach { exp =>
       if (raw.columns.toSeq != exp)

@@ -75,7 +75,7 @@ class MultimodalSpec extends SparkSpec {
     val media = Seq(
       Media(10, "image", realPng(), MediaMeta(None, None, None)),
       Media(11, "image", "not-an-image".getBytes, MediaMeta(None, None, None))).toDS()
-    val probed = probeImages(media).collect()
+    val probed = probeMedia(media).collect()
     assert(probed.find(_.id == 10).get.meta == MediaMeta(Some(8), Some(6), None))
     assert(probed.find(_.id == 11).get.meta == MediaMeta(None, None, None)) // undecodable untouched
     val feats = extractFeatures(media, dim = 2).collect()
@@ -147,7 +147,7 @@ class MultimodalSpec extends SparkSpec {
     val media = Seq(
       Media(20, "audio", realWav(), MediaMeta(None, None, None)),
       Media(21, "audio", "not-audio".getBytes, MediaMeta(None, None, None))).toDS()
-    val probed = probeImages(media).collect()
+    val probed = probeMedia(media).collect()
     assert(probed.find(_.id == 20).get.meta == MediaMeta(None, None, Some(8000)))
     assert(probed.find(_.id == 21).get.meta == MediaMeta(None, None, None)) // undecodable untouched
     val feats = extractFeatures(media, dim = 2).collect()
