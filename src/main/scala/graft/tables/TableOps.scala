@@ -129,6 +129,33 @@ object TableOps {
     replaceTable(spark, table, merged)
   }
 
+  /** Record-level upsert composite (≙ upsert_table_from_records end to
+    * end): empty records → warn no-op, nothing touched
+    * (test_bq.py:492-505); MISSING target → create_table_from_records
+    * instead of raising (bq.py:497-512, test_bq.py:537-562); else decode
+    * records with the target's schema — or the records' inferred schema
+    * when `useTargetSchema=false`, whose mismatch then raises through the
+    * upsert's schema gate (test_bq.py:507-534) — and merge by key. */
+  def upsertTableFromRecords(spark: SparkSession, table: String,
+                             records: Seq[String], keys: Seq[String],
+                             useTargetSchema: Boolean = true): Unit = {
+    if (records.isEmpty) {
+      Console.err.println(
+        "[graft] upsert_table_from_records: no records to upsert (empty collection given)")
+      return
+    }
+    if (!checkTable(spark, table)) {
+      createTableFromRecords(spark, table, records)
+      return
+    }
+    val schema =
+      if (useTargetSchema) tableSchema(spark, table)
+      else SchemaInference.inferFromJson(records)
+    import spark.implicits._
+    val updates = spark.read.schema(schema).json(spark.createDataset(records))
+    upsertTable(spark, table, updates, keys)
+  }
+
   /** Bucketed + sorted table write: co-locates rows by join/aggregation key
     * so equi-joins and groupBys between same-bucketed tables run with ZERO
     * shuffle (Catalyst reuses the bucketing as the required distribution).

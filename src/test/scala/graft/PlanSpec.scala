@@ -87,6 +87,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q_dedup_minhash candidate generation is a band equi-join, never a cartesian") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_minhash_estimate never joins on the bare shingle key (candidate-restricted Jaccard)") {
     val p = plan("q_minhash_estimate")
     // The true-Jaccard side must be restricted to LSH candidate pairs: every

@@ -49,6 +49,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     check(edges)
   }
 
+  test("an unreachable iteration cap throws instead of emitting wrong labels") {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val chain = (0L until 50L).map(i => (i, i + 1)) // diameter 49 > 2^2
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(chain.toDF("src", "dst"), maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the loop-scoped confs are restored on the throw path too
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parts)
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqe)
+  }
+
   test("empty edge list yields empty labels") {
     assert(Graph.connectedComponents(
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)

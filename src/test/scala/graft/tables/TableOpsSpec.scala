@@ -179,6 +179,29 @@ class TableOpsSpec extends SparkSpec {
     assert(TableOps.checkTable(spark, t)) // existing table untouched
   }
 
+  test("upsertTableFromRecords: empty no-op, missing target creates, merge by key (≙ test_bq.py:431-562)") {
+    val t = freshTable()
+    // empty records: complete no-op — table not created, nothing raised
+    TableOps.upsertTableFromRecords(spark, t, Seq.empty, Seq("id"))
+    assert(!TableOps.checkTable(spark, t))
+    // missing target: falls back to create_table_from_records
+    TableOps.upsertTableFromRecords(spark, t,
+      Seq("""{"id": 1, "name": "a"}""", """{"id": 2, "name": "b"}"""), Seq("id"))
+    assert(spark.table(t).count() == 2)
+    // existing target: merge by key (update id=2, insert id=3)
+    TableOps.upsertTableFromRecords(spark, t,
+      Seq("""{"id": 2, "name": "B"}""", """{"id": 3, "name": "c"}"""), Seq("id"))
+    val rows = spark.table(t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // useTargetSchema=false: records' own (mismatched) schema hits the gate
+    intercept[SchemaMismatchException] {
+      TableOps.upsertTableFromRecords(spark, t,
+        Seq("""{"uuid": "x"}"""), Seq("uuid"), useTargetSchema = false)
+    }
+    assert(spark.table(t).count() == 3) // target untouched by the failed upsert
+  }
+
   test("upsertTable schema mismatch raises and leaves target + no tmp behind") {
     val t = freshTable()
     TableOps.createTableAs(spark, t, Seq((1L, "a")).toDF("id", "name"))
