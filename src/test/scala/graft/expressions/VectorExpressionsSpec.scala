@@ -42,6 +42,28 @@ class VectorExpressionsSpec extends SparkSpec {
       .first().getLong(0) == 42L)
   }
 
+  test("property: graft_levenshtein == builtin on random string pairs (300 seeded cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    GraftFunctions.register(spark)
+    // alphabet mixes repeats, a non-ASCII char, and a surrogate pair; short
+    // lengths maximize boundary coverage (empty, full-overlap, disjoint)
+    val strGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "é", "😀")).map(_.mkString))
+    val pairs = (0 until 300).map { i =>
+      (strGen(Gen.Parameters.default, Seed(7L + i)).getOrElse(""),
+        strGen(Gen.Parameters.default, Seed(9007L + i)).getOrElse(""))
+    }
+    val out = pairs.toDF("a", "b").select(
+      col("a"), col("b"),
+      expr("graft_levenshtein(a, b)").as("fast"),
+      levenshtein(col("a"), col("b")).as("ref"))
+      .as[(String, String, Int, Int)].collect()
+    out.foreach { case (a, b, f, r) =>
+      assert(f == r, s"mismatch on (\"$a\", \"$b\"): trimmed=$f builtin=$r")
+    }
+  }
+
   test("graft_levenshtein is bit-identical to the builtin on adversarial inputs") {
     GraftFunctions.register(spark)
     val base = "the quick brown fox jumps over the lazy dog " * 20
