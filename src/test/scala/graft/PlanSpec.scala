@@ -103,6 +103,11 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isEmpty, p)
   }
 
+  test("q_pipeline_corpus composes with equi-joins only — no cartesian anywhere in the flagship") {
+    val p = plan("q_pipeline_corpus")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("metadata argmax join in q_latest_partition broadcasts the singleton") {
     val p = plan("q_latest_partition")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
