@@ -21,7 +21,15 @@ def load(path: str) -> dict:
             line = line[len("[info]"):].strip()
         if line.startswith("{") and '"metric"' in line:
             return json.loads(line)
-    return json.loads(text)
+    d = json.loads(text)
+    if "queries" not in d and isinstance(d.get("tail"), str):
+        # driver BENCH_r{N}.json wrapper: the metric line is embedded in the
+        # captured sbt tail as an escaped substring
+        import re
+        m = re.search(r'\{"metric".*?"queries":\{.*?\}.*?\}', d["tail"])
+        if m:
+            return json.loads(m.group(0))
+    return d
 
 
 def main() -> int:
