@@ -59,7 +59,8 @@ object Bench {
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      s(s.length / 2)
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -79,7 +80,11 @@ object Bench {
     println(line)
     // sbt wraps stdout in [info] tags, which breaks machine parsing of the
     // metric line — mirror it to a plain file the driver can read directly.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // A BENCH_ONLY-restricted run writes a suffixed file by default so a
+    // partial total never silently overwrites the committed full-run
+    // artifact (an explicit SPARK_GRAFT_BENCH_OUT still wins).
+    val defaultOut = if (only.isDefined) "bench.partial.json" else "bench.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -28,18 +29,28 @@ object Graph {
     * caller joins the result back to its full entity table (as
     * q_dedup_resolve does).
     *
-    * Loop-state discipline: per-round state is localCheckpoint'd (eager) —
-    * each round references the previous labels plan twice and Catalyst
-    * plans are trees copied by value, so without truncation the analyzed
-    * plan doubles per iteration. persist() caches data but never cuts the
-    * plan. Superseded checkpoints are freed as soon as the round advances.
-    * On a real cluster the loop state would use reliable checkpoint() for
-    * executor-loss tolerance.
+    * Loop-state discipline: each round's result is truncated through an
+    * explicitly held, localCheckpoint'd RDD ([[truncate]]) — each round
+    * references the previous labels plan twice and Catalyst plans are
+    * trees copied by value, so without truncation the analyzed plan
+    * doubles per iteration. Holding the RDD handle means the superseded
+    * round's blocks are freed by unpersisting exactly that RDD — nothing
+    * else in the SparkContext is touched, so the operator is safe next to
+    * concurrent queries on the same session. On a real cluster the loop
+    * state would use reliable `checkpoint()` for executor-loss tolerance.
     *
-    * Loop-scoped session tuning (restored on exit): shuffle width sized
-    * from the edge count — the loop runs over the docs-in-pairs sliver,
-    * not the corpus — and AQE off, since its per-stage stat-collection
-    * jobs are pure latency on small state with a pre-chosen partitioning.
+    * Loop-scoped session tuning: the loop runs its DataFrames in a CHILD
+    * session (`newSession()` — isolated SQLConf, shared SparkContext), so
+    * setting the loop's shuffle width (sized from the edge count — the
+    * loop runs over the docs-in-pairs sliver, not the corpus) and
+    * disabling AQE (its per-stage stat-collection jobs are pure latency on
+    * small state with a pre-chosen partitioning) never mutates the
+    * caller's session conf. RDDs are session-agnostic, so loop state
+    * crosses between parent and child sessions for free; the per-round
+    * InternalRow→Row→InternalRow re-encode this costs is negligible on
+    * loop-state-sized data. The returned labels frame belongs to the
+    * CALLER's session and reads the final round's checkpoint blocks
+    * (which therefore stay persisted — the one deliberate residue).
     *
     * @param maxIters safety cap; path halving makes the default ample for
     *                 any graph this side of diameter 2^20. Hitting the cap
@@ -49,33 +60,43 @@ object Graph {
   def connectedComponents(pairs0: DataFrame, maxIters: Int = 20): DataFrame = {
     val s = pairs0.sparkSession
     val pairs = pairs0.toDF("src", "dst").persist(StorageLevel.DISK_ONLY)
-    val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
-    val nEdges = pairs.count() * 2
-    val loopParts = math.max(1L, math.min(sessionParts.toLong, nEdges / 100000L + 1L)).toInt
-    val edges = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(loopParts, col("src"))
-      .persist(StorageLevel.DISK_ONLY)
-    // Force the edges cache NOW: its RDD only registers in
-    // getPersistentRDDs on first materialization, and if that happened
-    // inside the first checkpoint's id-delta window, round 1's cleanup
-    // would unpersist the very cache the whole loop depends on.
-    edges.count()
-    val sc = s.sparkContext
-    def persistedIds = sc.getPersistentRDDs.keySet.toSet
-    var converged = false
-    var iter = 0
-    var labels: DataFrame = null
-    var labelIds = Set.empty[Int]
-    val sessionAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val loopS = s.newSession()
+    // Plan truncation with a DIRECTLY HELD RDD handle: df.rdd is
+    // localCheckpoint'd, materialized eagerly, and wrapped back as a leaf
+    // (LogicalRDD) DataFrame in the loop session. The caller unpersists
+    // exactly the RDD it created, never a diff of global persisted-RDD
+    // state — a concurrent query's caches can't be collateral damage.
+    def truncate(df: DataFrame): (DataFrame, RDD[Row]) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      (loopS.createDataFrame(rdd, df.schema), rdd)
+    }
+    var edges: DataFrame = null
+    var prevRdd: RDD[Row] = null
+    var lastRdd: RDD[Row] = null
+    var lastSchema: org.apache.spark.sql.types.StructType = null
     try {
-      val base = persistedIds
-      labels = edges.select(col("src").as("doc")).distinct()
-        .select(col("doc"), col("doc").as("comp"))
-        .localCheckpoint()
-      labelIds = persistedIds -- base
+      val nEdges = pairs.count() * 2
+      val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
+      val loopParts =
+        math.max(1L, math.min(sessionParts.toLong, nEdges / 100000L + 1L)).toInt
+      loopS.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      loopS.conf.set("spark.sql.adaptive.enabled", "false")
+      val bidir = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      edges = loopS.createDataFrame(bidir.rdd, bidir.schema)
+        .repartition(loopParts, col("src"))
+        .persist(StorageLevel.DISK_ONLY)
+      edges.count() // edges is materialized; pairs is now dead weight
+      pairs.unpersist(blocking = false)
+      var converged = false
+      var iter = 0
+      val (labels0, rdd0) = truncate(
+        edges.select(col("src").as("doc")).distinct()
+          .select(col("doc"), col("doc").as("comp")))
+      var labels = labels0
+      lastRdd = rdd0
+      lastSchema = labels0.schema
       while (!converged && iter < maxIters) {
         // neighbor step: take the min label over incoming edges
         val prop = edges.join(labels, col("src") === col("doc"))
@@ -87,14 +108,11 @@ object Graph {
             col("l.comp").as("old_comp")) // carried for the convergence test
         // path halving: comp := min(comp, comp(comp))
         val m = stepped.select(col("doc").as("m_doc"), col("comp").as("m_comp"))
-        val before = persistedIds
-        val next = stepped.as("st")
+        val (next, nextRdd) = truncate(stepped.as("st")
           .join(m, col("st.comp") === col("m_doc"), "left")
           .select(col("st.doc").as("doc"),
             least(col("st.comp"), coalesce(col("m_comp"), col("st.comp"))).as("comp"),
-            col("st.old_comp").as("old_comp"))
-          .localCheckpoint() // eager: materializes the round, cuts the plan
-        val nextIds = persistedIds -- before
+            col("st.old_comp").as("old_comp")))
         iter += 1
         // Convergence check every 2nd round (reads the just-checkpointed
         // blocks — no extra join): a diameter-d graph needs ~log2(d)
@@ -106,17 +124,26 @@ object Graph {
         // The superseded round's checkpoint blocks are dead the moment we
         // swap labels — free them now rather than carrying every round's
         // blocks to the end of the query.
-        labelIds.foreach(id =>
-          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-        labelIds = nextIds
+        prevRdd = lastRdd
+        prevRdd.unpersist(blocking = false)
+        lastRdd = nextRdd
+        lastSchema = next.schema
         labels = next.select(col("doc"), col("comp"))
       }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents: label propagation did not converge within $iter rounds")
+      // Hand the result back in the CALLER's session, reading the final
+      // checkpoint — independent of edges/pairs, which the finally block
+      // can therefore safely drop even on the success path.
+      s.createDataFrame(lastRdd, lastSchema).select(col("doc"), col("comp"))
+    } catch {
+      case t: Throwable =>
+        // On failure nothing downstream will read the last round — drop it.
+        if (lastRdd != null) lastRdd.unpersist(blocking = false)
+        throw t
     } finally {
-      s.conf.set("spark.sql.shuffle.partitions", sessionParts)
-      s.conf.set("spark.sql.adaptive.enabled", sessionAqe)
+      pairs.unpersist(blocking = false)
+      if (edges != null) edges.unpersist(blocking = false)
     }
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents: label propagation did not converge within $iter rounds")
-    labels
   }
 }

@@ -108,21 +108,35 @@ object Dedup {
     // while carrying no dedup signal. Jaccard is then computed over the
     // surviving (rare, discriminative) shingle sets.
     "q_dedup_ngram_capped" -> ((s, d) => {
-      // The shingle set feeds four consumers (doc count, df histogram,
-      // both self-join sides): persist it once instead of recomputing the
+      // The shingle set feeds three consumers (df histogram + both
+      // self-join sides): persist it once instead of recomputing the
       // tokenize→explode→distinct pipeline per branch — the at-scale
       // "materialize shingles before pairing" step, durable on disk.
       val all = shingles(s, d).persist(StorageLevel.DISK_ONLY)
       // 5%-document-frequency cap as an IN-PLAN scalar (one-row broadcast),
-      // not a driver count(): no extra blocking job, no sync point.
-      val capDf = all.agg(countDistinct(col("doc_id")).as("ndocs"))
+      // not a driver count(): no extra blocking job, no sync point. The
+      // doc count comes from the documents table (docs with >= 3 tokens,
+      // i.e. exactly the docs that shingle) — a map-side count over the
+      // corpus, NOT a countDistinct shuffle over the much larger shingle
+      // table.
+      val capDf = t(s, d, "documents")
+        .filter(size(split(trim(lower(col("text"))), "\\s+")) >= 3)
+        .agg(count(lit(1)).as("ndocs"))
         .select(greatest(lit(2L), expr("ndocs div 20")).as("cap"))
-      val rare = all.groupBy(col("g"))
+      // Drop hot shingles via a BROADCAST ANTI-join against the hot set
+      // instead of equi-joining the full shingle table with the rare set:
+      // the anti-join is map-side (no second corpus-wide shuffle on g).
+      // The hot set is broadcastable BY CONSTRUCTION: with S total
+      // doc-shingle pairs over N docs, at most S/(N/20) = 20 × (avg
+      // shingles per doc) shingles can exceed the N/20 cap — thousands of
+      // rows regardless of corpus size.
+      val hot = all.groupBy(col("g"))
         .agg(count(lit(1)).as("df")) // shingles are distinct per doc
         .crossJoin(broadcast(capDf))
-        .filter(col("df") <= col("cap"))
+        .filter(col("df") > col("cap"))
         .select(col("g"))
-      val ng = all.join(rare, "g").select(col("doc_id"), col("g"))
+      val ng = all.join(broadcast(hot), Seq("g"), "left_anti")
+        .select(col("doc_id"), col("g"))
         .persist(StorageLevel.DISK_ONLY)
       val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val common = ng.as("a")
@@ -322,7 +336,7 @@ object Dedup {
 
     "q_dedup_ngram_capped" ->
       s"""WITH $ngCte,
-         |capv AS (SELECT GREATEST(2, COUNT(DISTINCT doc_id) // 20) AS cap FROM ng),
+         |capv AS (SELECT GREATEST(2, COUNT(*) // 20) AS cap FROM toks WHERE len(w) >= 3),
          |rare AS (SELECT g FROM ng GROUP BY g HAVING COUNT(*) <= (SELECT cap FROM capv)),
          |ng2 AS (SELECT ng.doc_id, ng.g FROM ng JOIN rare USING (g)),
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ng2 GROUP BY doc_id),

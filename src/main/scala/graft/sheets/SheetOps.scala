@@ -59,6 +59,12 @@ object SheetOps {
           .sortBy(_.getName)
         val settings = new com.univocity.parsers.csv.CsvParserSettings
         settings.setMaxColumns(16384)
+        // Match the head==1 Spark CSV reader: unbounded cell length
+        // (univocity's default 4096 chars throws on long cells Spark
+        // accepts) and no whitespace trimming of unquoted values.
+        settings.setMaxCharsPerColumn(-1)
+        settings.setIgnoreLeadingWhitespaces(false)
+        settings.setIgnoreTrailingWhitespaces(false)
         val parser = new com.univocity.parsers.csv.CsvParser(settings)
         val rows = parts.flatMap { p =>
           val in = f.open(p)
