@@ -183,17 +183,30 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
-    // Sketch-based approximate distinct (HLL++). Deliberately has NO DuckDB
-    // oracle entry: sketch estimates are implementation-specific, so the
-    // driver records the weaker rows-only check — the exact twin is
-    // q_agg_distinct. At 100 TB the sketch is the one you run (fixed-size
-    // partial state vs the expand+dedup shuffle of exact distinct).
-    "q_approx_distinct" -> ((s, d) =>
+    // Sketch-based approximate distinct (HLL++). Sketch estimates are
+    // implementation-specific, so the raw estimate can't be a hash target;
+    // instead the hash targets are the exact counts (match DuckDB's
+    // COUNT(DISTINCT)) plus one boolean per sketch asserting the estimate
+    // sits within 3×rsd of the exact value (rsd = 0.05 default ⇒ bound
+    // 15%). The oracle expects TRUE, so a wildly-wrong sketch flips the
+    // boolean and fails the hash — real verification, not rows-only. At
+    // 100 TB the sketch is the one you run (fixed-size partial state vs
+    // the expand+dedup shuffle of exact distinct).
+    "q_approx_distinct" -> ((s, d) => {
+      val bound = 0.15
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("apx_part"),
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          approx_count_distinct(col("l_partkey")).as("apx_part"),
           approx_count_distinct(col("l_suppkey")).as("apx_supp"))
-        .orderBy(col("l_returnflag"))),
+        .select(col("l_returnflag"), col("nd_part"), col("nd_supp"),
+          (abs(col("apx_part") - col("nd_part")) <=
+            col("nd_part") * bound).as("apx_part_ok"),
+          (abs(col("apx_supp") - col("nd_supp")) <=
+            col("nd_supp") * bound).as("apx_supp_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // ROLLUP grouping sets over the star join.
     "q_agg_rollup" -> ((s, d) => {
@@ -640,6 +653,15 @@ object Relational {
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
         |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Exact counts are the hash target; the sketch is verified via the
+    // within-bound booleans, which the oracle pins to TRUE.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+        |  TRUE AS apx_part_ok, TRUE AS apx_supp_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_rollup" ->

@@ -73,20 +73,29 @@ object Similarity {
 
     // IVF-style ANN: 8 fixed centroids (vec_ids 1..8), every vector assigned
     // to its max-cosine centroid (tie-break on centroid id), search probes
-    // only the query's cluster, exact rerank inside it. At scale the
+    // only the query's cluster, exact rerank inside it. Assignment is pure
+    // MAP work: the 8 centroids collapse into ONE array-valued row that is
+    // broadcast onto the corpus (single-row BNLJ = row-count-preserving
+    // map), and the argmax over the 8 cosines is an in-row
+    // `array_max(transform(...))` over (cos, -cid) structs — max cos, ties
+    // to the smallest cid. No Window, no corpus shuffle (PlanSpec pins
+    // this): at 10⁹ vectors the old Window.partitionBy(vec_id) shape
+    // shuffled N×8 rows purely to pick a per-row max. At scale the
     // assignment happens once at ingest and `cluster` becomes a partition
     // key — a query reads one cluster's files, not the corpus.
     "q_ann_ivf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val iv = intVecs(s, d)
       val cents = iv.filter(col("vec_id").between(1, 8))
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("cn"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(cosine(dotL("v", "cv"), col("nv"), col("cn")).desc, col("cid").asc)
+        .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nv").as("cn"))).as("cents"))
+      val best = expr(
+        """array_max(transform(cents, c -> named_struct(
+          |  'cos', cast(graft_long_dot(v, c.cv) as double)
+          |    / (sqrt(cast(nv as double)) * sqrt(cast(c.cn as double))),
+          |  'negcid', -c.cid)))""".stripMargin)
       val assigned = iv.crossJoin(broadcast(cents))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("nv"), col("cid").as("cluster"))
+        .withColumn("cluster", -best.getField("negcid"))
+        .select(col("vec_id"), col("v"), col("nv"), col("cluster"))
       val q = assigned.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("nv").as("nq"), col("cluster").as("qcluster"))
       assigned.filter(col("vec_id") =!= 0)
