@@ -37,7 +37,8 @@ object Graph {
     * round's blocks are freed by unpersisting exactly that RDD — nothing
     * else in the SparkContext is touched, so the operator is safe next to
     * concurrent queries on the same session. On a real cluster the loop
-    * state would use reliable `checkpoint()` for executor-loss tolerance.
+    * state uses reliable `checkpoint()` for executor-loss tolerance when
+    * the caller passes `checkpointDir` (see below).
     *
     * Loop-scoped session tuning: the loop runs its DataFrames in a CHILD
     * session (`newSession()` — isolated SQLConf, shared SparkContext), so
@@ -56,21 +57,47 @@ object Graph {
     *                 any graph this side of diameter 2^20. Hitting the cap
     *                 THROWS — silently emitting labels that disagree with
     *                 the transitive closure would corrupt downstream dedup.
+    * @param checkpointDir when set, loop state is RELIABLY checkpointed
+    *                 there (`rdd.checkpoint()` to the shared filesystem)
+    *                 instead of `localCheckpoint()`d: a lost executor
+    *                 re-reads the round's blocks from the FS instead of
+    *                 killing the loop — the right mode on a real cluster
+    *                 (≙ the reference retrying every long operation,
+    *                 bq.py:367-383, gcs.py:221-235). Superseded rounds'
+    *                 checkpoint files are deleted as the loop advances; the
+    *                 final round's files back the returned frame and are
+    *                 the caller's to sweep. Sets the SparkContext
+    *                 checkpoint dir (a context-global, like the reference's
+    *                 client-wide retry policy).
     */
-  def connectedComponents(pairs0: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs0: DataFrame, maxIters: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val s = pairs0.sparkSession
     val pairs = pairs0.toDF("src", "dst").persist(StorageLevel.DISK_ONLY)
     val loopS = s.newSession()
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
     // Plan truncation with a DIRECTLY HELD RDD handle: df.rdd is
-    // localCheckpoint'd, materialized eagerly, and wrapped back as a leaf
-    // (LogicalRDD) DataFrame in the loop session. The caller unpersists
-    // exactly the RDD it created, never a diff of global persisted-RDD
-    // state — a concurrent query's caches can't be collateral damage.
+    // checkpointed (reliable when checkpointDir is set, local otherwise),
+    // materialized eagerly, and wrapped back as a leaf (LogicalRDD)
+    // DataFrame in the loop session. The caller unpersists exactly the RDD
+    // it created, never a diff of global persisted-RDD state — a
+    // concurrent query's caches can't be collateral damage.
     def truncate(df: DataFrame): (DataFrame, RDD[Row]) = {
       val rdd = df.rdd
-      rdd.localCheckpoint()
+      if (checkpointDir.isDefined) rdd.checkpoint() else rdd.localCheckpoint()
       rdd.count()
       (loopS.createDataFrame(rdd, df.schema), rdd)
+    }
+    // Frees a superseded round: unpersist its blocks (local mode) and
+    // delete its checkpoint files (reliable mode) — the successor round
+    // was fully materialized FROM them by truncate's count(), so nothing
+    // can re-read them.
+    def free(rdd: RDD[Row]): Unit = {
+      rdd.unpersist(blocking = false)
+      if (checkpointDir.isDefined) rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }
     var edges: DataFrame = null
     var prevRdd: RDD[Row] = null
@@ -125,7 +152,7 @@ object Graph {
         // swap labels — free them now rather than carrying every round's
         // blocks to the end of the query.
         prevRdd = lastRdd
-        prevRdd.unpersist(blocking = false)
+        free(prevRdd)
         lastRdd = nextRdd
         lastSchema = next.schema
         labels = next.select(col("doc"), col("comp"))
@@ -139,7 +166,7 @@ object Graph {
     } catch {
       case t: Throwable =>
         // On failure nothing downstream will read the last round — drop it.
-        if (lastRdd != null) lastRdd.unpersist(blocking = false)
+        if (lastRdd != null) free(lastRdd)
         throw t
     } finally {
       pairs.unpersist(blocking = false)

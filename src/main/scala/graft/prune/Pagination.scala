@@ -96,6 +96,30 @@ object Pagination {
     ()
   }
 
+  /** Age-based expiry sweep (≙ BigQuery destination tables expiring
+    * server-side after 24 h, bq.py:193-195): delete every materialized
+    * destination directly under `destRoot` whose newest file is older than
+    * `ttlMs`. [[release]] stays the precise caller-scoped path; this is
+    * the janitor for cursors that were abandoned without one — run it
+    * periodically next to a long-lived paging service. Returns the swept
+    * destination paths. `nowMs` is injectable for deterministic tests. */
+  def sweepExpired(spark: SparkSession, destRoot: String, ttlMs: Long,
+                   nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(destRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      val children = fs.listStatus(st.getPath)
+      val newest =
+        if (children.isEmpty) st.getModificationTime
+        else children.map(_.getModificationTime).max
+      if (nowMs - newest > ttlMs) {
+        fs.delete(st.getPath, true)
+        Some(st.getPath.toString)
+      } else None
+    }
+  }
+
   private def pageAt(spark: SparkSession, t: Token): Page = {
     val rows = spark.read.parquet(t.path)
       .filter(col(IdxCol) >= t.offset && col(IdxCol) < t.offset + t.pageSize)

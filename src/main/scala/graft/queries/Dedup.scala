@@ -75,12 +75,60 @@ object Dedup {
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     bandPairs(signature(shinglesRaw(s, d)).persist(StorageLevel.DISK_ONLY))
 
+  /** LSH candidate EDGES for component resolution — same banding as
+    * [[bandPairs]], but DEGENERATE buckets are short-circuited: a
+    * (band, bv) bucket holding more than `bucketCap` docs (the signature
+    * collision shape of a cluster of exact duplicates — precisely the
+    * common adversarial input for dedup) contributes a STAR on its min doc
+    * instead of |bucket|²/2 pairs crammed into one join task. Connectivity
+    * — hence every component — is preserved exactly, because all docs in
+    * one bucket are mutual LSH candidates by construction: the star spans
+    * what the clique spans. AQE skew-split cannot save the clique shape (a
+    * single key's pairs are still generated); the cap removes the
+    * quadratic work itself. Pair CONSUMERS that score each candidate pair
+    * (q_dedup_minhash, fuzzy/estimate reranks) keep the exact [[bandPairs]]
+    * list; component resolution only needs connectivity. */
+  private[graft] def candidateEdges(sig: DataFrame, bucketCap: Int = 256): DataFrame = {
+    val bandStructs = (0 until Seeds / 2).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bv")))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+    // One aggregate keyed like the join: per-bucket size + min doc. The
+    // join back re-uses the (band, bv) hash partitioning Catalyst already
+    // planned for the aggregate.
+    val stats = bands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+    val smallB = bands.join(stats.filter(col("bsz") <= bucketCap), Seq("band", "bv"))
+    val smallPairs = smallB.as("a")
+      .join(smallB.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val starEdges = bands.join(stats.filter(col("bsz") > bucketCap), Seq("band", "bv"))
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("src"), col("doc_id").as("dst"))
+    smallPairs.union(starEdges).distinct()
+  }
+
   val queries: Map[String, QFn] = Map(
 
     // Exact n-gram Jaccard near-dup pairs. Shuffle-aware shape: the
     // self-join is on the shingle (a bounded-fanout key), never a cross
     // join; counts are per-pair aggregates.
     "q_dedup_ngram" -> ((s, d) => {
+      // SCALE GUARD: this is the documented exact baseline carrying the
+      // only allowed uncapped shingle self-join — quadratic on hot
+      // shingles, a scale-killer on a real corpus. Refuse inputs past the
+      // bound unless the caller explicitly raises it; the production twins
+      // are q_dedup_ngram_capped / q_dedup_minhash.
+      val maxDocs = s.conf.get("graft.dedup.ngram.maxDocs", "100000").toLong
+      val nDocs = t(s, d, "documents").count()
+      require(nDocs <= maxDocs,
+        s"q_dedup_ngram is the uncapped exact-Jaccard baseline: $nDocs documents " +
+          s"exceed the guard ($maxDocs). Use q_dedup_ngram_capped or q_dedup_minhash " +
+          "at corpus scale, or raise graft.dedup.ngram.maxDocs explicitly.")
       // 3 consumers, compute once. DISK_ONLY (not localCheckpoint): survives
       // executor loss via lineage and is not bounded by executor memory.
       val ng = shingles(s, d).persist(StorageLevel.DISK_ONLY)
@@ -181,8 +229,11 @@ object Dedup {
       // cached edges, eager checkpoints with plan truncation, loop-scoped
       // AQE off, convergence cadence, non-convergence throw — live in the
       // extracted library operator, spec-tested on adversarial graph
-      // shapes (ConnectedComponentsSpec).
-      val labels = graft.operators.Graph.connectedComponents(minhashPairs(s, d))
+      // shapes (ConnectedComponentsSpec). Edges come from [[candidateEdges]]
+      // (bucket-capped LSH banding): components only need connectivity, so
+      // degenerate exact-duplicate buckets cost O(n) star edges, not n²/2.
+      val sig = signature(shinglesRaw(s, d)).persist(StorageLevel.DISK_ONLY)
+      val labels = graft.operators.Graph.connectedComponents(candidateEdges(sig))
       val docs = t(s, d, "documents").select(col("doc_id")).distinct()
       docs.join(labels, col("doc_id") === col("doc"), "left")
         .select(col("doc_id"),

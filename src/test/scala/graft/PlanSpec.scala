@@ -103,6 +103,15 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isEmpty, p)
   }
 
+  test("q_ann_ivf centroid assignment is map-side: no Window, no corpus shuffle") {
+    val p = plan("q_ann_ivf")
+    // The argmax over the 8 broadcast centroid cosines happens in-row
+    // (array_max over structs); a Window or an Exchange hashpartitioning
+    // here would be the corpus-wide N×8 shuffle this shape exists to avoid.
+    assert(!p.contains("Window"), p)
+    assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning")), p)
+  }
+
   test("q_pipeline_corpus composes with equi-joins only — no cartesian anywhere in the flagship") {
     val p = plan("q_pipeline_corpus")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

@@ -62,6 +62,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqe)
   }
 
+  test("reliable-checkpoint mode: chain/star/random labels identical to the local path") {
+    val dir = tmpDir("ccckpt")
+    val rnd = new scala.util.Random(7)
+    val shapes = Seq(
+      (0L until 120L).map(i => (i, i + 1)),                    // chain
+      (1L to 40L).map(i => (0L, i)),                           // star
+      Seq.fill(300)((rnd.nextLong(200), rnd.nextLong(200)))    // random
+        .filter { case (a, b) => a != b })
+    shapes.zipWithIndex.foreach { case (edges, i) =>
+      val got = Graph.connectedComponents(edges.toDF("src", "dst"),
+          checkpointDir = Some(s"$dir/g$i"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == reference(edges), s"shape $i")
+    }
+  }
+
+  test("reliable-checkpoint mode deletes superseded rounds, keeps the final one") {
+    val dir = tmpDir("ccsweep")
+    val edges = (0L until 60L).map(i => (i, i + 1)) // needs several rounds
+    val labels = Graph.connectedComponents(edges.toDF("src", "dst"),
+      checkpointDir = Some(dir))
+    assert(labels.count() == 61)
+    // Spark lays out checkpoints as <dir>/<uuid>/rdd-<id>; only the final
+    // round's rdd dir (backing the returned frame) may remain.
+    val rddDirs = new java.io.File(dir).listFiles().toSeq
+      .flatMap(u => Option(u.listFiles()).map(_.toSeq).getOrElse(Nil))
+      .filter(_.getName.startsWith("rdd-"))
+    assert(rddDirs.size == 1, rddDirs.mkString(", "))
+  }
+
   test("empty edge list yields empty labels") {
     assert(Graph.connectedComponents(
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)

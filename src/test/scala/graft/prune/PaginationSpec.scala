@@ -67,6 +67,27 @@ class PaginationSpec extends SparkSpec {
     Pagination.release(spark, p0.token) // release via any page's token: no-op, no error
   }
 
+  test("expiry sweep deletes only destinations older than the TTL (24h analog)") {
+    val root = tmpDir("pagesweep")
+    val df = (1 to 6).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val p0 = Pagination.firstPage(df, Seq("id"), 4, s"$root/destA")
+    Pagination.firstPage(df, Seq("id"), 4, s"$root/destB")
+    val now = System.currentTimeMillis()
+    // young destinations survive a 24h TTL…
+    assert(Pagination.sweepExpired(spark, root, ttlMs = 24L * 3600 * 1000, nowMs = now).isEmpty)
+    assert(new java.io.File(s"$root/destA").exists())
+    // …and are swept once the clock passes the TTL
+    val swept = Pagination.sweepExpired(spark, root, ttlMs = 1000,
+      nowMs = now + 25L * 3600 * 1000)
+    assert(swept.size == 2, swept)
+    assert(!new java.io.File(s"$root/destA").exists())
+    assert(!new java.io.File(s"$root/destB").exists())
+    // a swept cursor's token release stays a harmless no-op
+    Pagination.release(spark, p0.token)
+    // sweeping a missing root is a no-op
+    assert(Pagination.sweepExpired(spark, s"$root/nope", 0L).isEmpty)
+  }
+
   test("empty result: one empty page, immediate termination") {
     val df = Seq.empty[(Long, String)].toDF("id", "v")
     val dest = tmpDir("page5") + "/dest"

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-safety contracts of the dedup family: degenerate LSH buckets
+  * (exact-duplicate clusters) must not go quadratic, the capped edge list
+  * must resolve to the SAME components as the exact pair list, and the
+  * deliberately-quadratic exact baseline must refuse corpus-scale input. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A signature frame (doc_id, m0..m7) where docs 0..n-1 all carry THE
+    * SAME signature (an exact-duplicate cluster — every band collides)
+    * and docs 1000..1000+k-1 are pairwise distinct. */
+  private def degenerateSig(n: Int, k: Int): DataFrame = {
+    val dupes = (0 until n).map(i => (i.toLong, "same"))
+    val rest = (0 until k).map(i => (1000L + i, s"uniq$i"))
+    (dupes ++ rest).toDF("doc_id", "seed")
+      .select(col("doc_id") +:
+        (0 until 8).map(o => concat(col("seed"), lit(s"_$o")).as(s"m$o")): _*)
+  }
+
+  test("degenerate bucket short-circuits to a star: edge count is linear, not quadratic") {
+    val n = 2000 // uncapped banding would emit 4 bands × n(n-1)/2 ≈ 8M pairs
+    val edges = Dedup.candidateEdges(degenerateSig(n, 5), bucketCap = 64)
+    val cnt = edges.count()
+    // star on the min doc: exactly n-1 distinct edges from the cluster
+    assert(cnt == (n - 1).toLong, s"expected ${n - 1} star edges, got $cnt")
+  }
+
+  test("capped edges resolve to the same components as exact band pairs") {
+    // Mixed shape: one oversized duplicate cluster + unique docs + a small
+    // near-dup group sharing only bands 0-1 (distinct m4..m7).
+    val cluster = (0 until 300).map(i => (i.toLong, Seq.fill(8)("c")))
+    val uniques = (0 until 40).map(i => (500L + i, (0 until 8).map(o => s"u${i}_$o")))
+    val partial = (0 until 6).map(i =>
+      (900L + i, Seq("p", "p", "p", "p") ++ (4 until 8).map(o => s"x${i}_$o")))
+    val sig = (cluster ++ uniques ++ partial)
+      .map { case (id, ms) => (id, ms(0), ms(1), ms(2), ms(3), ms(4), ms(5), ms(6), ms(7)) }
+      .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+    def comps(edges: DataFrame): Map[Long, Long] =
+      graft.operators.Graph.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+    val exact = comps(Dedup.candidateEdges(sig, bucketCap = Int.MaxValue))
+    val capped = comps(Dedup.candidateEdges(sig, bucketCap = 32))
+    assert(capped == exact)
+  }
+
+  test("q_dedup_ngram guard refuses corpus-scale input until explicitly raised") {
+    spark.conf.set("graft.dedup.ngram.maxDocs", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.SparkEntry.queries("q_dedup_ngram")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("graft.dedup.ngram.maxDocs"))
+    } finally spark.conf.unset("graft.dedup.ngram.maxDocs")
+    // default guard admits the test corpus
+    assert(graft.SparkEntry.queries("q_dedup_ngram")(spark, sf).count() >= 0)
+  }
+}
