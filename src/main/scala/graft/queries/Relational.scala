@@ -513,6 +513,21 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Unpivot (melt): the wide per-flag aggregate back to long
+    // (flag, metric, value) rows — the inverse of q_pivot, Spark's native
+    // relational unpivot (constant-fanout Expand, pure map work after the
+    // aggregate; no shuffle beyond the aggregate's own).
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .unpivot(Array(col("flag")),
+          Array(col("n_rows"), col("n_orders"), col("n_parts")),
+          "metric", "value")
+        .orderBy(col("flag"), col("metric"))),
+
     // Continuous percentiles (median/p90) over an exact integer-valued
     // column — interpolation arithmetic is deterministic across engines.
     // (approx_percentile/approx_count_distinct exist too but are
@@ -861,6 +876,18 @@ object Relational {
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Oracle spelled as UNION ALL (engine-portable unpivot semantics).
+    "q_unpivot" ->
+      """WITH agg AS (SELECT l_returnflag AS flag, COUNT(*) AS n_rows,
+        |         COUNT(DISTINCT l_orderkey) AS n_orders,
+        |         COUNT(DISTINCT l_partkey) AS n_parts
+        |       FROM lineitem GROUP BY 1)
+        |SELECT flag, metric, value FROM (
+        |  SELECT flag, 'n_rows' AS metric, n_rows AS value FROM agg
+        |  UNION ALL SELECT flag, 'n_orders', n_orders FROM agg
+        |  UNION ALL SELECT flag, 'n_parts', n_parts FROM agg) u
+        |ORDER BY flag, metric""".stripMargin
   )
 }

@@ -150,6 +150,47 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // kNN self-join: every vector's top-3 cosine neighbors. Exact kNN is
+    // inherently all-pairs (same geometry argument as q_embed_neardup
+    // above — no candidate filter keeps recall 1 here), so the pair
+    // generation reuses the block-partitioned equi-join: quadratic work
+    // distributed over B(B+1)/2 keys, never a BNLJ/cartesian. The per-key
+    // top-3 then uses the typed [[graft.functions.TopKAggregator]] — a
+    // bounded partial aggregate, so the post-pair shuffle carries at most
+    // k rows per (vector × map task) instead of the window route's full
+    // N×(N-1) row sort. At 100 TB: raise B for the pair stage, and the
+    // top-k shuffle width stays N×k. The approximate scale path swaps the
+    // block join for LSH/IVF candidates (q_ann_lsh / q_ann_ivf machinery).
+    "q_knn_join" -> ((s, d) => {
+      import s.implicits._
+      val B = 8
+      val iv = intVecs(s, d).withColumn("blk", pmod(col("vec_id"), lit(B)))
+      val a = iv.select(col("vec_id").as("ida"), col("v").as("va"),
+          col("nv").as("na"), col("blk").as("ba"),
+          explode(expr(s"sequence(blk, ${B - 1})")).as("pj"))
+        .withColumn("pk", col("ba") * B + col("pj"))
+      val b = iv.select(col("vec_id").as("idb"), col("v").as("vb"),
+          col("nv").as("nb"), col("blk").as("bb"),
+          explode(expr("sequence(0, blk)")).as("pi"))
+        .withColumn("pk", col("pi") * B + col("bb"))
+      val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
+      val pairs = a.join(b, a("pk") === b("pk") &&
+          (col("ba") < col("bb") || col("ida") < col("idb")))
+        .select(col("ida"), col("idb"), cos.as("cos"))
+      val both = pairs.select(col("ida").as("vid"), col("cos"), col("idb").as("nbr"))
+        .union(pairs.select(col("idb").as("vid"), col("cos"), col("ida").as("nbr")))
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      both.as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, c, n) => (c, n) }
+        .agg(topk)
+        .flatMap { case (vid, tops) =>
+          tops.zipWithIndex.map { case ((c, n), i) => (vid, n, c, (i + 1).toLong) }
+        }
+        .toDF("vec_id", "nbr_id", "cos", "rnk")
+        .orderBy(col("vec_id"), col("rnk"))
+    }),
+
     // Approximate near-dup via LSH candidates + exact rerank — the scale
     // path when recall < 1 is acceptable. Candidates = pairs whose
     // sign-random-projection buckets are equal or Hamming-1 apart
@@ -274,6 +315,23 @@ object Similarity {
          |FROM sc
          |WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_knn_join" ->
+      s"""WITH $ivCte,
+         |sc AS (SELECT a.vec_id AS vid, b.vec_id AS nbr,
+         |         SUM(a.v[i] * b.v[i]) AS dot,
+         |         SUM(a.v[i] * a.v[i]) AS na,
+         |         SUM(b.v[i] * b.v[i]) AS nb
+         |       FROM iv a, iv b, idx WHERE a.vec_id <> b.vec_id
+         |       GROUP BY a.vec_id, b.vec_id),
+         |cs AS (SELECT vid, nbr,
+         |         CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cos
+         |       FROM sc),
+         |rk AS (SELECT vid, nbr, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nbr ASC) AS rnk
+         |       FROM cs)
+         |SELECT vid AS vec_id, nbr AS nbr_id, cos, rnk
+         |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin,
 
     "q_embed_neardup" ->
       s"""WITH $ivCte,

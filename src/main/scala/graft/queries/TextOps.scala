@@ -101,6 +101,74 @@ object TextOps {
         .withColumn("bucket",
           conv(substring(col("fp"), 1, 4), 16, 10).cast("long"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Top-3 TF-IDF terms per document — the standard keyword extractor.
+    // Scale shape: two partial+final aggregates (term frequency keyed by
+    // (doc, term), document frequency keyed by term), the corpus size as an
+    // in-plan one-row broadcast (no driver count), a 1:1 equi-join of tf
+    // against the vocabulary-sized df table (per-term fanout is 1 — Zipf
+    // skew makes partitions uneven but never explodes pairs; AQE rebalances),
+    // and one doc_id-keyed window for the per-doc top-3. No stage touches
+    // more rows than the token table itself.
+    "q_tfidf" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(dfx, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // BM25 relevance of the fixed query {hash, join, spark} — the sparse
+    // retrieval scorer (k1=1.2, b=0.75). Scale shape: the token table is
+    // filtered to the query's terms FIRST (a broadcastable literal set →
+    // the scan prunes everything else map-side), per-term df and the corpus
+    // stats (N, total tokens) are one-row/3-row broadcast aggregates, and
+    // the per-doc score is a fixed-order sum of per-term conditional
+    // aggregates — no double-summation order nondeterminism, bit-identical
+    // to the oracle. One shuffle keyed by doc_id.
+    "q_bm25" -> ((s, d) => {
+      val qTerms = Seq("hash", "join", "spark")
+      val docs = t(s, d, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val qtf = tok.filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfx = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n"),
+        sum(size(split(trim(lower(col("text"))), "\\s+")).cast("long")).as("toks"))
+      val idf = log(lit(1.0) +
+        (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val avgdl = col("toks").cast("double") / col("n").cast("double")
+      val contrib = idf * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+      val scored = qtf.join(broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), contrib.as("contrib"))
+      val aggCols = count(lit(1)).as("n_terms") +:
+        qTerms.map(q => sum(when(col("term") === q, col("contrib"))
+          .otherwise(lit(0.0))).as(s"s_$q"))
+      scored.groupBy(col("doc_id"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(col("doc_id"), col("n_terms"),
+          qTerms.map(q => col(s"s_$q")).reduce(_ + _).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
     })
   )
 
@@ -152,6 +220,46 @@ object TextOps {
         |      + ((strpos('0123456789abcdef', substr(fp, 2, 1)) - 1) * 256)
         |      + ((strpos('0123456789abcdef', substr(fp, 3, 1)) - 1) * 16)
         |      +  (strpos('0123456789abcdef', substr(fp, 4, 1)) - 1)) AS BIGINT) AS bucket
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |         UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |       FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfx.df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfx USING (term), n),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY tfidf DESC, term ASC) AS rnk FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rnk
+        |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |         UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |       FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |        WHERE term IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n,
+        |            SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS toks
+        |          FROM documents),
+        |scored AS (SELECT qtf.doc_id, qtf.term,
+        |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |             / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |         / (CAST(toks AS DOUBLE) / CAST(n AS DOUBLE)))) AS contrib
+        |  FROM qtf JOIN dfx USING (term) JOIN dl USING (doc_id), stats)
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |  SUM(CASE WHEN term = 'hash' THEN contrib ELSE 0.0 END)
+        |  + SUM(CASE WHEN term = 'join' THEN contrib ELSE 0.0 END)
+        |  + SUM(CASE WHEN term = 'spark' THEN contrib ELSE 0.0 END) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
   )
 }

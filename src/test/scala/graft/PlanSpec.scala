@@ -117,6 +117,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_knn_join pairs via block equi-join and aggregates top-k partially (no window sort)") {
+    val p = plan("q_knn_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p) // bounded partial top-k, not row_number
+    assert(p.contains("ObjectHashAggregate"), p) // typed Aggregator w/ partial merge
+  }
+
+  test("q_tfidf keeps the corpus size as an in-plan broadcast (no driver count)") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("metadata argmax join in q_latest_partition broadcasts the singleton") {
     val p = plan("q_latest_partition")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
