@@ -150,6 +150,35 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // One distributed Lloyd (k-means) iteration over the embedding corpus:
+    // assign every vector to its max-cosine centroid (the SAME in-row
+    // broadcast argmax as q_ann_ivf — pure map work, no shuffle), then
+    // recompute per-cluster per-dimension means. The only shuffle is the
+    // (cluster, dim)-keyed partial+final sum — integer sums, exact, with
+    // map-side combine; this is the canonical distributed k-means step
+    // that trains the IVF index at 100 TB (dims × clusters output rows,
+    // independent of corpus size).
+    "q_kmeans_step" -> ((s, d) => {
+      val iv = intVecs(s, d)
+      val cents = iv.filter(col("vec_id").between(1, 8))
+        .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nv").as("cn"))).as("cents"))
+      val best = expr(
+        """array_max(transform(cents, c -> named_struct(
+          |  'cos', cast(graft_long_dot(v, c.cv) as double)
+          |    / (sqrt(cast(nv as double)) * sqrt(cast(c.cn as double))),
+          |  'negcid', -c.cid)))""".stripMargin)
+      iv.crossJoin(broadcast(cents))
+        .withColumn("cluster", -best.getField("negcid"))
+        .select(col("cluster"), posexplode(col("v")))
+        .toDF("cluster", "pos", "x")
+        .groupBy(col("cluster"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .select(col("cluster"), col("pos"), col("n"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mean"))
+        .orderBy(col("cluster"), col("pos"))
+    }),
+
     // kNN self-join: every vector's top-3 cosine neighbors. Exact kNN is
     // inherently all-pairs (same geometry argument as q_embed_neardup
     // above — no candidate filter keeps recall 1 here), so the pair
@@ -174,11 +203,16 @@ object Similarity {
           explode(expr("sequence(0, blk)")).as("pi"))
         .withColumn("pk", col("pi") * B + col("bb"))
       val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
-      val pairs = a.join(b, a("pk") === b("pk") &&
+      // Each unordered pair is computed ONCE (one dot per pair) and then
+      // exploded into its two directed rows — not a union of two join
+      // scans, which would run the whole block join twice.
+      val both = a.join(b, a("pk") === b("pk") &&
           (col("ba") < col("bb") || col("ida") < col("idb")))
         .select(col("ida"), col("idb"), cos.as("cos"))
-      val both = pairs.select(col("ida").as("vid"), col("cos"), col("idb").as("nbr"))
-        .union(pairs.select(col("idb").as("vid"), col("cos"), col("ida").as("nbr")))
+        .select(explode(array(
+          struct(col("ida").as("vid"), col("cos"), col("idb").as("nbr")),
+          struct(col("idb").as("vid"), col("cos"), col("ida").as("nbr")))).as("e"))
+        .select(col("e.vid"), col("e.cos"), col("e.nbr"))
       val topk = new graft.functions.TopKAggregator(3).toColumn
       both.as[(Long, Double, Long)]
         .groupByKey(_._1)
@@ -315,6 +349,26 @@ object Similarity {
          |FROM sc
          |WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_kmeans_step" ->
+      s"""WITH $ivCte,
+         |sc_c AS (SELECT iv.vec_id, c.vec_id AS cid,
+         |           SUM(iv.v[i] * c.v[i]) AS dot,
+         |           SUM(iv.v[i] * iv.v[i]) AS nv,
+         |           SUM(c.v[i] * c.v[i]) AS cn
+         |         FROM iv, iv c, idx
+         |         WHERE c.vec_id BETWEEN 1 AND 8
+         |         GROUP BY iv.vec_id, c.vec_id),
+         |assign AS (SELECT vec_id, cid AS cluster FROM (
+         |  SELECT vec_id, cid,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+         |           CAST(dot AS DOUBLE) / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(cn AS DOUBLE))) DESC,
+         |           cid ASC) AS rn
+         |  FROM sc_c) z WHERE rn = 1)
+         |SELECT a.cluster, i - 1 AS pos, COUNT(*) AS n,
+         |  CAST(SUM(iv.v[i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+         |FROM iv JOIN assign a USING (vec_id), idx
+         |GROUP BY 1, 2 ORDER BY cluster, pos""".stripMargin,
 
     "q_knn_join" ->
       s"""WITH $ivCte,

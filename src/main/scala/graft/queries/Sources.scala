@@ -106,6 +106,47 @@ object Sources {
         .orderBy(col("purchase_id"))
     }),
 
+    // Funnel analysis: view → click → purchase per user, each stage's
+    // timestamp being the FIRST qualifying event strictly after the prior
+    // stage (the standard ordered-funnel semantics). Three conditional
+    // min-aggregates chained by equi-joins on user_id — every aggregate is
+    // partial+final, every join is keyed on the same user_id partitioning,
+    // and stage tables only shrink; no window, no self-join on time.
+    "q_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+          when(col("p_ts").isNotNull, lit(3L))
+            .when(col("c_ts").isNotNull, lit(2L))
+            .otherwise(lit(1L)).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
+    // SCD2 (slowly-changing-dimension type 2) interval build — the CDC
+    // shape: each purchase's value is valid from its own ts until the
+    // user's next purchase (NULL = current). One user_id shuffle, one
+    // lead() pass; at scale this is the standard change-capture
+    // compaction over a sorted-within-partition stream.
+    "q_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
     // Batch run of the STREAMING interval-join code path:
     // EventsStream.purchaseAttribution is called on a batch DataFrame
     // (withWatermark is a no-op in batch), proving the stream and batch
@@ -174,6 +215,32 @@ object Sources {
         |  last_click_id, CAST(last_click_ts AS TIMESTAMP) AS last_click_ts
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+        |      JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+        |      JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT v.user_id, CAST(v_ts AS TIMESTAMP) AS v_ts,
+        |  CAST(c_ts AS TIMESTAMP) AS c_ts, CAST(p_ts AS TIMESTAMP) AS p_ts,
+        |  CAST(CASE WHEN p_ts IS NOT NULL THEN 3
+        |            WHEN c_ts IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(ts AS TIMESTAMP) AS valid_from,
+        |  CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       AS TIMESTAMP) AS valid_to,
+        |  (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+        |    AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "q_interval_join" ->
       """SELECT p.user_id AS user_id, p.event_id AS purchase_id,

@@ -169,6 +169,29 @@ object TextOps {
           qTerms.map(q => col(s"s_$q")).reduce(_ + _).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(20)
+    }),
+
+    // Bigram language model: P(w2|w1) = c(w1,w2) / Σ_w c(w1,w), top 20
+    // bigrams by count — the n-gram LM table behind perplexity-style
+    // quality filters (CCNet-shape). Bigrams come from one in-row
+    // transform over the token array (no positional self-join); two
+    // partial+final aggregates; the conditional-probability join fans out
+    // 1:1 on w1. TakeOrdered collapses the top-20 (no global sort).
+    "q_bigram_lm" -> ((s, d) => {
+      val bi = t(s, d, "documents")
+        .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> " +
+            "struct(element_at(w, i) as w1, element_at(w, i+1) as w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val first = cnt.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+      cnt.join(first, "w1")
+        .select(col("w1"), col("w2"), col("c"), col("c1"),
+          (col("c").cast("double") / col("c1").cast("double")).as("prob"))
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(20)
     })
   )
 
@@ -260,6 +283,18 @@ object TextOps {
         |  + SUM(CASE WHEN term = 'join' THEN contrib ELSE 0.0 END)
         |  + SUM(CASE WHEN term = 'spark' THEN contrib ELSE 0.0 END) AS bm25
         |FROM scored GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |              FROM documents),
+        |bi AS (SELECT UNNEST(list_transform(range(1, len(w)),
+        |                     i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+        |       FROM toks WHERE len(w) >= 2),
+        |cnt AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |fst AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM cnt GROUP BY 1)
+        |SELECT cnt.w1, w2, c, c1, CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE) AS prob
+        |FROM cnt JOIN fst USING (w1)
+        |ORDER BY c DESC, cnt.w1, w2 LIMIT 20""".stripMargin
   )
 }
