@@ -50,7 +50,7 @@ object Dedup {
 
   /** Distinct LSH candidate pairs (doc_a < doc_b) from a signature table —
     * band the 8 mins 4 × 2 and equi-join on the band value. */
-  private def bandPairs(sig: DataFrame): DataFrame = {
+  private[graft] def bandPairs(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Seeds / 2).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bv")))
@@ -89,27 +89,51 @@ object Dedup {
     * (q_dedup_minhash, fuzzy/estimate reranks) keep the exact [[bandPairs]]
     * list; component resolution only needs connectivity. */
   private[graft] def candidateEdges(sig: DataFrame, bucketCap: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigCols = (0 until Seeds).map(o => col(s"m$o"))
+    // Step 1 — collapse exact-signature groups. Identical documents (the
+    // common degenerate dedup input) carry identical signatures and would
+    // collide in EVERY band; one window pass over the narrow signature
+    // table turns each group into a star on its min doc, and banding then
+    // runs on one REPRESENTATIVE per signature. Component-exact: group
+    // members are mutual candidates in every band, and an outside doc is
+    // a band-candidate of a member iff it is one of the representative
+    // (identical band values).
+    val wSig = Window.partitionBy(col("sk"))
+    val keyed = sig
+      .withColumn("sk", concat_ws("|", sigCols: _*))
+      .withColumn("rdoc", min(col("doc_id")).over(wSig))
+      .persist(StorageLevel.DISK_ONLY)
+    val sigStars = keyed.filter(col("doc_id") =!= col("rdoc"))
+      .select(col("rdoc").as("src"), col("doc_id").as("dst"))
+    val repSig = keyed.filter(col("doc_id") === col("rdoc"))
+    // Step 2 — band the representatives; residual degenerate (band, bv)
+    // buckets (DISTINCT signatures still colliding in one band — a dense
+    // near-dup cluster) are capped the same way: bucket members are
+    // mutual candidates by construction, so a star on the bucket min
+    // spans what the |bucket|²/2 clique would, in O(|bucket|) edges.
     val bandStructs = (0 until Seeds / 2).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bv")))
-    val bands = sig
+    val bands = repSig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
-    // One aggregate keyed like the join: per-bucket size + min doc. The
-    // join back re-uses the (band, bv) hash partitioning Catalyst already
-    // planned for the aggregate.
-    val stats = bands.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
-    val smallB = bands.join(stats.filter(col("bsz") <= bucketCap), Seq("band", "bv"))
-    val smallPairs = smallB.as("a")
-      .join(smallB.as("b"),
+    // Per-bucket size + min doc in ONE (band, bv)-keyed window pass — no
+    // separate stats aggregate and no join back.
+    val w = Window.partitionBy(col("band"), col("bv"))
+    val bs = bands
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+    val small = bs.filter(col("bsz") <= bucketCap)
+      .select(col("doc_id"), col("band"), col("bv"))
+    val smallPairs = small.as("a")
+      .join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-    val starEdges = bands.join(stats.filter(col("bsz") > bucketCap), Seq("band", "bv"))
-      .filter(col("doc_id") =!= col("bmin"))
+    val starEdges = bs.filter(col("bsz") > bucketCap && col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("src"), col("doc_id").as("dst"))
-    smallPairs.union(starEdges).distinct()
+    smallPairs.union(starEdges).union(sigStars).distinct()
   }
 
   val queries: Map[String, QFn] = Map(

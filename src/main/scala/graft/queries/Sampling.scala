@@ -36,6 +36,13 @@ object Sampling {
                        fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Deterministic uniform in [0,1) from the record id — the same md5
+    * bucket as [[withSplit]], normalized. A pure per-row function: the
+    * sampling decision survives reruns, repartitions, and engine swaps. */
+  private def hashUniform(idCol: String) =
+    conv(substring(md5(encode(col(idCol).cast("string"), "UTF-8")), 1, 4), 16, 10)
+      .cast("long").cast("double") / lit(65536.0)
+
   val queries: Map[String, QFn] = Map(
     // Split distribution + per-split aggregate — the reproducible
     // train/dev/test assignment every corpus rebuild must preserve.
@@ -43,10 +50,70 @@ object Sampling {
       withSplit(Tables.load(s, d, "documents"), "doc_id")
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy(col("split")))
+        .orderBy(col("split"))),
+
+    // Importance sampling: keep a document with probability proportional
+    // to its weight (here n_chars / max n_chars) — the data-mixing
+    // primitive for upweighting long/high-quality documents. Decision =
+    // pure map work against one broadcast scalar; deterministic via the
+    // hash uniform, so backfills keep the identical sample.
+    "q_importance_sample" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val mx = docs.agg(max(col("n_chars")).as("mx"))
+      docs.crossJoin(broadcast(mx))
+        .withColumn("w", col("n_chars").cast("double") / col("mx").cast("double"))
+        .withColumn("u", hashUniform("doc_id"))
+        .filter(col("u") < col("w"))
+        .select(col("doc_id"), col("n_chars"), col("w"), col("u"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Domain rebalancing: downsample every language to the smallest
+    // language's count (expected-count equalization — the training-mix
+    // rebalance step). Per-domain rates come from one tiny broadcast
+    // aggregate; the keep decision is the same deterministic hash uniform,
+    // so the mix is reproducible and the scan stays one map pass.
+    "q_domain_mix" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val m = cnts.agg(min(col("c")).as("m"))
+      docs.join(broadcast(cnts), "lang")
+        .crossJoin(broadcast(m))
+        .withColumn("rate", col("m").cast("double") / col("c").cast("double"))
+        .withColumn("u", hashUniform("doc_id"))
+        .filter(col("u") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("rate"), col("u"))
+        .orderBy(col("doc_id"))
+    })
   )
 
+  /** DuckDB spelling of the md5 16-bit bucket over an id column. */
+  private def sqlBucket(idCol: String) =
+    s"""(((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 1, 1)) - 1) * 4096)
+       | + ((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 2, 1)) - 1) * 256)
+       | + ((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 3, 1)) - 1) * 16)
+       | +  (strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 4, 1)) - 1))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_importance_sample" ->
+      s"""WITH b AS (SELECT doc_id, n_chars,
+         |  CAST(${sqlBucket("doc_id")} AS DOUBLE) / 65536.0 AS u,
+         |  CAST(n_chars AS DOUBLE)
+         |    / CAST((SELECT MAX(n_chars) FROM documents) AS DOUBLE) AS w
+         |FROM documents)
+         |SELECT doc_id, n_chars, w, u FROM b
+         |WHERE u < w ORDER BY doc_id""".stripMargin,
+
+    "q_domain_mix" ->
+      s"""WITH cnts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+         |m AS (SELECT MIN(c) AS m FROM cnts),
+         |b AS (SELECT d.doc_id, d.lang,
+         |  CAST(m.m AS DOUBLE) / CAST(cnts.c AS DOUBLE) AS rate,
+         |  CAST(${sqlBucket("d.doc_id")} AS DOUBLE) / 65536.0 AS u
+         |FROM documents d JOIN cnts USING (lang), m)
+         |SELECT doc_id, lang, rate, u FROM b
+         |WHERE u < rate ORDER BY doc_id""".stripMargin,
+
     "q_hash_split" ->
       s"""WITH b AS (SELECT n_chars,
          |  (((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096)

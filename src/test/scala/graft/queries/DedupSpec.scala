@@ -43,9 +43,13 @@ class DedupSpec extends SparkSpec {
     def comps(edges: DataFrame): Map[Long, Long] =
       graft.operators.Graph.connectedComponents(edges)
         .as[(Long, Long)].collect().toMap
+    // ground truth: the exact band-pair clique list, no collapse, no cap
+    val truth = comps(Dedup.bandPairs(sig)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val exact = comps(Dedup.candidateEdges(sig, bucketCap = Int.MaxValue))
     val capped = comps(Dedup.candidateEdges(sig, bucketCap = 32))
-    assert(capped == exact)
+    assert(exact == truth)
+    assert(capped == truth)
   }
 
   test("q_dedup_ngram guard refuses corpus-scale input until explicitly raised") {
