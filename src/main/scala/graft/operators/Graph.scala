@@ -68,7 +68,10 @@ object Graph {
     *                 final round's files back the returned frame and are
     *                 the caller's to sweep. Sets the SparkContext
     *                 checkpoint dir (a context-global, like the reference's
-    *                 client-wide retry policy).
+    *                 client-wide retry policy) — CONCURRENT invocations in
+    *                 one SparkContext must therefore pass the SAME
+    *                 checkpointDir (the last set wins for both loops);
+    *                 callers needing distinct dirs must serialize calls.
     */
   def connectedComponents(pairs0: DataFrame, maxIters: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
@@ -84,7 +87,15 @@ object Graph {
     // concurrent query's caches can't be collateral damage.
     def truncate(df: DataFrame): (DataFrame, RDD[Row]) = {
       val rdd = df.rdd
-      if (checkpointDir.isDefined) rdd.checkpoint() else rdd.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        // persist-then-checkpoint idiom: a bare checkpoint() recomputes the
+        // RDD from lineage in the checkpoint job AFTER count() has already
+        // materialized it once, doubling per-round cost; caching DISK_ONLY
+        // first lets the checkpoint job read the computed blocks. free()
+        // unpersists the superseded round's cache along with its files.
+        rdd.persist(StorageLevel.DISK_ONLY)
+        rdd.checkpoint()
+      } else rdd.localCheckpoint()
       rdd.count()
       (loopS.createDataFrame(rdd, df.schema), rdd)
     }

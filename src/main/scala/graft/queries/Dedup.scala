@@ -133,7 +133,17 @@ object Dedup {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
     val starEdges = bs.filter(col("bsz") > bucketCap && col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("src"), col("doc_id").as("dst"))
-    smallPairs.union(starEdges).union(sigStars).distinct()
+    // Materialize the edge list EAGERLY so the intermediate keyed-signature
+    // cache (consumed by three branches above) can be released here instead
+    // of leaking for the session lifetime — this is a reusable helper, not
+    // a one-shot query. The returned frame is persisted DISK_ONLY; callers
+    // unpersist it once downstream state no longer reads it (q_dedup_resolve
+    // does so right after connectedComponents checkpoints its final round).
+    val edges = smallPairs.union(starEdges).union(sigStars).distinct()
+      .persist(StorageLevel.DISK_ONLY)
+    edges.count()
+    keyed.unpersist(blocking = false)
+    edges
   }
 
   val queries: Map[String, QFn] = Map(
@@ -257,7 +267,13 @@ object Dedup {
       // (bucket-capped LSH banding): components only need connectivity, so
       // degenerate exact-duplicate buckets cost O(n) star edges, not n²/2.
       val sig = signature(shinglesRaw(s, d)).persist(StorageLevel.DISK_ONLY)
-      val labels = graft.operators.Graph.connectedComponents(candidateEdges(sig))
+      val edges = candidateEdges(sig)
+      val labels = graft.operators.Graph.connectedComponents(edges)
+      // labels is checkpoint-backed (independent of its inputs' caches) the
+      // moment connectedComponents returns — release the query's scratch
+      // caches now instead of leaving them resident for the session.
+      edges.unpersist(blocking = false)
+      sig.unpersist(blocking = false)
       val docs = t(s, d, "documents").select(col("doc_id")).distinct()
       docs.join(labels, col("doc_id") === col("doc"), "left")
         .select(col("doc_id"),

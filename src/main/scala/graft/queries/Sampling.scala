@@ -36,12 +36,16 @@ object Sampling {
                        fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
-  /** Deterministic uniform in [0,1) from the record id — the same md5
-    * bucket as [[withSplit]], normalized. A pure per-row function: the
-    * sampling decision survives reruns, repartitions, and engine swaps. */
+  /** Deterministic uniform in [0,1) from the record id — first 8 hex chars
+    * of md5(id) normalized by 2^32. A pure per-row function: the sampling
+    * decision survives reruns, repartitions, and engine swaps. 32-bit
+    * resolution matters at corpus scale: a 16-bit bucket quantizes
+    * keep-rates to 1/65536, so any rate below ~1.5e-5 (e.g. a 10^9-doc
+    * language downsampled to a 10^4-doc target) would round to "never";
+    * 2^32 supports rates down to ~2.3e-10. */
   private def hashUniform(idCol: String) =
-    conv(substring(md5(encode(col(idCol).cast("string"), "UTF-8")), 1, 4), 16, 10)
-      .cast("long").cast("double") / lit(65536.0)
+    conv(substring(md5(encode(col(idCol).cast("string"), "UTF-8")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
 
   val queries: Map[String, QFn] = Map(
     // Split distribution + per-split aggregate — the reproducible
@@ -87,17 +91,17 @@ object Sampling {
     })
   )
 
-  /** DuckDB spelling of the md5 16-bit bucket over an id column. */
-  private def sqlBucket(idCol: String) =
-    s"""(((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 1, 1)) - 1) * 4096)
-       | + ((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 2, 1)) - 1) * 256)
-       | + ((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 3, 1)) - 1) * 16)
-       | +  (strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), 4, 1)) - 1))""".stripMargin
+  /** DuckDB spelling of the md5 32-bit bucket (first 8 hex chars) over an
+    * id column — the oracle twin of [[hashUniform]]'s numerator. */
+  private def sqlBucket(idCol: String) = (0 until 8).map { i =>
+    val mult = 1L << (4 * (7 - i))
+    s"((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult)"
+  }.mkString("(", "\n + ", ")")
 
   val oracleSql: Map[String, String] = Map(
     "q_importance_sample" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
-         |  CAST(${sqlBucket("doc_id")} AS DOUBLE) / 65536.0 AS u,
+         |  CAST(${sqlBucket("doc_id")} AS DOUBLE) / 4294967296.0 AS u,
          |  CAST(n_chars AS DOUBLE)
          |    / CAST((SELECT MAX(n_chars) FROM documents) AS DOUBLE) AS w
          |FROM documents)
@@ -109,7 +113,7 @@ object Sampling {
          |m AS (SELECT MIN(c) AS m FROM cnts),
          |b AS (SELECT d.doc_id, d.lang,
          |  CAST(m.m AS DOUBLE) / CAST(cnts.c AS DOUBLE) AS rate,
-         |  CAST(${sqlBucket("d.doc_id")} AS DOUBLE) / 65536.0 AS u
+         |  CAST(${sqlBucket("d.doc_id")} AS DOUBLE) / 4294967296.0 AS u
          |FROM documents d JOIN cnts USING (lang), m)
          |SELECT doc_id, lang, rate, u FROM b
          |WHERE u < rate ORDER BY doc_id""".stripMargin,

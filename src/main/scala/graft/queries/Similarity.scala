@@ -225,6 +225,47 @@ object Similarity {
         .orderBy(col("vec_id"), col("rnk"))
     }),
 
+    // APPROXIMATE kNN self-join — the at-scale twin of q_knn_join: the
+    // quadratic block join is replaced by multi-probe sign-LSH CANDIDATE
+    // pairs (buckets equal or Hamming-1 apart, same probe scheme as
+    // q_embed_neardup_lsh — each candidate pair matches exactly one probe
+    // mask, so every pair's dot is computed ONCE), then the same bounded
+    // [[graft.functions.TopKAggregator]] keeps each vector's top-3 among
+    // its candidates. Compute is |candidate pairs| dots ≈ N²/2^planes on
+    // isotropic data — tuned by adding planes — instead of N²/2; the
+    // shuffle stays ≤ k rows per (vector × map task). Deterministic
+    // candidates → the DuckDB oracle reproduces the result exactly;
+    // recall vs the exact q_knn_join is measured in QueriesSpec. Vectors
+    // with NO candidate in their probed buckets are absent from the
+    // output (recall loss, visible in the measured number) — at scale you
+    // add probes/tables until the miss rate is acceptable.
+    "q_knn_join_ann" -> ((s, d) => {
+      import s.implicits._
+      val iv = intVecs(s, d).withColumn("bucket", bucketExpr("v"))
+      val a = iv.select(col("vec_id").as("ida"), col("v").as("va"),
+        col("nv").as("na"), col("bucket").as("bka"))
+      val b = iv.select(col("vec_id").as("idb"), col("v").as("vb"),
+          col("nv").as("nb"),
+          explode(expr("transform(array(0L, 1L, 2L, 4L, 8L), m -> bucket ^ m)")).as("pb"))
+      val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
+      val both = a.join(b, col("bka") === col("pb") && col("ida") < col("idb"))
+        .select(col("ida"), col("idb"), cos.as("cos"))
+        .select(explode(array(
+          struct(col("ida").as("vid"), col("cos"), col("idb").as("nbr")),
+          struct(col("idb").as("vid"), col("cos"), col("ida").as("nbr")))).as("e"))
+        .select(col("e.vid"), col("e.cos"), col("e.nbr"))
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      both.as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, c, n) => (c, n) }
+        .agg(topk)
+        .flatMap { case (vid, tops) =>
+          tops.zipWithIndex.map { case ((c, n), i) => (vid, n, c, (i + 1).toLong) }
+        }
+        .toDF("vec_id", "nbr_id", "cos", "rnk")
+        .orderBy(col("vec_id"), col("rnk"))
+    }),
+
     // Approximate near-dup via LSH candidates + exact rerank — the scale
     // path when recall < 1 is acceptable. Candidates = pairs whose
     // sign-random-projection buckets are equal or Hamming-1 apart
@@ -384,6 +425,41 @@ object Similarity {
          |rk AS (SELECT vid, nbr, cos,
          |         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nbr ASC) AS rnk
          |       FROM cs)
+         |SELECT vid AS vec_id, nbr AS nbr_id, cos, rnk
+         |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin,
+
+    "q_knn_join_ann" ->
+      s"""WITH $ivCte,
+         |pl AS (SELECT UNNEST(range(0, ${PLANES})) AS p),
+         |dots AS (SELECT iv.vec_id, p,
+         |           SUM(iv.v[i] * (CASE WHEN ((p+1)*(i+3)) % 7 < 3 THEN 1 ELSE -1 END)) AS dp
+         |         FROM iv, pl, idx GROUP BY iv.vec_id, p),
+         |bk AS (SELECT vec_id,
+         |         CAST(SUM(CASE WHEN dp >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM dots GROUP BY vec_id),
+         |probes AS (SELECT vec_id,
+         |             UNNEST([bucket, xor(bucket, CAST(1 AS BIGINT)),
+         |                     xor(bucket, CAST(2 AS BIGINT)), xor(bucket, CAST(4 AS BIGINT)),
+         |                     xor(bucket, CAST(8 AS BIGINT))]) AS pb
+         |           FROM bk),
+         |cand AS (SELECT a.vec_id AS vec_a, p.vec_id AS vec_b
+         |         FROM bk a JOIN probes p ON a.bucket = p.pb AND a.vec_id < p.vec_id),
+         |sc AS (SELECT c.vec_a, c.vec_b,
+         |         SUM(x.v[i] * y.v[i]) AS dot,
+         |         SUM(x.v[i] * x.v[i]) AS na,
+         |         SUM(y.v[i] * y.v[i]) AS nb
+         |       FROM cand c
+         |       JOIN iv x ON x.vec_id = c.vec_a
+         |       JOIN iv y ON y.vec_id = c.vec_b, idx
+         |       GROUP BY c.vec_a, c.vec_b),
+         |cs AS (SELECT vec_a, vec_b,
+         |         CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cos
+         |       FROM sc),
+         |dir AS (SELECT vec_a AS vid, vec_b AS nbr, cos FROM cs
+         |        UNION ALL SELECT vec_b, vec_a, cos FROM cs),
+         |rk AS (SELECT vid, nbr, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nbr ASC) AS rnk
+         |       FROM dir)
          |SELECT vid AS vec_id, nbr AS nbr_id, cos, rnk
          |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin,
 

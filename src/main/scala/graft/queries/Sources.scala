@@ -168,11 +168,19 @@ object Sources {
          |FROM events
          |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
+    // All event-time oracles compare/order raw ts inside their CTEs; the
+    // Spark loader truncates parquet TIMESTAMP_NS to µs, so DuckDB must
+    // compare the SAME µs-truncated values or sub-µs deltas flip strict
+    // inequalities and ordering ties — hence the `ev` base CTE casting ts
+    // to TIMESTAMP (µs) BEFORE any comparison, not just in the final
+    // projection.
     "q_sessionize" ->
-      s"""WITH l AS (
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         |l AS (
          |  SELECT user_id, event_id, ts, value,
          |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-         |  FROM events),
+         |  FROM ev),
          |f AS (
          |  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
          |                 THEN 1 ELSE 0 END AS new_sess
@@ -201,7 +209,9 @@ object Sources {
     // unspecified tiebreak among equal timestamps; the window form pins
     // (ts, event_id) in both engines).
     "q_asof_join" ->
-      """WITH w AS (
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w AS (
         |  SELECT event_id, user_id, ts, event_type,
         |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -209,7 +219,7 @@ object Sources {
         |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS UNBOUNDED PRECEDING) AS last_click_ts
-        |  FROM events)
+        |  FROM ev)
         |SELECT event_id AS purchase_id, user_id,
         |  CAST(ts AS TIMESTAMP) AS purchase_ts,
         |  last_click_id, CAST(last_click_ts AS TIMESTAMP) AS last_click_ts
@@ -217,12 +227,13 @@ object Sources {
         |ORDER BY purchase_id""".stripMargin,
 
     "q_funnel" ->
-      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
-        |           WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS v_ts FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM ev e
         |      JOIN v USING (user_id)
         |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
-        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM ev e
         |      JOIN c USING (user_id)
         |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
         |SELECT v.user_id, CAST(v_ts AS TIMESTAMP) AS v_ts,
@@ -233,22 +244,25 @@ object Sources {
         |ORDER BY user_id""".stripMargin,
 
     "q_scd2" ->
-      """SELECT user_id, event_id, value,
-        |  CAST(ts AS TIMESTAMP) AS valid_from,
-        |  CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |       AS TIMESTAMP) AS valid_to,
+      """WITH ev AS (SELECT user_id, event_id, value, event_type,
+        |                   CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT user_id, event_id, value,
+        |  ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
         |    AS is_current
-        |FROM events WHERE event_type = 'purchase'
+        |FROM ev WHERE event_type = 'purchase'
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "q_interval_join" ->
-      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+        |                   CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
         |  c.event_id AS click_id,
-        |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
-        |  CAST(c.ts AS TIMESTAMP) AS click_ts, p.value AS value
-        |FROM events p
-        |JOIN events c
+        |  p.ts AS purchase_ts,
+        |  c.ts AS click_ts, p.value AS value
+        |FROM ev p
+        |JOIN ev c
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.user_id = p.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE

@@ -65,6 +65,23 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.3) // documented floor: low threshold on isotropic data
   }
 
+  test("q_knn_join_ann recall vs exact q_knn_join is measured") {
+    def neighbors(q: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .groupBy(_.getAs[Long]("vec_id"))
+        .map { case (v, rs) => v -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+    val exact = neighbors("q_knn_join")
+    val approx = neighbors("q_knn_join_ann")
+    // every approx neighbor must come from the candidate set of real vectors
+    approx.foreach { case (v, ns) => assert(!ns.contains(v)) }
+    val hits = exact.toSeq.map { case (v, ens) =>
+      approx.getOrElse(v, Set.empty).intersect(ens).size
+    }.sum
+    val recall = hits.toDouble / exact.valuesIterator.map(_.size).sum
+    info(f"ANN kNN top-3 recall (4 planes, Hamming<=1 probes, isotropic data): $recall%.2f")
+    assert(recall >= 0.2) // documented floor: isotropic vectors spread candidates thin
+  }
+
   test("q_pipeline_corpus is the intersection of its component filters") {
     val kept = SparkEntry.queries("q_pipeline_corpus")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
