@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd (k-means) training over scaled-integer embedding
+  * vectors — the loop that actually trains the IVF centroids
+  * (`q_kmeans_step` is one round of this; `q_ann_ivf` consumes the result).
+  *
+  * Spherical k-means (cosine assignment), with the key identity that keeps
+  * every round EXACT and cross-engine reproducible: the mean centroid
+  * c = s/n (s = per-dimension integer sum over the cluster, n = size) has
+  * cos(v, c) = dot(v, s/n) / (|v|·|s|/n) = dot(v, s) / (|v|·|s|) — the n
+  * cancels, so assignment against the MEAN equals assignment against the
+  * integer SUM vector. Centroid state is therefore (cid, s: Array[Long],
+  * |s|²: Long): all-integer, no rounding, bit-identical in the DuckDB
+  * oracle.
+  *
+  * Execution shape per round (the only shape that survives 100 TB):
+  *   - assignment is PURE MAP work — the k centroids are embedded as
+  *     LITERAL arrays in an in-row `array_max(transform(...))` argmax
+  *     (max cos, ties to the smallest cid; same expression as q_ann_ivf),
+  *     so no join, no shuffle, no window touches the corpus;
+  *   - the update is one (cluster, dim)-keyed partial+final integer sum —
+  *     k×d output rows regardless of corpus size — collected to the
+  *     driver as MODEL STATE (k×d longs, corpus-independent — the same
+  *     discipline as MLlib's KMeans, not a driver-side data loop);
+  *   - empty clusters keep their previous centroid.
+  *
+  * Overflow bound: |s|² fits int64 while n·maxComp ≤ ~3e9 (maxComp ~1e5
+  * at the ×1e6 float scale → ~3e4… per-cluster sizes up to ~1e7 at
+  * realistic component scales); past that, rescale s to unit ints each
+  * round (changes rounding, not the algorithm).
+  *
+  * The caller passes `iters` (fixed round count — SQL-oracle-expressible);
+  * [[trainConverged]] iterates until assignments stop moving, for library
+  * use where an oracle is not required.
+  */
+object KMeans {
+
+  /** Centroid model state: (cid, per-dim integer sums, |s|²). */
+  type Model = Seq[(Long, Array[Long], Long)]
+
+  private def centArgmax(cents: Model): Column = {
+    val structs = cents.map { case (cid, s, cn) =>
+      s"named_struct('cos', cast(graft_long_dot(v, ${s.mkString("array(", "L, ", "L)")}) as double)" +
+        s" / (sqrt(cast(nv as double)) * sqrt(cast(${cn}L as double))), 'negcid', ${-cid}L)"
+    }.mkString("array_max(array(", ", ", "))")
+    -expr(structs).getField("negcid")
+  }
+
+  /** vecs + `cluster` column (max-cos centroid, ties to smallest cid). */
+  private def assign(vecs: DataFrame, cents: Model): DataFrame =
+    vecs.withColumn("cluster", centArgmax(cents))
+
+  /** Per-(cluster, dim) integer sums + counts of the given assignment. */
+  private def clusterSums(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("v"))).toDF("cluster", "pos", "x")
+      .groupBy(col("cluster"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+
+  /** Seed model: the vectors with ids in `initIds`, as their own "sums". */
+  private def seed(vecs: DataFrame, initIds: Seq[Long]): Model =
+    vecs.filter(col("vec_id").isInCollection(initIds))
+      .select(col("vec_id"), col("v"), col("nv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  /** One driver-side model update from a collected sums frame. */
+  private def updated(cents: Model, sums: Array[org.apache.spark.sql.Row]): Model = {
+    val dims = cents.head._2.length
+    val byCluster = sums.groupBy(_.getLong(0))
+    cents.map { case (cid, sPrev, cnPrev) =>
+      byCluster.get(cid) match {
+        case Some(rows) =>
+          val s = new Array[Long](dims)
+          rows.foreach(r => s(r.getInt(1)) = r.getLong(3))
+          (cid, s, s.map(x => x * x).sum)
+        case None => (cid, sPrev, cnPrev) // empty cluster: keep centroid
+      }
+    }
+  }
+
+  /** `iters` Lloyd rounds from the seed vectors; returns the FINAL round's
+    * per-(cluster, pos) frame: (cluster, pos, n, s, mean). The first
+    * iters-1 rounds run eagerly (model state collected per round); the
+    * last round's aggregation is the returned, lazy frame. */
+  def train(vecs: DataFrame, initIds: Seq[Long], iters: Int): DataFrame = {
+    require(iters >= 1, "at least one Lloyd round")
+    var cents = seed(vecs, initIds)
+    for (_ <- 1 until iters)
+      cents = updated(cents, clusterSums(assign(vecs, cents)).collect())
+    clusterSums(assign(vecs, cents))
+      .select(col("cluster"), col("pos"), col("n"), col("s"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+
+  /** Convergence-driven variant: iterate until the model's integer sums
+    * stop changing (exact fixed point — no tolerance knob) or `maxIters`
+    * is hit, whichever first; returns (model, roundsRun). */
+  def trainConverged(vecs: DataFrame, initIds: Seq[Long], maxIters: Int = 20): (Model, Int) = {
+    var cents = seed(vecs, initIds)
+    var iter = 0
+    var moved = true
+    while (moved && iter < maxIters) {
+      val next = updated(cents, clusterSums(assign(vecs, cents)).collect())
+      moved = next.zip(cents).exists { case ((_, a, _), (_, b, _)) => !a.sameElements(b) }
+      cents = next
+      iter += 1
+    }
+    (cents, iter)
+  }
+}

@@ -11,14 +11,18 @@ import org.apache.spark.sql.functions._
   *
   *   1. quality filter  ([[TextOps.qualityOkExpr]] — length/punct gates)
   *   2. language filter ([[TextOps.predLangExpr]] = 'en')
-  *   3. exact dedup     (min doc_id per normalized-text md5 fingerprint)
-  *   4. near-dup resolution (MinHash LSH pairs → connected components →
+  *   3. LM perplexity gate ([[TextOps.docPerplexity]] ≤ [[TextOps.PplMax]]
+  *      — the CCNet-style bigram-LM quality filter)
+  *   4. exact dedup     (min doc_id per normalized-text md5 fingerprint)
+  *   5. near-dup resolution (MinHash LSH pairs → connected components →
   *      component representative only, via the registered q_dedup_resolve)
   *
   * Shuffle budget at scale: the text predicates and fingerprint are pure
-  * map work; exact dedup is one window over the fingerprint hash; the
-  * near-dup verdict joins on doc_id (broadcastable — the verdict table is
-  * (id, comp, keep), tiny relative to the corpus with its text). Every
+  * map work; the LM gate adds one bigram-keyed equi-join and one
+  * doc_id-keyed aggregate (fanout 1 — see docPerplexity); exact dedup is
+  * one window over the fingerprint hash; the near-dup and LM verdicts
+  * join on doc_id (broadcastable — each verdict table is a handful of
+  * narrow columns, tiny relative to the corpus with its text). Every
   * stage composes as a DataFrame, so Catalyst fuses the maps and prunes
   * `text` as soon as nothing downstream needs it.
   */
@@ -30,6 +34,8 @@ object Pipeline {
       val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
       val verdict = Dedup.queries("q_dedup_resolve")(s, d)
         .filter(col("keep") === 1L).select(col("doc_id"))
+      val lmOk = TextOps.docPerplexity(Tables.load(s, d, "documents"))
+        .filter(col("ppl") <= TextOps.PplMax).select(col("doc_id"))
       Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"),
           size(split(trim(col("text")), "\\s+")).as("n_words"),
@@ -38,6 +44,7 @@ object Pipeline {
           md5(encode(norm, "UTF-8")).as("fp"))
         .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
         .filter(col("q_ok") && col("pred_lang") === "en" && col("doc_id") === col("rep"))
+        .join(lmOk, "doc_id")    // LM perplexity gate
         .join(verdict, "doc_id") // near-dup survivors only
         .select(col("doc_id"), col("n_words"), col("fp"))
         .orderBy(col("doc_id"))
@@ -47,6 +54,9 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     "q_pipeline_corpus" ->
       s"""WITH RECURSIVE ${Dedup.resolveCtes},
+         |${TextOps.pplCtes},
+         |lmok AS (SELECT doc_id FROM pscore
+         |         WHERE exp(-logprob / n_bigrams) <= ${TextOps.PplMax}),
          |survivors AS (
          |  SELECT d.doc_id
          |  FROM (SELECT DISTINCT doc_id FROM documents) d
@@ -72,7 +82,7 @@ object Pipeline {
          |         ELSE 'und' END AS pred_lang
          |  FROM meta)
          |SELECT doc_id, n_words, fp
-         |FROM scored JOIN survivors USING (doc_id)
+         |FROM scored JOIN survivors USING (doc_id) JOIN lmok USING (doc_id)
          |WHERE n_words BETWEEN 5 AND 1000 AND punct * 5 < length(text)
          |  AND pred_lang = 'en' AND doc_id = rep
          |ORDER BY doc_id""".stripMargin

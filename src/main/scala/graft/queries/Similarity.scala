@@ -179,6 +179,17 @@ object Similarity {
         .orderBy(col("cluster"), col("pos"))
     }),
 
+    // The k-means TRAINING LOOP (3 Lloyd rounds) — q_kmeans_step iterated,
+    // via [[graft.operators.KMeans]]: per-round assignment is in-row
+    // literal-centroid argmax (pure map, no shuffle), the update is a
+    // (cluster, dim)-keyed integer sum collected as k×d model state, and
+    // the integer-sum centroid identity (cos(v, s/n) = cos(v, s)) keeps
+    // every round exact — the DuckDB oracle replays all 3 rounds as
+    // chained CTEs and matches bit-for-bit. Empty clusters keep their
+    // previous centroid. This trains the IVF index q_ann_ivf probes.
+    "q_kmeans_train" -> ((s, d) =>
+      graft.operators.KMeans.train(intVecs(s, d), (1L to 8L).toSeq, iters = 3)),
+
     // kNN self-join: every vector's top-3 cosine neighbors. Exact kNN is
     // inherently all-pairs (same geometry argument as q_embed_neardup
     // above — no candidate filter keeps recall 1 here), so the pair
@@ -410,6 +421,39 @@ object Similarity {
          |  CAST(SUM(iv.v[i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
          |FROM iv JOIN assign a USING (vec_id), idx
          |GROUP BY 1, 2 ORDER BY cluster, pos""".stripMargin,
+
+    "q_kmeans_train" -> {
+      val iters = 3
+      val rounds = (1 to iters).map { k =>
+        val prev = s"cent${k - 1}"
+        val base =
+          s"""nrm$k AS (SELECT cid, SUM(s * s) AS cn FROM $prev GROUP BY 1),
+             |dot$k AS (SELECT iv.vec_id, c.cid, SUM(iv.v[c.pos] * c.s) AS dot
+             |          FROM iv, $prev c GROUP BY 1, 2),
+             |asg$k AS (SELECT vec_id, cid AS cluster FROM (
+             |            SELECT d.vec_id, d.cid,
+             |              ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+             |                CAST(d.dot AS DOUBLE) / (SQRT(CAST(vn.nv AS DOUBLE)) * SQRT(CAST(n.cn AS DOUBLE))) DESC,
+             |                d.cid ASC) AS rn
+             |            FROM dot$k d JOIN vn USING (vec_id) JOIN nrm$k n ON n.cid = d.cid) z
+             |          WHERE rn = 1),
+             |sums$k AS (SELECT a.cluster AS cid, i AS pos, COUNT(*) AS n, SUM(iv.v[i]) AS s
+             |           FROM iv JOIN asg$k a USING (vec_id), idx GROUP BY 1, 2)""".stripMargin
+        if (k < iters)
+          base + s""",
+             |cent$k AS (SELECT c.cid, c.pos, COALESCE(s.s, c.s) AS s
+             |           FROM $prev c LEFT JOIN sums$k s ON s.cid = c.cid AND s.pos = c.pos)""".stripMargin
+        else base
+      }.mkString(",\n")
+      s"""WITH $ivCte,
+         |vn AS (SELECT vec_id, SUM(v[i] * v[i]) AS nv FROM iv, idx GROUP BY 1),
+         |cent0 AS (SELECT vec_id AS cid, i AS pos, v[i] AS s FROM iv, idx
+         |          WHERE vec_id BETWEEN 1 AND 8),
+         |$rounds
+         |SELECT cid AS cluster, pos - 1 AS pos, n, CAST(s AS BIGINT) AS s,
+         |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+         |FROM sums$iters ORDER BY cluster, pos""".stripMargin
+    },
 
     "q_knn_join" ->
       s"""WITH $ivCte,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Text analysis over the documents table — language ID, quality scoring,
   * token counting, fingerprinting (training-data-pipeline extensions).
@@ -47,7 +48,56 @@ object TextOps {
       .otherwise("und")
   }
 
+  /** CCNet-style LM quality gate: documents above this perplexity under the
+    * corpus bigram LM are dropped (measured range on the testdata corpus is
+    * ~26–38, median ~29.5 — the threshold cuts the worst tail). */
+  val PplMax = 32.0
+
+  /** Per-document bigram-LM score: (doc_id, n_bigrams, logprob, ppl) —
+    * ppl = exp(-logprob / n_bigrams) under the LM trained on the SAME
+    * corpus (so every scored bigram is in-vocabulary; no smoothing term).
+    * This is the CCNet-shape perplexity filter the bigram LM exists for.
+    *
+    * Scale shape: bigrams are one in-row transform (no positional
+    * self-join); the LM is two partial+final aggregates over the bigram
+    * table; scoring is ONE shuffle equi-join of the bigram table against
+    * the LM keyed by (w1, w2) — fanout exactly 1 (the LM is unique per
+    * key), so Zipf-hot bigrams skew partition sizes (AQE rebalances) but
+    * never explode rows. The per-doc log-prob sum goes through
+    * DECIMAL(28,12) so it is order-independent and bit-identical across
+    * engines (the [[graft.Num]] exact-sum discipline); docs with < 2
+    * tokens have no bigrams and are absent by definition. */
+  def docPerplexity(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "struct(element_at(w, i) as w1, element_at(w, i+1) as w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(StorageLevel.DISK_ONLY) // feeds LM training AND scoring
+    val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val fst = cnt.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    val lm = cnt.join(fst, "w1")
+      .select(col("w1"), col("w2"),
+        (col("c").cast("double") / col("c1").cast("double")).as("prob"))
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(col("prob")).cast("decimal(28,12)")).cast("double").as("logprob"))
+      .select(col("doc_id"), col("n_bigrams"), col("logprob"),
+        exp(-col("logprob") / col("n_bigrams").cast("double")).as("ppl"))
+  }
+
   val queries: Map[String, QFn] = Map(
+
+    // The bigram LM APPLIED — per-document perplexity + keep verdict (the
+    // quality gate q_bigram_lm's table exists for; also the fourth stage
+    // of q_pipeline_corpus).
+    "q_lm_perplexity" -> ((s, d) =>
+      docPerplexity(t(s, d, "documents"))
+        .withColumn("lm_ok", col("ppl") <= PplMax)
+        .orderBy(col("doc_id"))),
 
     // Token counting: whitespace tokens + a BPE-ish regex segmentation.
     "q_token_count" -> ((s, d) =>
@@ -198,7 +248,32 @@ object TextOps {
   private def sqlHits(pat: String) =
     s"CAST(len(regexp_extract_all(lower(text), '\\b$pat\\b')) AS INT)"
 
+  /** Oracle CTE chain ending in `pscore(doc_id, n_bigrams, logprob)` — the
+    * per-document bigram-LM log-prob (DuckDB twin of [[docPerplexity]]).
+    * Names are p-prefixed so the chain composes with [[Dedup.resolveCtes]]
+    * in one WITH (the pipeline oracle uses both). */
+  private[queries] lazy val pplCtes: String =
+    """ptoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |          FROM documents),
+      |pbg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |        SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+      |               i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+      |        FROM ptoks WHERE len(w) >= 2) z),
+      |pcnt AS (SELECT w1, w2, COUNT(*) AS c FROM pbg GROUP BY 1, 2),
+      |pfst AS (SELECT w1, SUM(c) AS c1 FROM pcnt GROUP BY 1),
+      |plm AS (SELECT w1, w2, CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE) AS prob
+      |        FROM pcnt JOIN pfst USING (w1)),
+      |pscore AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |             CAST(SUM(CAST(ln(prob) AS DECIMAL(28,12))) AS DOUBLE) AS logprob
+      |           FROM pbg JOIN plm USING (w1, w2) GROUP BY doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_lm_perplexity" ->
+      s"""WITH $pplCtes
+         |SELECT doc_id, n_bigrams, logprob,
+         |  exp(-logprob / n_bigrams) AS ppl,
+         |  (exp(-logprob / n_bigrams) <= $PplMax) AS lm_ok
+         |FROM pscore ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,

@@ -91,9 +91,12 @@ class QueriesSpec extends SparkSpec {
       .filter(col("pred_lang") === "en").select("doc_id").collect().map(_.getLong(0)).toSet
     val ndSurvivors = SparkEntry.queries("q_dedup_resolve")(spark, sf)
       .filter(col("keep") === 1L).select("doc_id").collect().map(_.getLong(0)).toSet
+    val lmOk = SparkEntry.queries("q_lm_perplexity")(spark, sf)
+      .filter(col("lm_ok")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.nonEmpty)
     assert(kept.subsetOf(quality), "corpus contains low-quality docs")
     assert(kept.subsetOf(english), "corpus contains non-English docs")
+    assert(kept.subsetOf(lmOk), "corpus contains high-perplexity docs")
     assert(kept.subsetOf(ndSurvivors), "corpus contains near-dup casualties")
   }
 
