@@ -72,6 +72,40 @@ object Sampling {
         .orderBy(col("doc_id"))
     }),
 
+    // Train/test CONTAMINATION check: for every test-split document, the
+    // fraction of its distinct 5-gram shingles that also occur anywhere in
+    // the train split — the eval-set leakage audit run before any
+    // benchmark number is trusted. Scale shape: shingling is in-row; the
+    // per-doc distinct is one (doc, shingle) aggregate; the train shingle
+    // set is a distinct on the (much smaller than the corpus) shingle
+    // table; the hit count is a LEFT SEMI equi-join on the shingle — the
+    // same bounded-fanout key discipline as the dedup family, never a
+    // doc×doc comparison.
+    "q_contamination" -> ((s, d) => {
+      val sh = withSplit(Tables.load(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"),
+          split(trim(lower(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), col("split"), explode(expr(
+          "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', " +
+            "element_at(w, i), element_at(w, i+1), element_at(w, i+2), " +
+            "element_at(w, i+3), element_at(w, i+4)))")).as("g"))
+        .distinct()
+      val trainSh = sh.filter(col("split") === "train").select(col("g")).distinct()
+      val test = sh.filter(col("split") === "test").select(col("doc_id"), col("g"))
+      val perDoc = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val hits = test.join(trainSh, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val frac = coalesce(col("n_hit"), lit(0L)).cast("double") /
+        col("n_shingles").cast("double")
+      perDoc.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          frac.as("contam_frac"),
+          (frac >= 0.5).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Domain rebalancing: downsample every language to the smallest
     // language's count (expected-count equalization — the training-mix
     // rebalance step). Per-domain rates come from one tiny broadcast
@@ -98,6 +132,18 @@ object Sampling {
     s"((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult)"
   }.mkString("(", "\n + ", ")")
 
+  /** DuckDB spelling of the md5 16-bit split bucket — twin of [[withSplit]]. */
+  private def sqlBucket16(idCol: String) = (0 until 4).map { i =>
+    val mult = 1L << (4 * (3 - i))
+    s"((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult)"
+  }.mkString("(", "\n + ", ")")
+
+  /** DuckDB CASE expression for the train/dev/test split of an id column. */
+  private def sqlSplit(idCol: String) =
+    s"""CASE WHEN ${sqlBucket16(idCol)} < $TrainMax THEN 'train'
+       |     WHEN ${sqlBucket16(idCol)} < $DevMax THEN 'dev'
+       |     ELSE 'test' END""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_importance_sample" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
@@ -119,16 +165,29 @@ object Sampling {
          |WHERE u < rate ORDER BY doc_id""".stripMargin,
 
     "q_hash_split" ->
-      s"""WITH b AS (SELECT n_chars,
-         |  (((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096)
-         | + ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256)
-         | + ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16)
-         | +  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS bucket
+      s"""WITH b AS (SELECT n_chars, ${sqlBucket16("doc_id")} AS bucket
          |FROM documents)
          |SELECT CASE WHEN bucket < $TrainMax THEN 'train'
          |            WHEN bucket < $DevMax THEN 'dev'
          |            ELSE 'test' END AS split,
          |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH sp AS (SELECT doc_id, text, ${sqlSplit("doc_id")} AS split FROM documents),
+         |toks AS (SELECT doc_id, split,
+         |           string_split_regex(lower(trim(text)), '\\s+') AS w FROM sp),
+         |sh AS (SELECT DISTINCT doc_id, split, g FROM (
+         |         SELECT doc_id, split, UNNEST(list_transform(range(1, len(w) - 3),
+         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+         |         FROM toks WHERE len(w) >= 5) z),
+         |tr AS (SELECT DISTINCT g FROM sh WHERE split = 'train'),
+         |te AS (SELECT doc_id, g FROM sh WHERE split = 'test'),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_shingles FROM te GROUP BY 1),
+         |hc AS (SELECT te.doc_id, COUNT(*) AS n_hit FROM te JOIN tr USING (g) GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_shingles, COALESCE(hc.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / pd.n_shingles AS contam_frac,
+         |  (CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / pd.n_shingles >= 0.5) AS contaminated
+         |FROM pd LEFT JOIN hc USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -48,6 +48,26 @@ object TextOps {
       .otherwise("und")
   }
 
+  // PII patterns — the Java-regex ∩ RE2 subset so Spark and DuckDB agree:
+  // no backrefs, no lookaround, plain classes/quantifiers only.
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Occurrences of a PII pattern in a text column. */
+  def piiCount(c: org.apache.spark.sql.Column, re: String): org.apache.spark.sql.Column =
+    size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Text with all three PII patterns redacted to typed placeholders.
+    * Order matters: email first (digit-heavy local parts must collapse
+    * before the phone pass can see them), then IP, then phone. */
+  def piiScrub(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** CCNet-style LM quality gate: documents above this perplexity under the
     * corpus bigram LM are dropped (measured range on the testdata corpus is
     * ~26–38, median ~29.5 — the threshold cuts the worst tail). */
@@ -97,6 +117,60 @@ object TextOps {
     "q_lm_perplexity" -> ((s, d) =>
       docPerplexity(t(s, d, "documents"))
         .withColumn("lm_ok", col("ppl") <= PplMax)
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style repetition filter: duplicate-word fraction, most-
+    // frequent-word fraction, most-frequent-bigram fraction + verdict
+    // (thresholds sit just above this corpus's medians: top-word 0.15,
+    // top-bigram 0.08 — heavily repetitive machine text trips them).
+    // Scale shape: two (doc, term)-keyed partial+final aggregates (word
+    // counts, bigram counts) each collapsed by a doc-keyed aggregate —
+    // every stage is map-side combined, nothing exceeds the token table,
+    // and the two branches join 1:1 on doc_id.
+    "q_repetition_filter" -> ((s, d) => {
+      val docsW = t(s, d, "documents")
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      val wc = docsW.select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val byDoc = wc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_word_n"))
+      val bc = docsW.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> " +
+            "concat_ws(' ', element_at(w, i), element_at(w, i+1)))")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val bDoc = bc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+      val topW = col("top_word_n").cast("double") / col("n_words").cast("double")
+      val topB = col("top_bigram_n").cast("double") / col("n_bigrams").cast("double")
+      byDoc.join(bDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"))
+            .as("dup_word_frac"),
+          topW.as("top_word_frac"),
+          topB.as("top_bigram_frac"),
+          (topW <= 0.15 && coalesce(topB <= 0.08, lit(true))).as("rep_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub: redact email / phone / IPv4 patterns and count what was
+    // removed — the privacy pass every released training corpus runs.
+    // Pure map work (regex extract + replace, no shuffle at any scale);
+    // the patterns are cross-engine (Java regex ∩ RE2) and the scrub
+    // expressions are shared with TextOpsSpec, which proves the redaction
+    // on synthetic PII (this corpus is clean, so the query's counts are
+    // zero — the spec is where the behavior is exercised).
+    "q_pii_scrub" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          piiCount(col("text"), EmailRe).as("n_emails"),
+          piiCount(col("text"), PhoneRe).as("n_phones"),
+          piiCount(col("text"), Ipv4Re).as("n_ips"),
+          piiScrub(col("text")).as("scrubbed"))
+        .withColumn("pii_free",
+          col("n_emails") + col("n_phones") + col("n_ips") === 0)
         .orderBy(col("doc_id"))),
 
     // Token counting: whitespace tokens + a BPE-ish regex segmentation.
@@ -268,6 +342,45 @@ object TextOps {
       |           FROM pbg JOIN plm USING (w1, w2) GROUP BY doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_repetition_filter" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |              FROM documents),
+        |wc AS (SELECT doc_id, t, COUNT(*) AS c FROM (
+        |         SELECT doc_id, UNNEST(w) AS t FROM toks) z GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |        COUNT(*) AS n_distinct, MAX(c) AS topw
+        |      FROM wc GROUP BY 1),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM (
+        |         SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+        |                i -> w[i] || ' ' || w[i+1])) AS b
+        |         FROM toks WHERE len(w) >= 2) z GROUP BY 1, 2),
+        |bd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS topb
+        |       FROM bc GROUP BY 1)
+        |SELECT d.doc_id, n_words, n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+        |  CAST(topw AS DOUBLE) / n_words AS top_word_frac,
+        |  CAST(topb AS DOUBLE) / n_bigrams AS top_bigram_frac,
+        |  (CAST(topw AS DOUBLE) / n_words <= 0.15 AND
+        |   COALESCE(CAST(topb AS DOUBLE) / n_bigrams <= 0.08, TRUE)) AS rep_ok
+        |FROM d LEFT JOIN bd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" -> {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+      val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')
+         |    AS scrubbed,
+         |  (len(regexp_extract_all(text, '$email'))
+         |   + len(regexp_extract_all(text, '$phone'))
+         |   + len(regexp_extract_all(text, '$ip')) = 0) AS pii_free
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     "q_lm_perplexity" ->
       s"""WITH $pplCtes
          |SELECT doc_id, n_bigrams, logprob,

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The corpus parquet is PII-free, so q_pii_scrub's counts are zero there
+  * (oracle-verified but trivially). This spec exercises the SAME scrub
+  * expressions on synthetic PII — the behavior contract lives here. */
+class TextOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def scrub(texts: String*) = {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    df.select(col("doc_id"),
+        TextOps.piiCount(col("text"), TextOps.EmailRe).as("n_emails"),
+        TextOps.piiCount(col("text"), TextOps.PhoneRe).as("n_phones"),
+        TextOps.piiCount(col("text"), TextOps.Ipv4Re).as("n_ips"),
+        TextOps.piiScrub(col("text")).as("scrubbed"))
+      .orderBy(col("doc_id")).collect()
+  }
+
+  test("emails are counted and redacted") {
+    val r = scrub("contact alice.smith+x@example-corp.co.uk or bob@test.io today")
+    assert(r(0).getAs[Int]("n_emails") == 2)
+    assert(r(0).getAs[String]("scrubbed") == "contact <EMAIL> or <EMAIL> today")
+  }
+
+  test("phones and IPs are counted and redacted, plain text untouched") {
+    val r = scrub(
+      "call +1 (555) 123-4567 now",
+      "server at 192.168.0.1 responded",
+      "the quick brown fox")
+    assert(r(0).getAs[Int]("n_phones") == 1)
+    assert(r(0).getAs[String]("scrubbed") == "call <PHONE> now")
+    assert(r(1).getAs[Int]("n_ips") == 1)
+    assert(r(1).getAs[String]("scrubbed") == "server at <IP> responded")
+    assert(r(2).getAs[Int]("n_emails") + r(2).getAs[Int]("n_phones") +
+      r(2).getAs[Int]("n_ips") == 0)
+    assert(r(2).getAs[String]("scrubbed") == "the quick brown fox")
+  }
+
+  test("mixed PII in one document: email collapses before the phone pass") {
+    val r = scrub("mail 555123456789@relay.example.com or dial 555 123 4567 at 10.0.0.7")
+    assert(r(0).getAs[Int]("n_emails") == 1)
+    assert(r(0).getAs[Int]("n_ips") == 1)
+    assert(r(0).getAs[String]("scrubbed") == "mail <EMAIL> or dial <PHONE> at <IP>")
+  }
+
+  test("repetition filter flags a degenerate document") {
+    val rep = ("spam " * 50).trim
+    val ok = "the quick brown fox jumps over a lazy dog near the river bank today"
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, rep), Row(2L, ok)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    // same shape as q_repetition_filter, against the in-memory frame
+    val w = split(trim(lower(col("text"))), "\\s+")
+    val tok = df.select(col("doc_id"), explode(w).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val top = tok.groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_word_frac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(top(1L) == 1.0)      // all-one-word doc
+    assert(top(2L) <= 0.15)     // natural text passes the gate
+  }
+}
