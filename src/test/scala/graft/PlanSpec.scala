@@ -124,6 +124,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p) // typed Aggregator w/ partial merge
   }
 
+  test("q_knn_join_ann joins candidates on the probe bucket and aggregates top-k partially") {
+    val p = plan("q_knn_join_ann")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p) // bounded partial top-k, not row_number
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("q_kmeans_train's final round is join-free: literal centroids, map-side assignment") {
+    val p = plan("q_kmeans_train")
+    // Model state is embedded as literals, so the returned (final-round)
+    // plan must contain NO join operator and no Window — the corpus is
+    // touched by exactly the scan, the in-row argmax, and the
+    // (cluster, pos)-keyed aggregate.
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_lm_perplexity scores via the (w1, w2) equi-join, never a cartesian, and prunes to (doc_id, text)") {
+    val p = plan("q_lm_perplexity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
+
+  test("q_contamination counts hits through a LEFT SEMI shingle join") {
+    val p = plan("q_contamination")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_repetition_filter and q_pii_scrub prune the documents scan to (doc_id, text)") {
+    Seq("q_repetition_filter", "q_pii_scrub").foreach { q =>
+      val read = plan(q).linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(read.contains("doc_id") && read.contains("text"), s"$q: $read")
+      assert(!read.contains("lang") && !read.contains("n_chars"), s"$q: $read")
+    }
+  }
+
   test("q_tfidf keeps the corpus size as an in-plan broadcast (no driver count)") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
