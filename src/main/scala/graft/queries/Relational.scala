@@ -208,6 +208,26 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Quantile SKETCH next to the exact percentile — same verification
+    // shape as q_approx_distinct: the exact medians/p90s are the
+    // hash-compared values, and in-row booleans assert the
+    // percentile_approx sketch (accuracy 100 ⇒ rank error ≤ 1%, checked
+    // here against a generous value-space bound) stays inside it. At
+    // 100 TB the sketch's fixed-size mergeable partial state replaces the
+    // exact percentile's per-group value sort.
+    "q_approx_percentile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile_approx(l_quantity, 0.5, 100)").as("apx_median"),
+          expr("percentile_approx(l_quantity, 0.9, 100)").as("apx_p90"))
+        .select(col("l_returnflag"), col("median_qty"), col("p90_qty"),
+          (abs(col("apx_median") - col("median_qty")) <= lit(2.0)).as("apx_median_ok"),
+          (abs(col("apx_p90") - col("p90_qty")) <= lit(2.0)).as("apx_p90_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ROLLUP grouping sets over the star join.
     "q_agg_rollup" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -545,7 +565,30 @@ object Relational {
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Generic grouped top-k ("top 3 orders per customer") through the
+    // BOUNDED typed [[graft.functions.TopKAggregator]] — the 100 TB shape
+    // for per-entity leaderboards: the shuffle carries at most k rows per
+    // (customer × map task) and nothing is globally sorted, where the
+    // window route (`row_number over partitionBy`) shuffles and sorts the
+    // whole fact table. Same aggregator the kNN joins use, proven here on
+    // relational data against a ROW_NUMBER oracle.
+    "q_topk_per_group" -> ((s, d) => {
+      import s.implicits._
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, p, k) => (p, k) }
+        .agg(topk)
+        .flatMap { case (cust, tops) =>
+          tops.zipWithIndex.map { case ((p, k), i) => (cust, k, p, (i + 1).toLong) }
+        }
+        .toDF("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy(col("o_custkey"), col("rnk"))
+    })
   )
 
   private val unionBase =
@@ -677,6 +720,15 @@ object Relational {
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
         |  TRUE AS apx_part_ok, TRUE AS apx_supp_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Exact percentiles are the hash target; the sketch is verified via
+    // the within-bound booleans, which the oracle pins to TRUE.
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  TRUE AS apx_median_ok, TRUE AS apx_p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_rollup" ->
@@ -855,6 +907,14 @@ object Relational {
     "q_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH rk AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |       ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |     FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rnk
+        |FROM rk WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
 
     "q_agg_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
