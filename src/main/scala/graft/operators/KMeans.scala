@@ -41,7 +41,10 @@ object KMeans {
   /** Centroid model state: (cid, per-dim integer sums, |s|²). */
   type Model = Seq[(Long, Array[Long], Long)]
 
-  private def centArgmax(cents: Model): Column = {
+  /** In-row argmax-cosine cluster assignment against literal centroids —
+    * public so index builds (q_ann_ivf_trained) can assign with a TRAINED
+    * model; expects columns `v` (scaled int vector) and `nv` (its norm²). */
+  def centArgmax(cents: Model): Column = {
     val structs = cents.map { case (cid, s, cn) =>
       s"named_struct('cos', cast(graft_long_dot(v, ${s.mkString("array(", "L, ", "L)")}) as double)" +
         s" / (sqrt(cast(nv as double)) * sqrt(cast(${cn}L as double))), 'negcid', ${-cid}L)"
@@ -82,16 +85,23 @@ object KMeans {
     }
   }
 
+  /** Model after `updates` Lloyd update rounds from the seed vectors
+    * (updates = 0 → the seeds themselves). [[train]]`(iters)` ≡ the
+    * cluster sums of assigning with `model(updates = iters - 1)`. */
+  def model(vecs: DataFrame, initIds: Seq[Long], updates: Int): Model = {
+    var cents = seed(vecs, initIds)
+    for (_ <- 1 to updates)
+      cents = updated(cents, clusterSums(assign(vecs, cents)).collect())
+    cents
+  }
+
   /** `iters` Lloyd rounds from the seed vectors; returns the FINAL round's
     * per-(cluster, pos) frame: (cluster, pos, n, s, mean). The first
     * iters-1 rounds run eagerly (model state collected per round); the
     * last round's aggregation is the returned, lazy frame. */
   def train(vecs: DataFrame, initIds: Seq[Long], iters: Int): DataFrame = {
     require(iters >= 1, "at least one Lloyd round")
-    var cents = seed(vecs, initIds)
-    for (_ <- 1 until iters)
-      cents = updated(cents, clusterSums(assign(vecs, cents)).collect())
-    clusterSums(assign(vecs, cents))
+    clusterSums(assign(vecs, model(vecs, initIds, iters - 1)))
       .select(col("cluster"), col("pos"), col("n"), col("s"),
         (col("s").cast("double") / col("n").cast("double")).as("mean"))
       .orderBy(col("cluster"), col("pos"))

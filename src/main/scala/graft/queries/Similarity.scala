@@ -179,6 +179,30 @@ object Similarity {
         .orderBy(col("cluster"), col("pos"))
     }),
 
+    // IVF probe against TRAINED centroids — q_ann_ivf with the hardcoded
+    // seed centroids replaced by the k-means model after 2 Lloyd updates
+    // ([[graft.operators.KMeans.model]]): the full index story, train →
+    // assign-at-ingest → probe one cluster. Assignment stays pure map
+    // work (literal-centroid in-row argmax, same as q_ann_ivf's plan pin);
+    // the integer-sum centroid identity keeps the trained model
+    // oracle-exact.
+    "q_ann_ivf_trained" -> ((s, d) => {
+      val iv = intVecs(s, d)
+      val cents = graft.operators.KMeans.model(iv, (1L to 8L).toSeq, updates = 2)
+      val assigned = iv
+        .withColumn("cluster", graft.operators.KMeans.centArgmax(cents))
+        .select(col("vec_id"), col("v"), col("nv"), col("cluster"))
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nv").as("nq"), col("cluster").as("qcluster"))
+      assigned.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .filter(col("cluster") === col("qcluster"))
+        .select(col("vec_id"), col("cluster"),
+          cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // The k-means TRAINING LOOP (3 Lloyd rounds) — q_kmeans_step iterated,
     // via [[graft.operators.KMeans]]: per-round assignment is in-row
     // literal-centroid argmax (pure map, no shuffle), the update is a
@@ -302,6 +326,42 @@ object Similarity {
     })
   )
 
+  /** k-means oracle scaffolding shared by q_kmeans_train and
+    * q_ann_ivf_trained: per-vector norms + seed centroids as per-dim rows. */
+  private val kmPrefix =
+    """vn AS (SELECT vec_id, SUM(v[i] * v[i]) AS nv FROM iv, idx GROUP BY 1),
+      |cent0 AS (SELECT vec_id AS cid, i AS pos, v[i] AS s FROM iv, idx
+      |          WHERE vec_id BETWEEN 1 AND 8)""".stripMargin
+
+  /** Lloyd rounds 1..n as chained CTEs. Rounds < n emit sums+cent (the
+    * model update); round n always emits the assignment `asg{n}`, plus
+    * `sums{n}` when `sumsAtLast` (q_kmeans_train reads it; the trained-IVF
+    * probe needs only the assignment). */
+  private def kmRoundCtes(n: Int, sumsAtLast: Boolean): String =
+    (1 to n).map { k =>
+      val prev = s"cent${k - 1}"
+      val asg =
+        s"""nrm$k AS (SELECT cid, SUM(s * s) AS cn FROM $prev GROUP BY 1),
+           |dot$k AS (SELECT iv.vec_id, c.cid, SUM(iv.v[c.pos] * c.s) AS dot
+           |          FROM iv, $prev c GROUP BY 1, 2),
+           |asg$k AS (SELECT vec_id, cid AS cluster FROM (
+           |            SELECT d.vec_id, d.cid,
+           |              ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+           |                CAST(d.dot AS DOUBLE) / (SQRT(CAST(vn.nv AS DOUBLE)) * SQRT(CAST(n.cn AS DOUBLE))) DESC,
+           |                d.cid ASC) AS rn
+           |            FROM dot$k d JOIN vn USING (vec_id) JOIN nrm$k n ON n.cid = d.cid) z
+           |          WHERE rn = 1)""".stripMargin
+      val sums =
+        s"""sums$k AS (SELECT a.cluster AS cid, i AS pos, COUNT(*) AS n, SUM(iv.v[i]) AS s
+           |           FROM iv JOIN asg$k a USING (vec_id), idx GROUP BY 1, 2)""".stripMargin
+      val cent =
+        s"""cent$k AS (SELECT c.cid, c.pos, COALESCE(s.s, c.s) AS s
+           |           FROM $prev c LEFT JOIN sums$k s ON s.cid = c.cid AND s.pos = c.pos)""".stripMargin
+      if (k < n) Seq(asg, sums, cent).mkString(",\n")
+      else if (sumsAtLast) Seq(asg, sums).mkString(",\n")
+      else asg
+    }.mkString(",\n")
+
   // Shared oracle scaffolding: scaled int vectors, index table 1..64.
   private val ivCte =
     s"""iv AS (SELECT vec_id, label, ${sqlIntVec("embedding")} AS v
@@ -424,35 +484,32 @@ object Similarity {
 
     "q_kmeans_train" -> {
       val iters = 3
-      val rounds = (1 to iters).map { k =>
-        val prev = s"cent${k - 1}"
-        val base =
-          s"""nrm$k AS (SELECT cid, SUM(s * s) AS cn FROM $prev GROUP BY 1),
-             |dot$k AS (SELECT iv.vec_id, c.cid, SUM(iv.v[c.pos] * c.s) AS dot
-             |          FROM iv, $prev c GROUP BY 1, 2),
-             |asg$k AS (SELECT vec_id, cid AS cluster FROM (
-             |            SELECT d.vec_id, d.cid,
-             |              ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
-             |                CAST(d.dot AS DOUBLE) / (SQRT(CAST(vn.nv AS DOUBLE)) * SQRT(CAST(n.cn AS DOUBLE))) DESC,
-             |                d.cid ASC) AS rn
-             |            FROM dot$k d JOIN vn USING (vec_id) JOIN nrm$k n ON n.cid = d.cid) z
-             |          WHERE rn = 1),
-             |sums$k AS (SELECT a.cluster AS cid, i AS pos, COUNT(*) AS n, SUM(iv.v[i]) AS s
-             |           FROM iv JOIN asg$k a USING (vec_id), idx GROUP BY 1, 2)""".stripMargin
-        if (k < iters)
-          base + s""",
-             |cent$k AS (SELECT c.cid, c.pos, COALESCE(s.s, c.s) AS s
-             |           FROM $prev c LEFT JOIN sums$k s ON s.cid = c.cid AND s.pos = c.pos)""".stripMargin
-        else base
-      }.mkString(",\n")
       s"""WITH $ivCte,
-         |vn AS (SELECT vec_id, SUM(v[i] * v[i]) AS nv FROM iv, idx GROUP BY 1),
-         |cent0 AS (SELECT vec_id AS cid, i AS pos, v[i] AS s FROM iv, idx
-         |          WHERE vec_id BETWEEN 1 AND 8),
-         |$rounds
+         |$kmPrefix,
+         |${kmRoundCtes(iters, sumsAtLast = true)}
          |SELECT cid AS cluster, pos - 1 AS pos, n, CAST(s AS BIGINT) AS s,
          |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
          |FROM sums$iters ORDER BY cluster, pos""".stripMargin
+    },
+
+    "q_ann_ivf_trained" -> {
+      // assignment round 3 runs under cent2 (the model after 2 updates);
+      // then the probe is the q_ann_ivf shape against that assignment.
+      s"""WITH $ivCte,
+         |$kmPrefix,
+         |${kmRoundCtes(3, sumsAtLast = false)},
+         |q AS (SELECT iv.v AS qv, a.cluster AS qc
+         |      FROM iv JOIN asg3 a USING (vec_id) WHERE iv.vec_id = 0),
+         |sc AS (SELECT iv.vec_id, a.cluster,
+         |         SUM(iv.v[i] * q.qv[i]) AS dot,
+         |         SUM(iv.v[i] * iv.v[i]) AS nv,
+         |         SUM(q.qv[i] * q.qv[i]) AS nq
+         |       FROM iv JOIN asg3 a USING (vec_id), q, idx
+         |       WHERE a.cluster = q.qc AND iv.vec_id <> 0
+         |       GROUP BY iv.vec_id, a.cluster)
+         |SELECT vec_id, cluster,
+         |  CAST(dot AS DOUBLE) / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
+         |FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin
     },
 
     "q_knn_join" ->

@@ -131,6 +131,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("q_ann_ivf_trained keeps the map-side assignment shape of q_ann_ivf") {
+    val p = plan("q_ann_ivf_trained")
+    assert(!p.contains("Window"), p)
+    assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning")), p)
+  }
+
   test("q_kmeans_train's final round is join-free: literal centroids, map-side assignment") {
     val p = plan("q_kmeans_train")
     // Model state is embedded as literals, so the returned (final-round)
