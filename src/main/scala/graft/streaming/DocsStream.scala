@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.io.DatasetConvention
+import graft.queries.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
+import java.time.Instant
+
+/** Streaming corpus ingest — the documents-side twin of [[EventsStream]]:
+  * new JSONL document files arrive per micro-batch (≙ the reference's
+  * hourly objects, gcs.py:42-55), each batch passes through the SAME gate
+  * expressions the batch pipeline uses ([[TextOps.qualityOkExpr]],
+  * [[TextOps.predLangExpr]], [[TextOps.piiScrub]] — one definition, no
+  * batch/stream drift), and survivors append to the dataset convention
+  * ([[DatasetConvention.append]]) — so the downstream corpus build reads
+  * one layout regardless of how documents arrived.
+  */
+object DocsStream {
+
+  /** The documents table schema (TESTDATA.md), as staged JSONL carries it. */
+  def docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocs(spark: SparkSession, dir: String,
+               maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
+      .json(dir)
+  }
+
+  /** Gate + scrub + exact-dedup a document stream and append survivors to
+    * the dataset convention. Gates are pure map work (stream-safe at any
+    * scale); the in-stream exact dedup keys on doc_id — state grows with
+    * distinct ids here (the replay-window-bounded variant is
+    * [[EventsStream.dedupedStream]]'s `dropDuplicatesWithinWatermark`,
+    * which needs an event-time column documents lack); near-dup dedup
+    * stays a batch-side pass (q_dedup_resolve) over the landed dataset. */
+  def corpusIngest(docs: DataFrame, base: String, dataset: String,
+                   version: Int, ts: Instant): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs
+      .filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
+      .dropDuplicates("doc_id")
+      .select(col("doc_id"), TextOps.piiScrub(col("text")).as("text"), col("n_chars"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        DatasetConvention.append(batch, base, dataset, version, ts)
+      }
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.io.DatasetConvention
+import graft.queries.TextOps
+import org.apache.spark.sql.functions._
+import java.time.Instant
+
+class DocsStreamSpec extends SparkSpec {
+
+  test("streamed corpus ingest lands exactly the batch pipeline's gated set, once per doc") {
+    val in = tmpDir("docs-in")
+    val base = tmpDir("docs-out")
+    val docs = Tables.load(spark, sf, "documents")
+    // three JSONL files → three micro-batches; one file repeats another's
+    // ids so the in-stream dedup is exercised across batches
+    docs.limit(200).coalesce(1).write.mode("append").json(in)
+    docs.coalesce(1).write.mode("append").json(in)
+    val q = DocsStream.corpusIngest(
+        DocsStream.readDocs(spark, in, maxFilesPerTrigger = Some(1)),
+        base, "docs", version = 1, ts = Instant.parse("2024-02-01T00:00:00Z"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landed = DatasetConvention.read(spark, base, "docs", version = Some(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // exactly once per doc despite the replayed file
+    assert(landed.distinct.size == landed.size, "duplicate doc landed")
+    // same set the batch gates admit
+    val expected = docs
+      .filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed.toSet == expected,
+      s"landed ${landed.size} != batch-gated ${expected.size}")
+    // scrub is identity on this clean corpus: text survives verbatim
+    val t0 = DatasetConvention.read(spark, base, "docs", version = Some(1))
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t0.forall { case (id, txt) => orig(id) == txt })
+  }
+}
