@@ -63,12 +63,16 @@ object KMeans {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
 
   /** Seed model: the vectors with ids in `initIds`, as their own "sums". */
-  private def seed(vecs: DataFrame, initIds: Seq[Long]): Model =
-    vecs.filter(col("vec_id").isInCollection(initIds))
+  private def seed(vecs: DataFrame, initIds: Seq[Long]): Model = {
+    val cents = vecs.filter(col("vec_id").isInCollection(initIds))
       .select(col("vec_id"), col("v"), col("nv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
       .sortBy(_._1).toSeq
+    require(cents.nonEmpty,
+      s"k-means: none of the seed ids $initIds exist in the vector table")
+    cents
+  }
 
   /** One driver-side model update from a collected sums frame. */
   private def updated(cents: Model, sums: Array[org.apache.spark.sql.Row]): Model = {

@@ -32,6 +32,29 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("property: aggregator equals driver-side sorted top-k on random data across partitionings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(300, Gen.zip(
+      Gen.choose(0L, 9L), Gen.choose(0, 50).map(_ / 7.0), Gen.choose(0L, 999L)))
+    (0 until 5).foreach { i =>
+      val data = gen(Gen.Parameters.default, Seed(7L + i)).getOrElse(Nil)
+      val expected = data.groupBy(_._1).map { case (g, rows) =>
+        g -> rows.map { case (_, v, t) => (v, t) }
+          .sortBy { case (v, t) => (-v, t) }.take(3)
+      }
+      Seq(1, 3, 8).foreach { parts => // partial-buffer merge shape varies with partitioning
+        val topk = new TopKAggregator(3).toColumn
+        val got = spark.createDataset(data).repartition(parts)
+          .groupByKey(_._1).mapValues { case (_, v, t) => (v, t) }.agg(topk)
+          .collect().toMap
+        expected.foreach { case (g, exp) =>
+          assert(got(g).toList == exp, s"seed $i parts $parts group $g")
+        }
+      }
+    }
+  }
+
   test("merge respects capacity and ordering across partial buffers") {
     val agg = new TopKAggregator(2)
     val a = List((1.0, 9L), (5.0, 2L)).foldLeft(agg.zero)(agg.reduce)

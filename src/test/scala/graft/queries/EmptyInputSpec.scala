@@ -1,0 +1,32 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Degenerate-input behavior: a pipeline that crashes on an empty shard
+  * (a fresh date partition, a filtered-out split) is a pipeline that pages
+  * someone at 3am. Document operators must yield EMPTY results, not throw,
+  * when the corpus is empty; operators with required model state must fail
+  * loudly and early instead. */
+class EmptyInputSpec extends SparkSpec {
+
+  test("document operators degrade to empty results on an empty corpus") {
+    val dir = tmpDir("empty-sf")
+    Tables.load(spark, sf, "documents").limit(0)
+      .write.parquet(s"$dir/documents.parquet")
+    Seq("q_repetition_filter", "q_lm_perplexity", "q_pii_scrub",
+        "q_contamination", "q_token_count", "q_dedup_minhash",
+        "q_hash_split", "q_importance_sample", "q_domain_mix").foreach { q =>
+      assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
+    }
+  }
+
+  test("k-means refuses to train without seed vectors (loud, not empty)") {
+    val dir = tmpDir("empty-emb")
+    Tables.load(spark, sf, "embeddings").limit(0)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_kmeans_train")(spark, dir)
+    }
+    assert(e.getMessage.contains("seed ids"))
+  }
+}
