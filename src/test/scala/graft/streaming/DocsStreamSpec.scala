@@ -38,4 +38,31 @@ class DocsStreamSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(t0.forall { case (id, txt) => orig(id) == txt })
   }
+
+  test("ingest restarts from its checkpoint: replayed ids never land twice") {
+    val in = tmpDir("docs-in2")
+    val base = tmpDir("docs-out2")
+    val ckpt = tmpDir("docs-ckpt")
+    val docs = Tables.load(spark, sf, "documents")
+    def run(): Unit = {
+      val q = DocsStream.corpusIngest(
+          DocsStream.readDocs(spark, in),
+          base, "docs", version = 1, ts = Instant.parse("2024-02-02T00:00:00Z"))
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    docs.limit(100).coalesce(1).write.mode("append").json(in)
+    run()
+    val n1 = DatasetConvention.read(spark, base, "docs", version = Some(1)).count()
+    assert(n1 > 0)
+    // stop, stage a file that repeats the SAME ids, restart from checkpoint:
+    // the dedup state survives the restart, so nothing new lands
+    docs.limit(100).coalesce(1).write.mode("append").json(in)
+    run()
+    val landed = DatasetConvention.read(spark, base, "docs", version = Some(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(landed.size == n1, s"replay landed ${landed.size - n1} duplicates")
+    assert(landed.distinct.size == landed.size)
+  }
 }
