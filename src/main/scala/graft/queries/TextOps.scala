@@ -173,6 +173,57 @@ object TextOps {
           col("n_emails") + col("n_phones") + col("n_ips") === 0)
         .orderBy(col("doc_id"))),
 
+    // Document CHUNKING: overlapping token windows (size 64, stride 48) —
+    // the pre-tokenization split every long-context training pipeline
+    // runs. Pure in-row work (one transform + posexplode over the token
+    // array), no shuffle at any scale; the chunk key is (doc_id,
+    // chunk_id) with start_tok carried for downstream stitch-back.
+    "q_doc_chunks" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(w), 48), st -> named_struct(" +
+            "'start_tok', cast(st as bigint), " +
+            "'n_tokens', cast(size(slice(w, st, 64)) as bigint), " +
+            "'chunk_text', concat_ws(' ', slice(w, st, 64))))")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
+          col("col.start_tok").as("start_tok"), col("col.n_tokens").as("n_tokens"),
+          col("col.chunk_text").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Sequence PACKING: concatenate the corpus in doc_id order and cut it
+    // into fixed 512-token context windows — each doc's global token
+    // offset decides which windows it spans (the LLM-training batch
+    // layout). The global prefix sum is computed DISTRIBUTED, not with a
+    // single-partition window: docs bucket by `doc_id div 1000` (range-
+    // aligned with the ordering key), the intra-bucket running sum is a
+    // bucket-partitioned window (parallel), and the cross-bucket offsets
+    // come from a bucket-count-sized exclusive prefix broadcast back — the
+    // canonical two-pass distributed scan; only the tiny bucket table ever
+    // passes through a one-partition window.
+    "q_seq_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr("doc_id div 1000"))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inner = docs.withColumn("local_prev",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      val wB = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = docs.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
+        .withColumn("bprev", coalesce(sum(col("btot")).over(wB), lit(0L)))
+        .select(col("bucket"), col("bprev"))
+      inner.join(broadcast(bpre), "bucket")
+        .withColumn("tok_offset", col("bprev") + col("local_prev"))
+        .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+          expr("tok_offset div 512").as("start_win"),
+          expr("(tok_offset + n_tokens - 1) div 512").as("end_win"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex segmentation.
     "q_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -342,6 +393,34 @@ object TextOps {
       |           FROM pbg JOIN plm USING (w1, w2) GROUP BY doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_doc_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |              FROM documents),
+        |ch AS (SELECT doc_id, st, (st - 1) // 48 + 1 AS chunk_id,
+        |         w[st:least(st + 63, len(w))] AS cw
+        |       FROM (SELECT doc_id, w, UNNEST(range(1, len(w) + 1, 48)) AS st
+        |             FROM toks) z)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(st AS BIGINT) AS start_tok,
+        |  CAST(len(cw) AS BIGINT) AS n_tokens,
+        |  array_to_string(cw, ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // The oracle's single global window IS the semantics; the Spark side
+    // computes the same prefix sum distributed (bucketed two-pass scan).
+    "q_seq_pack" ->
+      """WITH tk AS (SELECT doc_id,
+        |       CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |     FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_offset
+        |      FROM tk)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  tok_offset // 512 AS start_win,
+        |  (tok_offset + n_tokens - 1) // 512 AS end_win
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_repetition_filter" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         |              FROM documents),

@@ -161,6 +161,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_seq_pack's corpus prefix sum is distributed: bucket-keyed window + broadcast prefix join") {
+    val p = plan("q_seq_pack")
+    // the corpus-sized window partitions by bucket (a hash exchange), and
+    // the cross-bucket offsets arrive via a broadcast join — the corpus
+    // itself never funnels through a single-partition window
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_doc_chunks is shuffle-free map work over a pruned scan") {
+    val p = plan("q_doc_chunks")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"), read)
+  }
+
   test("q_repetition_filter and q_pii_scrub prune the documents scan to (doc_id, text)") {
     Seq("q_repetition_filter", "q_pii_scrub").foreach { q =>
       val read = plan(q).linesIterator.find(_.contains("ReadSchema")).getOrElse("")
