@@ -224,6 +224,30 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // MODEL-BASED quality scoring: a fixed-weight logistic classifier over
+    // the rule-based signals (the fasttext-style learned quality gate a
+    // curation pipeline ships once trained — here the "model" is literal
+    // weights, so inference is pure codegen'd map work and the oracle
+    // reproduces it exactly). score = sigmoid(w·x); at 100 TB this is the
+    // shape any shipped scorer should have: no UDF, no per-row JNI, just
+    // column arithmetic the optimizer can fuse with the rest of the scan.
+    "q_quality_model" -> ((s, d) => {
+      val words = size(split(trim(col("text")), "\\s+")).cast("double")
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+        .cast("double")
+      val stop = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(?:the|and|of|to|is|a)\\b"), lit(0))).cast("double")
+      val chars = length(col("text")).cast("double")
+      // weights: longer docs + stopword density up, punctuation density down
+      val z = lit(-1.0) + lit(0.004) * words +
+        lit(8.0) * (stop / words) - lit(12.0) * (punct / chars)
+      val score = lit(1.0) / (lit(1.0) + exp(-z))
+      t(s, d, "documents")
+        .select(col("doc_id"), z.as("logit"), score.as("score"),
+          (score >= 0.5).as("model_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex segmentation.
     "q_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -393,6 +417,21 @@ object TextOps {
       |           FROM pbg JOIN plm USING (w1, w2) GROUP BY doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_quality_model" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS words,
+        |    CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|is|a)\b')) AS DOUBLE) AS stop,
+        |    CAST(length(text) AS DOUBLE) AS chars
+        |  FROM documents),
+        |z AS (SELECT doc_id,
+        |        -1.0 + 0.004 * words + 8.0 * (stop / words) - 12.0 * (punct / chars) AS logit
+        |      FROM f)
+        |SELECT doc_id, logit,
+        |  1.0 / (1.0 + exp(-logit)) AS score,
+        |  (1.0 / (1.0 + exp(-logit)) >= 0.5) AS model_ok
+        |FROM z ORDER BY doc_id""".stripMargin,
+
     "q_doc_chunks" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         |              FROM documents),
