@@ -15,7 +15,8 @@ class EmptyInputSpec extends SparkSpec {
       .write.parquet(s"$dir/documents.parquet")
     Seq("q_repetition_filter", "q_lm_perplexity", "q_pii_scrub",
         "q_contamination", "q_token_count", "q_dedup_minhash",
-        "q_hash_split", "q_importance_sample", "q_domain_mix").foreach { q =>
+        "q_hash_split", "q_importance_sample", "q_domain_mix",
+        "q_doc_chunks", "q_seq_pack", "q_quality_model").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
