@@ -228,6 +228,33 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // TPC-H Q5-shape star join — the canonical multi-table analytical
+    // query: fact (lineitem) joined to orders/customer/supplier, dims
+    // (nation, region) BROADCAST, the Q5 twist (customer and supplier in
+    // the same nation) as an equi-condition, revenue via exact decimal
+    // sums. At 100 TB the fact table shuffles only on its join keys;
+    // every dimension rides broadcast; Catalyst pushes the region filter
+    // to the nation/region side before the broadcast.
+    "q_star_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val su = t(s, d, "supplier")
+      val n = broadcast(t(s, d, "nation"))
+      val r = broadcast(t(s, d, "region"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ROLLUP grouping sets over the star join.
     "q_agg_rollup" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -730,6 +757,20 @@ object Relational {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  TRUE AS apx_median_ok, TRUE AS apx_p90_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_star_join" ->
+      s"""SELECT n_name,
+         |  ${Num.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust

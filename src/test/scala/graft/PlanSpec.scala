@@ -185,6 +185,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_star_join broadcasts the dims and pushes the region filter to its scan") {
+    val p = plan("q_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p) // pushed to the region scan
+  }
+
   test("q_tfidf keeps the corpus size as an in-plan broadcast (no driver count)") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
