@@ -74,12 +74,21 @@ object DatasetConvention {
 
   /** Append records to the dataset under the convention path
     * (≙ add_records_to_dataset, gcs.py:162-218). Partition defaults to
-    * now-UTC at the caller. */
+    * now-UTC at the caller.
+    *
+    * @param subdir when set, the write lands in (and OVERWRITES) this
+    *               fixed subdirectory under the partition instead of
+    *               appending fresh part files — the idempotence hook for
+    *               at-least-once writers (a streaming foreachBatch passes
+    *               its batchId, so a replayed batch replaces itself
+    *               instead of duplicating). Partition discovery ignores
+    *               the extra non-`k=v` path segment on read. */
   def append(df: DataFrame, base: String, dataset: String, version: Int,
-             ts: Instant): Unit = {
+             ts: Instant, subdir: Option[String] = None): Unit = {
     val p = partitionFor(version, ts)
-    df.write.mode(SaveMode.Append)
-      .json(s"$base/$dataset/${p.path}")
+    val dir = s"$base/$dataset/${p.path}" + subdir.fold("")("/" + _)
+    df.write.mode(if (subdir.isDefined) SaveMode.Overwrite else SaveMode.Append)
+      .json(dir)
   }
 
   /** Single-object append (≙ add_records_to_dataset, gcs.py:162-218): one

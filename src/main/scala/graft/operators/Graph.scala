@@ -172,7 +172,11 @@ object Graph {
         s"connectedComponents: label propagation did not converge within $iter rounds")
       // Hand the result back in the CALLER's session, reading the final
       // checkpoint — independent of edges/pairs, which the finally block
-      // can therefore safely drop even on the success path.
+      // can therefore safely drop even on the success path. In reliable
+      // mode the final round's CACHE blocks were only needed to make its
+      // checkpoint job cheap — drop them now; the returned frame re-reads
+      // the checkpoint FILES (which remain the caller's to sweep).
+      if (checkpointDir.isDefined) lastRdd.unpersist(blocking = false)
       s.createDataFrame(lastRdd, lastSchema).select(col("doc"), col("comp"))
     } catch {
       case t: Throwable =>

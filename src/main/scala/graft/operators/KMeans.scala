@@ -69,8 +69,10 @@ object KMeans {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
       .sortBy(_._1).toSeq
-    require(cents.nonEmpty,
-      s"k-means: none of the seed ids $initIds exist in the vector table")
+    require(cents.size == initIds.distinct.size,
+      s"k-means: seed ids ${initIds.distinct.diff(cents.map(_._1))} missing from " +
+        "the vector table — training with fewer centroids than requested would " +
+        "silently change the index shape")
     cents
   }
 
@@ -83,7 +85,13 @@ object KMeans {
         case Some(rows) =>
           val s = new Array[Long](dims)
           rows.foreach(r => s(r.getInt(1)) = r.getLong(3))
-          (cid, s, s.map(x => x * x).sum)
+          val cn = s.map(x => x * x).sum
+          // a zero-sum cluster (members cancel exactly) has no direction:
+          // its cosine would be 0/0 = NaN, which Spark orders above every
+          // double and would swallow the whole corpus next round — treat
+          // it like an empty cluster (keep the previous centroid; the
+          // oracle mirrors this via its per-round zero-norm CASE)
+          if (cn == 0L) (cid, sPrev, cnPrev) else (cid, s, cn)
         case None => (cid, sPrev, cnPrev) // empty cluster: keep centroid
       }
     }
@@ -93,10 +101,16 @@ object KMeans {
     * (updates = 0 → the seeds themselves). [[train]]`(iters)` ≡ the
     * cluster sums of assigning with `model(updates = iters - 1)`. */
   def model(vecs: DataFrame, initIds: Seq[Long], updates: Int): Model = {
-    var cents = seed(vecs, initIds)
-    for (_ <- 1 to updates)
-      cents = updated(cents, clusterSums(assign(vecs, cents)).collect())
-    cents
+    // the loop reads the vector table updates+1 times (seed + each round):
+    // cache it for the eager section, release before returning — the same
+    // loop discipline as Graph.connectedComponents / MLlib KMeans
+    val cached = vecs.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      var cents = seed(cached, initIds)
+      for (_ <- 1 to updates)
+        cents = updated(cents, clusterSums(assign(cached, cents)).collect())
+      cents
+    } finally cached.unpersist(blocking = false)
   }
 
   /** `iters` Lloyd rounds from the seed vectors; returns the FINAL round's
@@ -115,15 +129,18 @@ object KMeans {
     * stop changing (exact fixed point — no tolerance knob) or `maxIters`
     * is hit, whichever first; returns (model, roundsRun). */
   def trainConverged(vecs: DataFrame, initIds: Seq[Long], maxIters: Int = 20): (Model, Int) = {
-    var cents = seed(vecs, initIds)
-    var iter = 0
-    var moved = true
-    while (moved && iter < maxIters) {
-      val next = updated(cents, clusterSums(assign(vecs, cents)).collect())
-      moved = next.zip(cents).exists { case ((_, a, _), (_, b, _)) => !a.sameElements(b) }
-      cents = next
-      iter += 1
-    }
-    (cents, iter)
+    val cached = vecs.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      var cents = seed(cached, initIds)
+      var iter = 0
+      var moved = true
+      while (moved && iter < maxIters) {
+        val next = updated(cents, clusterSums(assign(cached, cents)).collect())
+        moved = next.zip(cents).exists { case ((_, a, _), (_, b, _)) => !a.sameElements(b) }
+        cents = next
+        iter += 1
+      }
+      (cents, iter)
+    } finally cached.unpersist(blocking = false)
   }
 }

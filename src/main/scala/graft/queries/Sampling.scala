@@ -125,18 +125,18 @@ object Sampling {
     })
   )
 
-  /** DuckDB spelling of the md5 32-bit bucket (first 8 hex chars) over an
-    * id column — the oracle twin of [[hashUniform]]'s numerator. */
-  private def sqlBucket(idCol: String) = (0 until 8).map { i =>
-    val mult = 1L << (4 * (7 - i))
+  /** DuckDB spelling of the first-`digits`-hex-chars md5 bucket — ONE
+    * definition of the hash convention, parameterized by width. */
+  private def sqlBucketN(idCol: String, digits: Int) = (0 until digits).map { i =>
+    val mult = 1L << (4 * (digits - 1 - i))
     s"((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult)"
   }.mkString("(", "\n + ", ")")
 
-  /** DuckDB spelling of the md5 16-bit split bucket — twin of [[withSplit]]. */
-  private def sqlBucket16(idCol: String) = (0 until 4).map { i =>
-    val mult = 1L << (4 * (3 - i))
-    s"((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult)"
-  }.mkString("(", "\n + ", ")")
+  /** 32-bit bucket — the oracle twin of [[hashUniform]]'s numerator. */
+  private def sqlBucket(idCol: String) = sqlBucketN(idCol, 8)
+
+  /** 16-bit split bucket — twin of [[withSplit]]. */
+  private def sqlBucket16(idCol: String) = sqlBucketN(idCol, 4)
 
   /** DuckDB CASE expression for the train/dev/test split of an id column. */
   private def sqlSplit(idCol: String) =

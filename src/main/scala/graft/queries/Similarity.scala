@@ -41,6 +41,30 @@ object Similarity {
       when(dotL(v, planeLit(p)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Shared tail of the exact and ANN kNN self-joins: each unordered
+    * scored pair (ida, idb, cos) explodes into its two directed rows —
+    * one dot per pair, never per direction — then the bounded typed
+    * [[graft.functions.TopKAggregator]] keeps k neighbors per vector
+    * (shuffle ≤ k rows per vector × map task, no window sort). */
+  private def topKNeighbors(s: SparkSession, pairs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    pairs
+      .select(explode(array(
+        struct(col("ida").as("vid"), col("cos"), col("idb").as("nbr")),
+        struct(col("idb").as("vid"), col("cos"), col("ida").as("nbr")))).as("e"))
+      .select(col("e.vid"), col("e.cos"), col("e.nbr"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, c, n) => (c, n) }
+      .agg(topk)
+      .flatMap { case (vid, tops) =>
+        tops.zipWithIndex.map { case ((c, n), i) => (vid, n, c, (i + 1).toLong) }
+      }
+      .toDF("vec_id", "nbr_id", "cos", "rnk")
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
   val queries: Map[String, QFn] = Map(
 
     // Exact brute-force cosine top-10 vs the vec_id=0 query vector.
@@ -226,7 +250,6 @@ object Similarity {
     // top-k shuffle width stays N×k. The approximate scale path swaps the
     // block join for LSH/IVF candidates (q_ann_lsh / q_ann_ivf machinery).
     "q_knn_join" -> ((s, d) => {
-      import s.implicits._
       val B = 8
       val iv = intVecs(s, d).withColumn("blk", pmod(col("vec_id"), lit(B)))
       val a = iv.select(col("vec_id").as("ida"), col("v").as("va"),
@@ -238,26 +261,10 @@ object Similarity {
           explode(expr("sequence(0, blk)")).as("pi"))
         .withColumn("pk", col("pi") * B + col("bb"))
       val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
-      // Each unordered pair is computed ONCE (one dot per pair) and then
-      // exploded into its two directed rows — not a union of two join
-      // scans, which would run the whole block join twice.
-      val both = a.join(b, a("pk") === b("pk") &&
+      val pairs = a.join(b, a("pk") === b("pk") &&
           (col("ba") < col("bb") || col("ida") < col("idb")))
         .select(col("ida"), col("idb"), cos.as("cos"))
-        .select(explode(array(
-          struct(col("ida").as("vid"), col("cos"), col("idb").as("nbr")),
-          struct(col("idb").as("vid"), col("cos"), col("ida").as("nbr")))).as("e"))
-        .select(col("e.vid"), col("e.cos"), col("e.nbr"))
-      val topk = new graft.functions.TopKAggregator(3).toColumn
-      both.as[(Long, Double, Long)]
-        .groupByKey(_._1)
-        .mapValues { case (_, c, n) => (c, n) }
-        .agg(topk)
-        .flatMap { case (vid, tops) =>
-          tops.zipWithIndex.map { case ((c, n), i) => (vid, n, c, (i + 1).toLong) }
-        }
-        .toDF("vec_id", "nbr_id", "cos", "rnk")
-        .orderBy(col("vec_id"), col("rnk"))
+      topKNeighbors(s, pairs, 3)
     }),
 
     // APPROXIMATE kNN self-join — the at-scale twin of q_knn_join: the
@@ -275,7 +282,6 @@ object Similarity {
     // output (recall loss, visible in the measured number) — at scale you
     // add probes/tables until the miss rate is acceptable.
     "q_knn_join_ann" -> ((s, d) => {
-      import s.implicits._
       val iv = intVecs(s, d).withColumn("bucket", bucketExpr("v"))
       val a = iv.select(col("vec_id").as("ida"), col("v").as("va"),
         col("nv").as("na"), col("bucket").as("bka"))
@@ -283,22 +289,9 @@ object Similarity {
           col("nv").as("nb"),
           explode(expr("transform(array(0L, 1L, 2L, 4L, 8L), m -> bucket ^ m)")).as("pb"))
       val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
-      val both = a.join(b, col("bka") === col("pb") && col("ida") < col("idb"))
+      val pairs = a.join(b, col("bka") === col("pb") && col("ida") < col("idb"))
         .select(col("ida"), col("idb"), cos.as("cos"))
-        .select(explode(array(
-          struct(col("ida").as("vid"), col("cos"), col("idb").as("nbr")),
-          struct(col("idb").as("vid"), col("cos"), col("ida").as("nbr")))).as("e"))
-        .select(col("e.vid"), col("e.cos"), col("e.nbr"))
-      val topk = new graft.functions.TopKAggregator(3).toColumn
-      both.as[(Long, Double, Long)]
-        .groupByKey(_._1)
-        .mapValues { case (_, c, n) => (c, n) }
-        .agg(topk)
-        .flatMap { case (vid, tops) =>
-          tops.zipWithIndex.map { case ((c, n), i) => (vid, n, c, (i + 1).toLong) }
-        }
-        .toDF("vec_id", "nbr_id", "cos", "rnk")
-        .orderBy(col("vec_id"), col("rnk"))
+      topKNeighbors(s, pairs, 3)
     }),
 
     // Approximate near-dup via LSH candidates + exact rerank — the scale
@@ -354,9 +347,15 @@ object Similarity {
       val sums =
         s"""sums$k AS (SELECT a.cluster AS cid, i AS pos, COUNT(*) AS n, SUM(iv.v[i]) AS s
            |           FROM iv JOIN asg$k a USING (vec_id), idx GROUP BY 1, 2)""".stripMargin
+      // empty OR zero-norm clusters keep the previous centroid (zero-norm
+      // mirrors KMeans.updated's NaN-cosine guard)
       val cent =
-        s"""cent$k AS (SELECT c.cid, c.pos, COALESCE(s.s, c.s) AS s
-           |           FROM $prev c LEFT JOIN sums$k s ON s.cid = c.cid AND s.pos = c.pos)""".stripMargin
+        s"""nsum$k AS (SELECT cid, SUM(s * s) AS cn2 FROM sums$k GROUP BY 1),
+           |cent$k AS (SELECT c.cid, c.pos,
+           |             CASE WHEN n2.cn2 IS NULL OR n2.cn2 = 0 THEN c.s ELSE s.s END AS s
+           |           FROM $prev c
+           |           LEFT JOIN sums$k s ON s.cid = c.cid AND s.pos = c.pos
+           |           LEFT JOIN nsum$k n2 ON n2.cid = c.cid)""".stripMargin
       if (k < n) Seq(asg, sums, cent).mkString(",\n")
       else if (sumsAtLast) Seq(asg, sums).mkString(",\n")
       else asg

@@ -101,12 +101,22 @@ object TextOps {
     val lm = cnt.join(fst, "w1")
       .select(col("w1"), col("w2"),
         (col("c").cast("double") / col("c1").cast("double")).as("prob"))
-    bg.join(lm, Seq("w1", "w2"))
+    // Materialize the (doc-sized, narrow) score table EAGERLY so the
+    // corpus-sized bigram cache can be released here instead of leaking
+    // one bigram-table cache per invocation for the session lifetime —
+    // the same discipline as Dedup.candidateEdges. The returned frame is
+    // persisted; callers may unpersist once downstream state no longer
+    // reads it (its footprint is one narrow row per document).
+    val scored = bg.join(lm, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(log(col("prob")).cast("decimal(28,12)")).cast("double").as("logprob"))
       .select(col("doc_id"), col("n_bigrams"), col("logprob"),
         exp(-col("logprob") / col("n_bigrams").cast("double")).as("ppl"))
+      .persist(StorageLevel.DISK_ONLY)
+    scored.count()
+    bg.unpersist(blocking = false)
+    scored
   }
 
   val queries: Map[String, QFn] = Map(
@@ -162,16 +172,23 @@ object TextOps {
     // expressions are shared with TextOpsSpec, which proves the redaction
     // on synthetic PII (this corpus is clean, so the query's counts are
     // zero — the spec is where the behavior is exercised).
-    "q_pii_scrub" -> ((s, d) =>
+    // Counts report what each redaction pass actually REMOVES: emails are
+    // counted on the raw text, IPs after the email pass, phones after the
+    // email+IP passes — so a digit-heavy email local part counts (and is
+    // redacted) once as <EMAIL>, never double-counted as a phone.
+    "q_pii_scrub" -> ((s, d) => {
+      val afterEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+      val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
       t(s, d, "documents")
         .select(col("doc_id"),
           piiCount(col("text"), EmailRe).as("n_emails"),
-          piiCount(col("text"), PhoneRe).as("n_phones"),
-          piiCount(col("text"), Ipv4Re).as("n_ips"),
-          piiScrub(col("text")).as("scrubbed"))
+          piiCount(afterIp, PhoneRe).as("n_phones"),
+          piiCount(afterEmail, Ipv4Re).as("n_ips"),
+          regexp_replace(afterIp, PhoneRe, "<PHONE>").as("scrubbed"))
         .withColumn("pii_free",
           col("n_emails") + col("n_phones") + col("n_ips") === 0)
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
     // Document CHUNKING: overlapping token windows (size 64, stride 48) —
     // the pre-tokenization split every long-context training pipeline
@@ -486,17 +503,21 @@ object TextOps {
       val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
       val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-      s"""SELECT doc_id,
+      s"""WITH st AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$email', '<EMAIL>', 'g') AS after_email
+         |  FROM documents),
+         |st2 AS (SELECT doc_id, text, after_email,
+         |    regexp_replace(after_email, '$ip', '<IP>', 'g') AS after_ip
+         |  FROM st)
+         |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phones,
-         |  CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')
-         |    AS scrubbed,
+         |  CAST(len(regexp_extract_all(after_ip, '$phone')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(after_email, '$ip')) AS INT) AS n_ips,
+         |  regexp_replace(after_ip, '$phone', '<PHONE>', 'g') AS scrubbed,
          |  (len(regexp_extract_all(text, '$email'))
-         |   + len(regexp_extract_all(text, '$phone'))
-         |   + len(regexp_extract_all(text, '$ip')) = 0) AS pii_free
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |   + len(regexp_extract_all(after_ip, '$phone'))
+         |   + len(regexp_extract_all(after_email, '$ip')) = 0) AS pii_free
+         |FROM st2 ORDER BY doc_id""".stripMargin
     },
 
     "q_lm_perplexity" ->

@@ -46,10 +46,17 @@ object DocsStream {
     docs
       .filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
       .dropDuplicates("doc_id")
-      .select(col("doc_id"), TextOps.piiScrub(col("text")).as("text"), col("n_chars"))
+      .select(col("doc_id"), TextOps.piiScrub(col("text")).as("text"))
+      // n_chars must describe the LANDED (scrubbed) text, not the raw input
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        DatasetConvention.append(batch, base, dataset, version, ts)
+      // foreachBatch is at-least-once: a batch replayed after a crash
+      // re-runs its write, so the landing must be IDEMPOTENT — each batch
+      // overwrites its own batchId-keyed subdirectory instead of blind-
+      // appending part files with fresh random names.
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        DatasetConvention.append(batch, base, dataset, version, ts,
+          subdir = Some(f"batch-$id%05d"))
       }
 }

@@ -16,10 +16,14 @@ class TextOpsSpec extends SparkSpec {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    // staged counts, matching q_pii_scrub: each pass counts on the text
+    // the PREVIOUS passes already redacted
+    val afterEmail = regexp_replace(col("text"), TextOps.EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, TextOps.Ipv4Re, "<IP>")
     df.select(col("doc_id"),
         TextOps.piiCount(col("text"), TextOps.EmailRe).as("n_emails"),
-        TextOps.piiCount(col("text"), TextOps.PhoneRe).as("n_phones"),
-        TextOps.piiCount(col("text"), TextOps.Ipv4Re).as("n_ips"),
+        TextOps.piiCount(afterIp, TextOps.PhoneRe).as("n_phones"),
+        TextOps.piiCount(afterEmail, TextOps.Ipv4Re).as("n_ips"),
         TextOps.piiScrub(col("text")).as("scrubbed"))
       .orderBy(col("doc_id")).collect()
   }
@@ -48,6 +52,9 @@ class TextOpsSpec extends SparkSpec {
     val r = scrub("mail 555123456789@relay.example.com or dial 555 123 4567 at 10.0.0.7")
     assert(r(0).getAs[Int]("n_emails") == 1)
     assert(r(0).getAs[Int]("n_ips") == 1)
+    // the email's digit-heavy local part is NOT double-counted as a phone:
+    // the phone count runs on the email/IP-scrubbed text
+    assert(r(0).getAs[Int]("n_phones") == 1)
     assert(r(0).getAs[String]("scrubbed") == "mail <EMAIL> or dial <PHONE> at <IP>")
   }
 

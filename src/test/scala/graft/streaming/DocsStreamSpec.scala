@@ -39,6 +39,17 @@ class DocsStreamSpec extends SparkSpec {
     assert(t0.forall { case (id, txt) => orig(id) == txt })
   }
 
+  test("batch-keyed append is idempotent: a replayed batch replaces itself") {
+    val base = tmpDir("docs-idem")
+    val docs = Tables.load(spark, sf, "documents").limit(10)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val ts = Instant.parse("2024-02-03T00:00:00Z")
+    DatasetConvention.append(docs, base, "docs", 1, ts, subdir = Some("batch-00001"))
+    // at-least-once replay of the same batch: overwrite, not duplicate
+    DatasetConvention.append(docs, base, "docs", 1, ts, subdir = Some("batch-00001"))
+    assert(DatasetConvention.read(spark, base, "docs", version = Some(1)).count() == 10)
+  }
+
   test("ingest restarts from its checkpoint: replayed ids never land twice") {
     val in = tmpDir("docs-in2")
     val base = tmpDir("docs-out2")
