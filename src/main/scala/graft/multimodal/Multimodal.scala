@@ -311,4 +311,108 @@ object Multimodal {
     media.select(col("id"), col("kind"),
       col("meta.width").as("width"), col("meta.height").as("height"),
       col("meta.sample_rate").as("sample_rate"))
+
+  final case class ImageHash(id: Long, ahash: Long, dhash: Long)
+
+  /** Bilinear-downscale an image to exactly w × h and return its luminance
+    * grid (row-major, [0, 1]) — the shared front half of aHash and dHash. */
+  private[multimodal] def luminanceGrid(img: java.awt.image.BufferedImage,
+                                        w: Int, h: Int): Array[Float] = {
+    val dst = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    val out = new Array[Float](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = dst.getRGB(x, y)
+        out(y * w + x) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000f / 255f
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit perceptual hashes per decodable image row: aHash (each cell of
+    * an 8×8 luminance downscale vs the grid mean) and dHash (horizontal
+    * gradient sign over a 9×8 downscale). Both are invariant to re-encoding
+    * and resizing and degrade gracefully under small edits — the standard
+    * cheap near-dup signal for an image corpus. Undecodable payloads and
+    * non-image rows are dropped (they have no pixels to hash); route those
+    * through exact byte dedup instead. Pure map work — scales linearly. */
+  def imageHashes(media: Dataset[Media]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        if (m.kind != "image") None
+        else decodeImage(m.bytes).map { img =>
+          val a = luminanceGrid(img, 8, 8)
+          var mean = 0f
+          var i = 0
+          while (i < 64) { mean += a(i); i += 1 }
+          mean /= 64f
+          var ahash = 0L
+          i = 0
+          while (i < 64) { if (a(i) >= mean) ahash |= 1L << i; i += 1 }
+          val d = luminanceGrid(img, 9, 8)
+          var dhash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (d(y * 9 + x) < d(y * 9 + x + 1)) dhash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          ImageHash(m.id, ahash, dhash)
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs (id_a < id_b, hamming ≤ maxHamming) by
+    * Hamming-banded self-join over a 64-bit perceptual hash column: the
+    * hash splits into `maxHamming + 1` bit-slices, and by pigeonhole any
+    * pair within the radius agrees EXACTLY on at least one slice — so an
+    * equi-join on (band, slice-value) finds every true pair (recall 1,
+    * unlike probabilistic LSH) and the `bit_count(xor)` rerank drops false
+    * candidates. Same shape as the text MinHash banding (Dedup.bandPairs):
+    * shuffle keys are narrow (band, 64/b bits), never all-pairs, and the
+    * whole plan is codegen'd builtins — no UDF. Radius ≤ 7 keeps slices
+    * ≥ 8 bits; beyond that band buckets degenerate (a 4-bit slice has 16
+    * values) and candidate volume approaches quadratic. */
+  def nearDupImagePairs(hashes: DataFrame, hashCol: String = "dhash",
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7], got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands // ≥ 8 bits per slice for radius ≤ 7
+    val h = col(hashCol)
+    val bandStructs = (0 until nBands).map { b =>
+      val slice =
+        if (b == nBands - 1) shiftright(h, b * width) // top slice keeps the remainder bits
+        else shiftright(h, b * width).bitwiseAND(lit((1L << width) - 1))
+      struct(lit(b).as("band"), slice.as("bv"))
+    }
+    val bands = hashes
+      .select(col("id"), h.as("h"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("id"), col("h"), col("x.band").as("band"), col("x.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .distinct()
+  }
 }

@@ -160,6 +160,85 @@ class MultimodalSpec extends SparkSpec {
       .sameElements(decodeStub("not-audio".getBytes, 2)))
   }
 
+  /** A real PNG with a deterministic smooth gradient + seeded noise —
+    * enough structure that distinct seeds give distant hashes. */
+  private def noisyPng(seed: Int, w: Int = 64, h: Int = 48,
+                       flipped: Int = 0): Array[Byte] = {
+    val (fx, fy) = (1 + seed % 3, 1 + (seed / 3) % 3)
+    val (px, py) = (seed * 37 % 100 / 100.0, seed * 53 % 100 / 100.0)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      // smooth (resize-stable) seeded structure: 2-D sinusoid over a ramp
+      val s = math.sin(2 * math.Pi * (fx.toDouble * x / w + px)) *
+        math.sin(2 * math.Pi * (fy.toDouble * y / h + py))
+      val v = math.min(255, math.max(0, (128 + 80 * s + 20.0 * x / w).toInt))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val rnd2 = new scala.util.Random(seed + 1000)
+    for (_ <- 0 until flipped) { // small local edits: a few corrupted pixels
+      val (x, y) = (rnd2.nextInt(w), rnd2.nextInt(h))
+      img.setRGB(x, y, 0xff0000)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageHashes: resize/re-encode-invariant-ish, edits move few bits, undecodable dropped") {
+    val media = Seq(
+      Media(1, "image", noisyPng(seed = 7), MediaMeta(None, None, None)),
+      Media(2, "image", noisyPng(seed = 7, flipped = 6), MediaMeta(None, None, None)),
+      Media(3, "image", noisyPng(seed = 99), MediaMeta(None, None, None)),
+      Media(4, "image", "not-an-image".getBytes, MediaMeta(None, None, None)),
+      Media(5, "audio", realWav(), MediaMeta(None, None, None))).toDS()
+    val hashes = imageHashes(media).collect().map(ih => ih.id -> ih).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L)) // no pixels → no hash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a downscaled copy of the same image hashes within a small radius
+    val resized = imageHashes(resizeImages(
+      media.filter(_.id == 1L), targetW = 32, targetH = 24)).collect().head
+    assert(ham(hashes(1L).dhash, resized.dhash) <= 3,
+      s"resized copy drifted ${ham(hashes(1L).dhash, resized.dhash)} bits")
+    // a few corrupted pixels move few bits; a different image is far away
+    assert(ham(hashes(1L).dhash, hashes(2L).dhash) <= 3)
+    assert(ham(hashes(1L).dhash, hashes(3L).dhash) > 10)
+    assert(ham(hashes(1L).ahash, hashes(3L).ahash) > 10)
+    // deterministic across partitionings
+    val again = imageHashes(media.repartition(4)).collect().map(ih => ih.id -> ih).toMap
+    assert(hashes == again)
+  }
+
+  test("nearDupImagePairs: banded join finds every pair within radius, none outside") {
+    val media = Seq(
+      Media(1, "image", noisyPng(seed = 7), MediaMeta(None, None, None)),
+      Media(2, "image", noisyPng(seed = 7, flipped = 6), MediaMeta(None, None, None)),
+      Media(3, "image", noisyPng(seed = 7, flipped = 9), MediaMeta(None, None, None)),
+      Media(4, "image", noisyPng(seed = 99), MediaMeta(None, None, None)),
+      Media(5, "image", noisyPng(seed = 123), MediaMeta(None, None, None))).toDS()
+    val hashes = imageHashes(media).toDF().persist()
+    val pairs = nearDupImagePairs(hashes, "dhash", maxHamming = 4)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // ground truth: brute-force over the collected hashes
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 4
+    } yield (a, b, d)).toSet
+    assert(got.toSet == want, s"got=$got want=$want") // recall 1 by pigeonhole
+    assert(want.map { case (a, b, _) => (a, b) } == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the plan is an equi-join: no cartesian / broadcast-nested-loop
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup join must stay an equi-join:\n$plan")
+    // near-dup clusters resolve through the shared graph operator
+    val comps = graft.operators.Graph.connectedComponents(
+      pairs.select(col("id_a"), col("id_b"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(2L) == comps(3L) && comps(2L) == comps.getOrElse(1L, comps(2L)))
+    hashes.unpersist()
+  }
+
   test("metaOnly never reads the binary column (scan prunes bytes)") {
     val dir = tmpDir("media")
     sampleMedia.toDF().write.mode("overwrite").parquet(dir)
