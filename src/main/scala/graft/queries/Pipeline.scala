@@ -31,7 +31,6 @@ object Pipeline {
 
   val queries: Map[String, QFn] = Map(
     "q_pipeline_corpus" -> ((s, d) => {
-      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
       val verdict = Dedup.queries("q_dedup_resolve")(s, d)
         .filter(col("keep") === 1L).select(col("doc_id"))
       val lmOk = TextOps.docPerplexity(Tables.load(s, d, "documents"))
@@ -41,7 +40,7 @@ object Pipeline {
           size(split(trim(col("text")), "\\s+")).as("n_words"),
           TextOps.qualityOkExpr.as("q_ok"),
           TextOps.predLangExpr.as("pred_lang"),
-          md5(encode(norm, "UTF-8")).as("fp"))
+          TextOps.normFpExpr.as("fp"))
         .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
         .filter(col("q_ok") && col("pred_lang") === "en" && col("doc_id") === col("rep"))
         .join(lmOk, "doc_id")    // LM perplexity gate

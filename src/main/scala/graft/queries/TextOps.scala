@@ -48,6 +48,13 @@ object TextOps {
       .otherwise("und")
   }
 
+  /** Normalized-text md5 fingerprint — THE exact-dedup key: lowercase,
+    * whitespace-collapsed, trimmed. Shared by the batch corpus build
+    * (q_pipeline_corpus stage 4) and the streaming ingest's content dedup
+    * — one definition, no batch/stream drift. */
+  def normFpExpr: org.apache.spark.sql.Column =
+    md5(encode(trim(regexp_replace(lower(col("text")), "\\s+", " ")), "UTF-8"))
+
   // PII patterns — the Java-regex ∩ RE2 subset so Spark and DuckDB agree:
   // no backrefs, no lookaround, plain classes/quantifiers only.
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"

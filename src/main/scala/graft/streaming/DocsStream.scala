@@ -36,16 +36,24 @@ object DocsStream {
 
   /** Gate + scrub + exact-dedup a document stream and append survivors to
     * the dataset convention. Gates are pure map work (stream-safe at any
-    * scale); the in-stream exact dedup keys on doc_id — state grows with
-    * distinct ids here (the replay-window-bounded variant is
-    * [[EventsStream.dedupedStream]]'s `dropDuplicatesWithinWatermark`,
-    * which needs an event-time column documents lack); near-dup dedup
-    * stays a batch-side pass (q_dedup_resolve) over the landed dataset. */
+    * scale); the in-stream exact dedup keys on doc_id — or, with
+    * `dedupByContent`, on the SAME normalized-text fingerprint the batch
+    * corpus build dedups on ([[TextOps.normFpExpr]], q_pipeline_corpus
+    * stage 4), so one representative per content lands regardless of how
+    * many doc_ids carry it. Either way state grows with distinct keys
+    * (the replay-window-bounded variant is [[EventsStream.dedupedStream]]'s
+    * `dropDuplicatesWithinWatermark`, which needs an event-time column
+    * documents lack — the full-state trade here is exactly the batch
+    * window's); near-dup dedup stays a batch-side pass (q_dedup_resolve)
+    * over the landed dataset. The fingerprint is computed PRE-scrub, like
+    * the batch stage, so scrubbing can't split one content group in two. */
   def corpusIngest(docs: DataFrame, base: String, dataset: String,
-                   version: Int, ts: Instant): DataStreamWriter[org.apache.spark.sql.Row] =
+                   version: Int, ts: Instant,
+                   dedupByContent: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     docs
       .filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
-      .dropDuplicates("doc_id")
+      .withColumn("fp", TextOps.normFpExpr)
+      .dropDuplicates(if (dedupByContent) "fp" else "doc_id")
       .select(col("doc_id"), TextOps.piiScrub(col("text")).as("text"))
       // n_chars must describe the LANDED (scrubbed) text, not the raw input
       .withColumn("n_chars", length(col("text")).cast("long"))

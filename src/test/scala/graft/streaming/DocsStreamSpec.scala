@@ -39,6 +39,41 @@ class DocsStreamSpec extends SparkSpec {
     assert(t0.forall { case (id, txt) => orig(id) == txt })
   }
 
+  test("content-fingerprint dedup lands one representative per batch-pipeline fp") {
+    val in = tmpDir("docs-fp-in")
+    val base = tmpDir("docs-fp-out")
+    val docs = Tables.load(spark, sf, "documents")
+    // batch 1: first 200 docs; batch 2: the SAME texts under fresh doc_ids
+    // (content duplicates the id-keyed dedup would miss) plus 100 new docs
+    docs.limit(200).coalesce(1).write.mode("append").json(in)
+    docs.limit(300)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .coalesce(1).write.mode("append").json(in)
+    val q = DocsStream.corpusIngest(
+        DocsStream.readDocs(spark, in, maxFilesPerTrigger = Some(1)),
+        base, "docs", version = 1, ts = Instant.parse("2024-02-04T00:00:00Z"),
+        dedupByContent = true)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landedIds = DatasetConvention.read(spark, base, "docs", version = Some(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // fingerprints come from the PRE-scrub input text, keyed by doc_id
+    val union = docs.limit(200).union(
+      docs.limit(300).withColumn("doc_id", col("doc_id") + 1000000L))
+    val inputFp = union.select(col("doc_id"), TextOps.normFpExpr.as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val landedFps = landedIds.map(inputFp)
+    assert(landedFps.distinct.size == landedFps.size,
+      "two representatives of one content fingerprint landed")
+    // value parity with the batch exact-dedup stage: same fp set survives
+    val expectedFps = union
+      .filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
+      .select(TextOps.normFpExpr.as("fp")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(landedFps.toSet == expectedFps,
+      s"landed ${landedFps.size} fps != batch stage's ${expectedFps.size}")
+  }
+
   test("batch-keyed append is idempotent: a replayed batch replaces itself") {
     val base = tmpDir("docs-idem")
     val docs = Tables.load(spark, sf, "documents").limit(10)
