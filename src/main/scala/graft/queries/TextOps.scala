@@ -80,6 +80,9 @@ object TextOps {
     * ~26–38, median ~29.5 — the threshold cuts the worst tail). */
   val PplMax = 32.0
 
+  /** Vocabulary cap for q_vocab_build — the oracle's `rank <= 512` twin. */
+  val VocabSize = 512
+
   /** Per-document bigram-LM score: (doc_id, n_bigrams, logprob, ppl) —
     * ppl = exp(-logprob / n_bigrams) under the LM trained on the SAME
     * corpus (so every scored bigram is in-vocabulary; no smoothing term).
@@ -281,6 +284,28 @@ object TextOps {
             lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"),
           length(col("text")).as("chars"))
         .orderBy(col("doc_id"))),
+
+    // Corpus VOCABULARY build — the tokenizer-training precursor: global
+    // token counts + document frequencies, deterministically ranked
+    // (count desc, token asc) and capped at VocabSize. Scale shape: one
+    // token-keyed partial+final aggregate over the exploded token table
+    // (map-side combined; count(distinct doc_id) expands to a two-level
+    // aggregate, still token-keyed — never doc×token materialized twice),
+    // then TakeOrdered top-N on the rank key; the single-partition
+    // row_number window runs over the N-row RESULT (model-sized), never
+    // the corpus-sized aggregate.
+    "q_vocab_build" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("token"))
+      toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("cnt").desc, col("token")).limit(VocabSize)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+        .orderBy(col("rank"))
+    }),
 
     // Quality scoring: length/word/punctuation/stopword signals + verdict.
     "q_text_quality" -> ((s, d) => {
@@ -533,6 +558,18 @@ object TextOps {
          |  exp(-logprob / n_bigrams) AS ppl,
          |  (exp(-logprob / n_bigrams) <= $PplMax) AS lm_ok
          |FROM pscore ORDER BY doc_id""".stripMargin,
+    "q_vocab_build" ->
+      """WITH tok AS (SELECT doc_id,
+        |    UNNEST(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+        |  FROM documents),
+        |agg AS (SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+        |        FROM tok GROUP BY token),
+        |r AS (SELECT token, cnt, df,
+        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+        |      FROM agg)
+        |SELECT token, cnt, df, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 512 ORDER BY rank""".stripMargin,
+
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
