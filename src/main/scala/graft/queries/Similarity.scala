@@ -67,6 +67,33 @@ object Similarity {
 
   val queries: Map[String, QFn] = Map(
 
+    // Symmetric int8 quantization of the embedding column — the 4× storage
+    // cut a 100 TB vector corpus ships with. All arithmetic is EXACT:
+    // vectors are ×1e6-scaled bigints (the library-wide convention), the
+    // per-vector scale is the bigint abs-max, and round-half-up happens as
+    // integer division ((2·127·|x| + s) div 2s) — no float ties, so the
+    // DuckDB oracle reproduces bit-for-bit. Only the reported relative
+    // reconstruction error takes one final double division. Pure map work,
+    // no shuffle at any scale.
+    "q_embed_quantize" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), intVec("embedding").as("v"))
+        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .select(col("vec_id"), col("amax").as("scale"),
+          expr("""transform(v, x -> cast(case
+                   when amax = 0 then 0
+                   when x >= 0 then (2*x*127 + amax) div (2*amax)
+                   else -((2*(-x)*127 + amax) div (2*amax)) end as int))""").as("qvec"),
+          col("v"))
+        .withColumn("max_rel_err",
+          when(col("scale") === 0, lit(0.0))
+            .otherwise(expr("array_max(zip_with(v, qvec, (x, q) -> abs(127*x - q*scale)))")
+              .cast("double") / (lit(127.0) * col("scale").cast("double"))))
+        // the harness compares scalar columns — ship the int8 payload as CSV
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", col("qvec")).as("qvec_csv"), col("max_rel_err"))
+        .orderBy(col("vec_id"))),
+
     // Exact brute-force cosine top-10 vs the vec_id=0 query vector.
     "q_topk_similarity" -> ((s, d) => {
       val iv = intVecs(s, d)
@@ -368,6 +395,24 @@ object Similarity {
        |idx AS (SELECT UNNEST(range(1, 65)) AS i)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      s"""WITH iv AS (SELECT vec_id, ${sqlIntVec("embedding")} AS v FROM embeddings),
+         |st AS (SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) AS amax
+         |       FROM iv),
+         |qt AS (SELECT vec_id, amax AS scale, v,
+         |         list_transform(v, x -> CAST(CASE
+         |           WHEN amax = 0 THEN 0
+         |           WHEN x >= 0 THEN (2*x*127 + amax) // (2*amax)
+         |           ELSE -((2*(-x)*127 + amax) // (2*amax)) END AS INTEGER)) AS qvec
+         |       FROM st)
+         |SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv,
+         |  CASE WHEN scale = 0 THEN 0.0
+         |       ELSE CAST(list_max(list_transform(range(1, 65),
+         |              i -> abs(127*v[i] - qvec[i]*scale))) AS DOUBLE)
+         |            / (127.0 * scale) END AS max_rel_err
+         |FROM qt ORDER BY vec_id""".stripMargin,
+
     "q_topk_similarity" ->
       s"""WITH $ivCte,
          |q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
