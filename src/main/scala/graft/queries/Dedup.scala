@@ -148,6 +148,28 @@ object Dedup {
 
   val queries: Map[String, QFn] = Map(
 
+    // Span-level duplication score — per document, the fraction of its
+    // distinct 3-gram shingles that occur in ANY other document (the
+    // substring-dedup signal of Lee et al., "Deduplicating Training Data
+    // Makes Language Models Better": heavily-duplicated SPANS matter even
+    // when whole documents differ). Never doc×doc: one shingle-keyed
+    // doc-frequency aggregate, one shingle-keyed join back (fanout 1 per
+    // (doc, shingle)), one doc-keyed final aggregate — all map-side
+    // combined and safe at corpus scale.
+    "q_dup_spans" -> ((s, d) => {
+      val sh = shingles(s, d).persist(StorageLevel.DISK_ONLY)
+      val dfc = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val frac = col("n_dup").cast("double") / col("n_shingles").cast("double")
+      sh.join(dfc, "g")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+          frac.as("dup_span_frac"),
+          (frac < 0.9).as("span_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact n-gram Jaccard near-dup pairs. Shuffle-aware shape: the
     // self-join is on the shingle (a bounded-fanout key), never a cross
     // join; counts are per-pair aggregates.
@@ -411,6 +433,19 @@ object Dedup {
       |         FROM toks WHERE len(w) >= 3) z)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_dup_spans" ->
+      s"""WITH $ngCte,
+         |dfc AS (SELECT g, COUNT(*) AS df FROM ng GROUP BY g)
+         |SELECT ng.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS dup_span_frac,
+         |  (CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) < 0.9) AS span_ok
+         |FROM ng JOIN dfc USING (g)
+         |GROUP BY ng.doc_id ORDER BY ng.doc_id""".stripMargin,
+
     "q_dedup_ngram" ->
       s"""WITH $ngCte,
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
