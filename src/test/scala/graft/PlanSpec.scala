@@ -201,4 +201,25 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_latest_partition")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_vocab_build caps via TakeOrdered; the row_number window sees only the capped rows") {
+    val p = plan("q_vocab_build")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the global-order window must sit ABOVE the top-N collapse, never on
+    // the corpus-sized aggregate
+    val winAt = p.indexOf("Window")
+    val topAt = p.indexOf("TakeOrderedAndProject")
+    assert(winAt >= 0 && winAt < topAt, p)
+  }
+
+  test("q_embed_quantize is shuffle-free map work (one output sort only)") {
+    val p = plan("q_embed_quantize")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_dup_spans joins on the shingle key only — no cartesian, no doc-pair key") {
+    val p = plan("q_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
