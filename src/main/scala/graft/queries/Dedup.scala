@@ -157,17 +157,25 @@ object Dedup {
     // (doc, shingle)), one doc-keyed final aggregate — all map-side
     // combined and safe at corpus scale.
     "q_dup_spans" -> ((s, d) => {
+      // The shingle table feeds both the df aggregate and the join back —
+      // persist for the two consumers, materialize the DOC-SIZED result
+      // eagerly, then release the corpus-sized shingle cache (the
+      // candidateEdges discipline: no session-lifetime residue from a
+      // reusable query). The small persisted result is the residue.
       val sh = shingles(s, d).persist(StorageLevel.DISK_ONLY)
       val dfc = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val frac = col("n_dup").cast("double") / col("n_shingles").cast("double")
-      sh.join(dfc, "g")
+      val perDoc = sh.join(dfc, "g")
         .groupBy(col("doc_id")).agg(
           count(lit(1)).as("n_shingles"),
           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
         .select(col("doc_id"), col("n_shingles"), col("n_dup"),
           frac.as("dup_span_frac"),
           (frac < 0.9).as("span_ok"))
-        .orderBy(col("doc_id"))
+        .persist(StorageLevel.DISK_ONLY)
+      perDoc.count()
+      sh.unpersist(blocking = false)
+      perDoc.orderBy(col("doc_id"))
     }),
 
     // Exact n-gram Jaccard near-dup pairs. Shuffle-aware shape: the

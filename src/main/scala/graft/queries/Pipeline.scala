@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *   2. language filter ([[TextOps.predLangExpr]] = 'en')
   *   3. LM perplexity gate ([[TextOps.docPerplexity]] ≤ [[TextOps.PplMax]]
   *      — the CCNet-style bigram-LM quality filter)
-  *   4. exact dedup     (min doc_id per normalized-text md5 fingerprint)
+  *   4. exact dedup     (min doc_id per normalized-text md5 fingerprint,
+  *      among GATED docs — gate before dedup, the streaming ingest's order)
   *   5. near-dup resolution (MinHash LSH pairs → connected components →
   *      component representative only, via the registered q_dedup_resolve)
   *
@@ -41,8 +42,14 @@ object Pipeline {
           TextOps.qualityOkExpr.as("q_ok"),
           TextOps.predLangExpr.as("pred_lang"),
           TextOps.normFpExpr.as("fp"))
+        // GATE BEFORE DEDUP: the fp representative is the min doc_id among
+        // gated survivors, so a gate-failing duplicate can never erase its
+        // whole content group — and the streaming ingest (gate →
+        // dropDuplicates on the same fp) lands the same fp set by
+        // construction.
+        .filter(col("q_ok") && col("pred_lang") === "en")
         .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-        .filter(col("q_ok") && col("pred_lang") === "en" && col("doc_id") === col("rep"))
+        .filter(col("doc_id") === col("rep"))
         .join(lmOk, "doc_id")    // LM perplexity gate
         .join(verdict, "doc_id") // near-dup survivors only
         .select(col("doc_id"), col("n_words"), col("fp"))
@@ -73,17 +80,21 @@ object Pipeline {
          |  FROM documents),
          |scored AS (
          |  SELECT *,
-         |    MIN(doc_id) OVER (PARTITION BY fp) AS rep,
          |    CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
          |         WHEN h_es >= h_de AND h_es >= h_fr AND h_es > 0 THEN 'es'
          |         WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
          |         WHEN h_fr > 0 THEN 'fr'
          |         ELSE 'und' END AS pred_lang
-         |  FROM meta)
+         |  FROM meta),
+         |gated AS (
+         |  SELECT * FROM scored
+         |  WHERE n_words BETWEEN 5 AND 1000 AND punct * 5 < length(text)
+         |    AND pred_lang = 'en'),
+         |reps AS (
+         |  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM gated)
          |SELECT doc_id, n_words, fp
-         |FROM scored JOIN survivors USING (doc_id) JOIN lmok USING (doc_id)
-         |WHERE n_words BETWEEN 5 AND 1000 AND punct * 5 < length(text)
-         |  AND pred_lang = 'en' AND doc_id = rep
+         |FROM reps JOIN survivors USING (doc_id) JOIN lmok USING (doc_id)
+         |WHERE doc_id = rep
          |ORDER BY doc_id""".stripMargin
   )
 }

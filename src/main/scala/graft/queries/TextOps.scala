@@ -559,16 +559,16 @@ object TextOps {
          |  (exp(-logprob / n_bigrams) <= $PplMax) AS lm_ok
          |FROM pscore ORDER BY doc_id""".stripMargin,
     "q_vocab_build" ->
-      """WITH tok AS (SELECT doc_id,
-        |    UNNEST(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
-        |  FROM documents),
-        |agg AS (SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
-        |        FROM tok GROUP BY token),
-        |r AS (SELECT token, cnt, df,
-        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
-        |      FROM agg)
-        |SELECT token, cnt, df, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 512 ORDER BY rank""".stripMargin,
+      s"""WITH tok AS (SELECT doc_id,
+         |    UNNEST(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token
+         |  FROM documents),
+         |agg AS (SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+         |        FROM tok GROUP BY token),
+         |r AS (SELECT token, cnt, df,
+         |        ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+         |      FROM agg)
+         |SELECT token, cnt, df, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $VocabSize ORDER BY rank""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -40,7 +40,9 @@ object DocsStream {
     * `dedupByContent`, on the SAME normalized-text fingerprint the batch
     * corpus build dedups on ([[TextOps.normFpExpr]], q_pipeline_corpus
     * stage 4), so one representative per content lands regardless of how
-    * many doc_ids carry it. Either way state grows with distinct keys
+    * many doc_ids carry it. Both sides gate BEFORE deduping, so the
+    * landed fp set equals the batch stage's by construction — a
+    * gate-failing duplicate can't erase its group in either mode. Either way state grows with distinct keys
     * (the replay-window-bounded variant is [[EventsStream.dedupedStream]]'s
     * `dropDuplicatesWithinWatermark`, which needs an event-time column
     * documents lack — the full-state trade here is exactly the batch
@@ -50,10 +52,13 @@ object DocsStream {
   def corpusIngest(docs: DataFrame, base: String, dataset: String,
                    version: Int, ts: Instant,
                    dedupByContent: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
-    docs
-      .filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
-      .withColumn("fp", TextOps.normFpExpr)
-      .dropDuplicates(if (dedupByContent) "fp" else "doc_id")
+    {
+      val gated = docs.filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
+      // only the content path pays the per-row fingerprint hash
+      if (dedupByContent)
+        gated.withColumn("fp", TextOps.normFpExpr).dropDuplicates("fp")
+      else gated.dropDuplicates("doc_id")
+    }
       .select(col("doc_id"), TextOps.piiScrub(col("text")).as("text"))
       // n_chars must describe the LANDED (scrubbed) text, not the raw input
       .withColumn("n_chars", length(col("text")).cast("long"))
