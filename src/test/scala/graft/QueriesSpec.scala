@@ -106,4 +106,20 @@ class QueriesSpec extends SparkSpec {
     assert(brute.length == 10)
     assert(ann.forall(r => r.getAs[Long]("vec_id") != 0L))
   }
+
+  test("q_embed_quantize: int8 range, round-half-up error bound, scale is the abs-max") {
+    val rows = SparkEntry.queries("q_embed_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Long]("scale")
+      val q = r.getAs[String]("qvec_csv").split(",").map(_.toInt)
+      val err = r.getAs[Double]("max_rel_err")
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec ${r.getLong(0)} out of int8 range")
+      assert(scale >= 0)
+      // abs-max cell must quantize to exactly ±127
+      if (scale > 0) assert(q.exists(v => math.abs(v) == 127))
+      // round-half-up bound: |127·x − q·s| ≤ s/2 ⇒ rel err ≤ 1/254
+      assert(err >= 0.0 && err <= 1.0 / 254 + 1e-12, s"vec ${r.getLong(0)} err $err")
+    }
+  }
 }

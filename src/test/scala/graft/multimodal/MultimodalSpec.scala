@@ -239,6 +239,31 @@ class MultimodalSpec extends SparkSpec {
     hashes.unpersist()
   }
 
+  test("property: Hamming banding has recall 1 at every radius 0..7, incl. negative hashes") {
+    // synthetic 64-bit hashes, sign bit exercised (the top slice keeps the
+    // remainder bits and sign-extends — both sides must agree)
+    val rnd = new scala.util.Random(42)
+    val base = Seq.fill(30)(rnd.nextLong())
+    // planted near pairs at controlled distances 1..10 bits from a base
+    val perturbed = base.zipWithIndex.flatMap { case (h, i) =>
+      val d = 1 + i % 10
+      val flipped = (0 until d).foldLeft(h)((acc, k) => acc ^ (1L << ((i * 7 + k * 13) % 64)))
+      Seq(flipped)
+    }
+    val all = (base ++ perturbed).distinct.zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+    val hashes = all.toDF("id", "dhash")
+    for (radius <- Seq(0, 2, 4, 7)) {
+      val got = nearDupImagePairs(hashes, "dhash", maxHamming = radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (a, ha) <- all; (b, hb) <- all if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= radius
+      } yield (a, b, d)).toSet
+      assert(got == want, s"radius $radius: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("metaOnly never reads the binary column (scan prunes bytes)") {
     val dir = tmpDir("media")
     sampleMedia.toDF().write.mode("overwrite").parquet(dir)
