@@ -16,9 +16,17 @@ class EmptyInputSpec extends SparkSpec {
     Seq("q_repetition_filter", "q_lm_perplexity", "q_pii_scrub",
         "q_contamination", "q_token_count", "q_dedup_minhash",
         "q_hash_split", "q_importance_sample", "q_domain_mix",
-        "q_doc_chunks", "q_seq_pack", "q_quality_model").foreach { q =>
+        "q_doc_chunks", "q_seq_pack", "q_quality_model",
+        "q_vocab_build", "q_dup_spans").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
+  }
+
+  test("embedding operators degrade to empty results on an empty vector table") {
+    val dir = tmpDir("empty-emb2")
+    Tables.load(spark, sf, "embeddings").limit(0)
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(SparkEntry.queries("q_embed_quantize")(spark, dir).collect().isEmpty)
   }
 
   test("k-means refuses to train without seed vectors (loud, not empty)") {
