@@ -83,6 +83,9 @@ object TextOps {
   /** Vocabulary cap for q_vocab_build — the oracle's `rank <= 512` twin. */
   val VocabSize = 512
 
+  /** Merge-candidate scoreboard size for q_bpe_step (rank 1 is the merge). */
+  val BpeTopPairs = 64
+
   /** Per-document bigram-LM score: (doc_id, n_bigrams, logprob, ppl) —
     * ppl = exp(-logprob / n_bigrams) under the LM trained on the SAME
     * corpus (so every scored bigram is in-vocabulary; no smoothing term).
@@ -304,6 +307,37 @@ object TextOps {
         .orderBy(col("cnt").desc, col("token")).limit(VocabSize)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+        .orderBy(col("rank"))
+    }),
+
+    // One BPE TRAINING step — the tokenizer-training kernel that
+    // q_vocab_build is the precursor to: adjacent symbol-pair frequencies,
+    // deterministically ranked (count desc, pair asc); rank 1 is the merge
+    // a BPE trainer (Sennrich et al. 2016) would apply this iteration.
+    // Scale shape: the corpus collapses to the DISTINCT-WORD table FIRST
+    // (one token-keyed partial+final aggregate; vocabulary grows ~log of
+    // corpus size, so the word table is a few million rows at 100 TB) and
+    // pair explosion + the pair-keyed aggregate run over that word table
+    // WEIGHTED BY word count — never over corpus tokens. This
+    // count-once-then-pair factorization is exactly how production BPE
+    // trainers scale; the alphabet-sized pair aggregate is a broadcastable
+    // result, and the row_number window sees only the capped scoreboard.
+    "q_bpe_step" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = t(s, d, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+        .filter(length(col("w")) >= 2) // 1-char words carry no pairs
+      words
+        .select(col("wcnt"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> " +
+            "struct(substring(w, i, 1) as l, substring(w, i + 1, 1) as r))")).as("p"))
+        .groupBy(col("p.l").as("sym_l"), col("p.r").as("sym_r"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym_l"), col("sym_r")).limit(BpeTopPairs)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("sym_l"), col("sym_r"))).cast("long"))
         .orderBy(col("rank"))
     }),
 
@@ -569,6 +603,23 @@ object TextOps {
          |      FROM agg)
          |SELECT token, cnt, df, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= $VocabSize ORDER BY rank""".stripMargin,
+
+    "q_bpe_step" ->
+      s"""WITH tok AS (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS w
+         |  FROM documents),
+         |wc AS (SELECT w, COUNT(*) AS wcnt FROM tok GROUP BY w HAVING length(w) >= 2),
+         |pos AS (SELECT w, wcnt,
+         |    UNNEST(generate_series(1, CAST(length(w) - 1 AS BIGINT))) AS i
+         |  FROM wc),
+         |p AS (SELECT substr(w, CAST(i AS INT), 1) AS sym_l,
+         |             substr(w, CAST(i AS INT) + 1, 1) AS sym_r, wcnt
+         |      FROM pos),
+         |agg AS (SELECT sym_l, sym_r, SUM(wcnt) AS cnt FROM p GROUP BY sym_l, sym_r),
+         |r AS (SELECT sym_l, sym_r, cnt,
+         |        ROW_NUMBER() OVER (ORDER BY cnt DESC, sym_l, sym_r) AS rank
+         |      FROM agg)
+         |SELECT sym_l, sym_r, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $BpeTopPairs ORDER BY rank""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

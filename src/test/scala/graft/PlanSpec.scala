@@ -212,6 +212,18 @@ class PlanSpec extends SparkSpec {
     assert(winAt >= 0 && winAt < topAt, p)
   }
 
+  test("q_bpe_step pairs over the word aggregate, joinless, window above the cap") {
+    val p = plan("q_bpe_step")
+    // count-once-then-pair: pure aggregate work, no join anywhere
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the scoreboard window sits above the top-N collapse, never on the
+    // pair aggregate
+    val winAt = p.indexOf("Window")
+    val topAt = p.indexOf("TakeOrderedAndProject")
+    assert(winAt >= 0 && winAt < topAt, p)
+  }
+
   test("q_embed_quantize is shuffle-free map work (one output sort only)") {
     val p = plan("q_embed_quantize")
     assert(!p.contains("Exchange hashpartitioning"), p)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.SparkSpec
+import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
 
 /** The corpus parquet is PII-free, so q_pii_scrub's counts are zero there
@@ -76,5 +76,40 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(top(1L) == 1.0)      // all-one-word doc
     assert(top(2L) <= 0.15)     // natural text passes the gate
+  }
+
+  test("q_bpe_step rank-1 is the most frequent weighted pair on a known corpus") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("bpe-known")
+    // words: aaab x3, cd x1, xy x1 → pairs (a,a):6 (a,b):3 (c,d):1 (x,y):1
+    val df = spark.createDataFrame(
+      Seq(Row(1L, "aaab aaab cd"), Row(2L, "aaab xy")).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    df.write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_bpe_step")(spark, dir).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("a", "a", 6L, 1L), ("a", "b", 3L, 2L), ("c", "d", 1L, 3L), ("x", "y", 1L, 4L)))
+  }
+
+  test("q_bpe_step: word-weighted pair counts equal naive per-occurrence counts") {
+    // the factorization under test: counting pairs once per DISTINCT word
+    // weighted by word count must equal counting them on every occurrence
+    val naive = graft.Tables.load(spark, sf, "documents")
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> " +
+          "struct(substring(w, i, 1) as l, substring(w, i + 1, 1) as r))")).as("p"))
+      .groupBy(col("p.l").as("sym_l"), col("p.r").as("sym_r"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym_l"), col("sym_r"))
+      .limit(TextOps.BpeTopPairs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val fact = SparkEntry.queries("q_bpe_step")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(fact == naive)
   }
 }
