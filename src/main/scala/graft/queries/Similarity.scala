@@ -343,8 +343,45 @@ object Similarity {
       a.join(b, col("bka") === col("pb") && col("vec_a") < col("vec_b") && cos >= 0.4)
         .select(col("vec_a"), col("vec_b"), cos.as("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    // embedding space, then near-dup prune WITHIN clusters only — drop
+    // vector b iff some lower-id vector in b's cluster has cos ≥ τ. The
+    // clustering bounds pair generation to Σ|cluster|² instead of N²: at
+    // 100 TB you raise k with the corpus (k ≈ N / target-cluster-size,
+    // the SemDeDup recipe), so per-cluster pair work stays constant and
+    // each cluster's self-join is an EQUI-join on the cluster id — no
+    // all-pairs stage anywhere. Assignment reuses the TRAINED k-means
+    // model (2 Lloyd updates, the q_ann_ivf_trained machinery): pure map
+    // argmax against literal centroids, so the only shuffles are the
+    // cluster-keyed join and the dup-id distinct. Deterministic model +
+    // deterministic drop rule → the DuckDB oracle replays training and
+    // reproduces the verdict bit-for-bit.
+    "q_semantic_dedup" -> ((s, d) => {
+      val iv = intVecs(s, d)
+      val cents = graft.operators.KMeans.model(iv, (1L to 8L).toSeq, updates = 2)
+      val assigned = iv
+        .withColumn("cluster", graft.operators.KMeans.centArgmax(cents))
+        .select(col("vec_id"), col("v"), col("nv"), col("cluster"))
+      val a = assigned.select(col("vec_id").as("ida"), col("v").as("va"),
+        col("nv").as("na"), col("cluster").as("ca"))
+      val b = assigned.select(col("vec_id").as("idb"), col("v").as("vb"),
+        col("nv").as("nb"), col("cluster").as("cb"))
+      val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
+      val dups = a.join(b, col("ca") === col("cb") && col("ida") < col("idb")
+          && cos >= lit(SemTau))
+        .select(col("idb").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      assigned.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** SemDeDup cosine threshold — same τ as the near-dup family. */
+  private val SemTau = 0.4
 
   /** k-means oracle scaffolding shared by q_kmeans_train and
     * q_ann_ivf_trained: per-vector norms + seed centroids as per-dim rows. */
@@ -554,6 +591,29 @@ object Similarity {
          |SELECT vec_id, cluster,
          |  CAST(dot AS DOUBLE) / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
          |FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin
+    },
+
+    "q_semantic_dedup" -> {
+      // assignment = asg3 (the model after 2 updates, as in the trained
+      // probe); pairs exist only within a cluster, norms come from vn.
+      s"""WITH $ivCte,
+         |$kmPrefix,
+         |${kmRoundCtes(3, sumsAtLast = false)},
+         |pc AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+         |       FROM asg3 a JOIN asg3 b
+         |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |sc AS (SELECT pc.ida, pc.idb, SUM(x.v[i] * y.v[i]) AS dot
+         |       FROM pc JOIN iv x ON x.vec_id = pc.ida
+         |               JOIN iv y ON y.vec_id = pc.idb, idx
+         |       GROUP BY pc.ida, pc.idb),
+         |dup AS (SELECT DISTINCT sc.idb AS vec_id
+         |        FROM sc JOIN vn a ON a.vec_id = sc.ida
+         |                JOIN vn b ON b.vec_id = sc.idb
+         |        WHERE CAST(dot AS DOUBLE) /
+         |          (SQRT(CAST(a.nv AS DOUBLE)) * SQRT(CAST(b.nv AS DOUBLE))) >= $SemTau)
+         |SELECT g.vec_id, g.cluster, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM asg3 g LEFT JOIN dup d USING (vec_id)
+         |ORDER BY g.vec_id""".stripMargin
     },
 
     "q_knn_join" ->

@@ -131,6 +131,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("q_semantic_dedup pairs only within clusters — equi-join, no cartesian, no window") {
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // cluster assignment is in-row argmax against literal centroids — the
+    // corpus never meets a centroid table in a join or a window
+    assert(!p.contains("Window"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_ann_ivf_trained keeps the map-side assignment shape of q_ann_ivf") {
     val p = plan("q_ann_ivf_trained")
     assert(!p.contains("Window"), p)

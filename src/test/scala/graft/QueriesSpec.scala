@@ -82,6 +82,24 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.2) // documented floor: isotropic vectors spread candidates thin
   }
 
+  test("q_semantic_dedup drops exactly the clustered tail of the exact near-dup graph") {
+    val exactPairs = SparkEntry.queries("q_embed_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SparkEntry.queries("q_semantic_dedup")(spark, sf).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dups = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    // the verdict is exactly the within-cluster rule: b is dropped iff
+    // some exact near-dup pair (a, b) with a < b shares b's cluster —
+    // so every drop is justified by a real cos>=tau pair, and the only
+    // misses vs unclustered dedup are pairs the clustering separated
+    val expected = exactPairs.filter { case (a, b) => cluster(a) == cluster(b) }.map(_._2)
+    assert(dups == expected,
+      s"semantic verdicts diverge from the within-cluster rule: ${dups.diff(expected)} / ${expected.diff(dups)}")
+    val coverage = if (exactPairs.isEmpty) 1.0
+      else expected.size.toDouble / exactPairs.map(_._2).size
+    info(f"SemDeDup drop coverage vs unclustered near-dup tails (8 clusters): $coverage%.2f")
+  }
+
   test("q_pipeline_corpus is the intersection of its component filters") {
     val kept = SparkEntry.queries("q_pipeline_corpus")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
