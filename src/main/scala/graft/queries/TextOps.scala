@@ -86,6 +86,20 @@ object TextOps {
   /** Merge-candidate scoreboard size for q_bpe_step (rank 1 is the merge). */
   val BpeTopPairs = 64
 
+  /** Merges learned by q_bpe_train / applied by q_bpe_encode. */
+  val BpeMerges = 8
+
+  /** Token-frequency cap for q_bpe_encode's output table. */
+  val BpeEncodeTop = 64
+
+  /** Weighted distinct-word table (w, wcnt) — the ONLY corpus-sized pass
+    * the BPE family makes; everything downstream is vocabulary-sized. */
+  private def wordCounts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+
   /** Per-document bigram-LM score: (doc_id, n_bigrams, logprob, ppl) —
     * ppl = exp(-logprob / n_bigrams) under the LM trained on the SAME
     * corpus (so every scored bigram is in-vocabulary; no smoothing term).
@@ -324,20 +338,54 @@ object TextOps {
     // result, and the row_number window sees only the capped scoreboard.
     "q_bpe_step" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val words = t(s, d, "documents")
-        .select(explode(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
-        .filter(length(col("w")) >= 2) // 1-char words carry no pairs
-      words
-        .select(col("wcnt"), explode(expr(
-          "transform(sequence(1, length(w) - 1), i -> " +
-            "struct(substring(w, i, 1) as l, substring(w, i + 1, 1) as r))")).as("p"))
-        .groupBy(col("p.l").as("sym_l"), col("p.r").as("sym_r"))
-        .agg(sum(col("wcnt")).as("cnt"))
+      graft.operators.Bpe.pairCounts(
+          graft.operators.Bpe.symbolized(wordCounts(s, d), Nil))
         .orderBy(col("cnt").desc, col("sym_l"), col("sym_r")).limit(BpeTopPairs)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("cnt").desc, col("sym_l"), col("sym_r"))).cast("long"))
+        .orderBy(col("rank"))
+    }),
+
+    // The BPE TRAINING LOOP — q_bpe_step iterated, via
+    // [[graft.operators.Bpe]]: 8 rounds of (pair-count aggregate over the
+    // distinct-word table → 1-row argmax collect → literal replace). The
+    // output is the learned merge table itself — model state, like
+    // q_kmeans_train's centroids — and the DuckDB oracle replays every
+    // round as chained CTEs (same argmax tie-break, same left-to-right
+    // replace semantics), matching bit-for-bit.
+    "q_bpe_train" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types._
+      val merges = graft.operators.Bpe.train(wordCounts(s, d), BpeMerges)
+      val rows = merges.zipWithIndex.map { case ((l, r, c), i) =>
+        org.apache.spark.sql.Row((i + 1).toLong, l, r, l + r, c)
+      }
+      s.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("rank", LongType, nullable = false),
+          StructField("sym_l", StringType), StructField("sym_r", StringType),
+          StructField("merged", StringType),
+          StructField("cnt", LongType, nullable = false))))
+        .orderBy(col("rank"))
+    }),
+
+    // The trained tokenizer APPLIED: encode the corpus with the 8 learned
+    // merges and emit the resulting token-frequency table (top-64) — the
+    // actual artifact a token-counting pipeline consumes. Encoding is the
+    // same merge `replace` chain over the distinct-word table weighted by
+    // word count: corpus tokens never re-enter after the initial word
+    // collapse, so the encode costs vocabulary-sized map work regardless
+    // of corpus size.
+    "q_bpe_encode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = wordCounts(s, d)
+      val merges = graft.operators.Bpe.train(words, BpeMerges)
+      graft.operators.Bpe.symbolized(words, merges)
+        .withColumn("sa", split(col("ws"), ";"))
+        .select(col("wcnt"), explode(expr("slice(sa, 1, size(sa) - 1)")).as("token"))
+        .groupBy(col("token")).agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(BpeEncodeTop)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
         .orderBy(col("rank"))
     }),
 
@@ -499,6 +547,34 @@ object TextOps {
       |             CAST(SUM(CAST(ln(prob) AS DECIMAL(28,12))) AS DOUBLE) AS logprob
       |           FROM pbg JOIN plm USING (w1, w2) GROUP BY doc_id)""".stripMargin
 
+  /** BPE oracle base: the weighted distinct-word table, symbolized
+    * (';'-terminated symbols — the [[graft.operators.Bpe]] twin). */
+  private val bpeBase =
+    """tok AS (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS w
+      |  FROM documents),
+      |wc AS (SELECT w, COUNT(*) AS wcnt FROM tok GROUP BY w),
+      |w0 AS (SELECT regexp_replace(w, '(.)', '\1;', 'g') AS ws, wcnt FROM wc)""".stripMargin
+
+  /** BPE training rounds 1..n as chained CTEs (the Bpe.train replay):
+    * round k counts pairs over w{k-1}, picks the argmax as best{k}, and
+    * applies it with the same left-to-right literal replace. */
+  private def bpeRoundCtes(n: Int): String = (1 to n).map { k =>
+    val prev = s"w${k - 1}"
+    s"""sp$k AS (SELECT string_split(ws, ';') AS sa, wcnt FROM $prev),
+       |pos$k AS (SELECT sa, wcnt,
+       |    UNNEST(generate_series(1, CAST(len(sa) - 2 AS BIGINT))) AS i
+       |  FROM sp$k WHERE len(sa) >= 3),
+       |pp$k AS (SELECT sa[i] AS sym_l, sa[i + 1] AS sym_r, SUM(wcnt) AS cnt
+       |  FROM pos$k GROUP BY 1, 2),
+       |best$k AS (SELECT sym_l, sym_r, cnt FROM (
+       |    SELECT sym_l, sym_r, cnt,
+       |      ROW_NUMBER() OVER (ORDER BY cnt DESC, sym_l, sym_r) AS rn
+       |    FROM pp$k) z WHERE rn = 1),
+       |w$k AS (SELECT replace(x.ws, b.sym_l || ';' || b.sym_r || ';',
+       |                       b.sym_l || b.sym_r || ';') AS ws, x.wcnt
+       |  FROM $prev x, best$k b)""".stripMargin
+  }.mkString(",\n")
+
   val oracleSql: Map[String, String] = Map(
     "q_quality_model" ->
       """WITH f AS (SELECT doc_id,
@@ -620,6 +696,32 @@ object TextOps {
          |      FROM agg)
          |SELECT sym_l, sym_r, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= $BpeTopPairs ORDER BY rank""".stripMargin,
+
+    "q_bpe_train" -> {
+      val union = (1 to BpeMerges).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, sym_l, sym_r, " +
+          s"sym_l || sym_r AS merged, CAST(cnt AS BIGINT) AS cnt FROM best$k"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $bpeBase,
+         |${bpeRoundCtes(BpeMerges)}
+         |SELECT * FROM (
+         |$union
+         |) z ORDER BY rank""".stripMargin
+    },
+
+    "q_bpe_encode" -> {
+      s"""WITH $bpeBase,
+         |${bpeRoundCtes(BpeMerges)},
+         |spf AS (SELECT string_split(ws, ';') AS sa, wcnt FROM w$BpeMerges),
+         |posf AS (SELECT sa, wcnt,
+         |    UNNEST(generate_series(1, CAST(len(sa) - 1 AS BIGINT))) AS i
+         |  FROM spf),
+         |tf AS (SELECT sa[i] AS token, SUM(wcnt) AS cnt FROM posf GROUP BY 1),
+         |rk AS (SELECT token, cnt,
+         |         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank FROM tf)
+         |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
+         |FROM rk WHERE rank <= $BpeEncodeTop ORDER BY rank""".stripMargin
+    },
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -234,6 +234,15 @@ class PlanSpec extends SparkSpec {
     assert(winAt >= 0 && winAt < topAt, p)
   }
 
+  test("q_bpe_encode tokenizes off the word aggregate: joinless, window above the cap") {
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val winAt = p.indexOf("Window")
+    val topAt = p.indexOf("TakeOrderedAndProject")
+    assert(winAt >= 0 && winAt < topAt, p)
+  }
+
   test("q_embed_quantize is shuffle-free map work (one output sort only)") {
     val p = plan("q_embed_quantize")
     assert(!p.contains("Exchange hashpartitioning"), p)

@@ -93,6 +93,39 @@ class TextOpsSpec extends SparkSpec {
       Seq(("a", "a", 6L, 1L), ("a", "b", 3L, 2L), ("c", "d", 1L, 3L), ("x", "y", 1L, 4L)))
   }
 
+  test("q_bpe_train learns the known merge sequence and stops when pairs run out") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("bpe-train")
+    // aaab x3, cd, xy. Round 1: (a,a):6 → aa;a;b;. Round 2 ties (aa,a):3
+    // vs (a,b):3 — pair-asc tie-break picks (a,b) → aa;ab;. Round 3:
+    // (aa,ab):3 → aaab;. Rounds 4-5: (c,d), (x,y). Round 6: no pairs left
+    // → the loop stops at 5 merges though 8 were requested.
+    val df = spark.createDataFrame(
+      Seq(Row(1L, "aaab aaab cd"), Row(2L, "aaab xy")).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    df.write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_bpe_train")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, "a", "a", "aa", 6L), (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 3L), (4L, "c", "d", "cd", 1L),
+      (5L, "x", "y", "xy", 1L)))
+    val enc = SparkEntry.queries("q_bpe_encode")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq(("aaab", 3L, 1L), ("cd", 1L, 2L), ("xy", 1L, 3L)))
+  }
+
+  test("q_bpe_train round 1 IS q_bpe_step's rank-1 merge") {
+    val step = SparkEntry.queries("q_bpe_step")(spark, sf)
+      .filter(col("rank") === 1L).collect().head
+    val train = SparkEntry.queries("q_bpe_train")(spark, sf)
+      .filter(col("rank") === 1L).collect().head
+    assert((train.getString(1), train.getString(2), train.getLong(4)) ==
+      (step.getString(0), step.getString(1), step.getLong(2)))
+  }
+
   test("q_bpe_step: word-weighted pair counts equal naive per-occurrence counts") {
     // the factorization under test: counting pairs once per DISTINCT word
     // weighted by word count must equal counting them on every occurrence
