@@ -56,9 +56,12 @@ object Bpe {
       .agg(sum(col("wcnt")).as("cnt"))
 
   /** Up to `merges` training rounds over a (w, wcnt) word table; stops
-    * early when no pair remains. Each round collects exactly one row. */
-  def train(words: DataFrame, merges: Int): Seq[Merge] = {
-    val cached = words.persist(StorageLevel.DISK_ONLY)
+    * early when no pair remains. Each round collects exactly one row.
+    * `manageCache = false` lets a caller that ALSO reads the word table
+    * after training (q_bpe_encode) hold one persist across both uses
+    * instead of paying a second corpus pass. */
+  def train(words: DataFrame, merges: Int, manageCache: Boolean = true): Seq[Merge] = {
+    val cached = if (manageCache) words.persist(StorageLevel.DISK_ONLY) else words
     try {
       var acc = List.empty[Merge]
       var exhausted = false
@@ -70,6 +73,6 @@ object Bpe {
         else acc = (best(0).getString(0), best(0).getString(1), best(0).getLong(2)) :: acc
       }
       acc.reverse
-    } finally cached.unpersist(blocking = false)
+    } finally if (manageCache) cached.unpersist(blocking = false)
   }
 }

@@ -377,8 +377,12 @@ object TextOps {
     // of corpus size.
     "q_bpe_encode" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val words = wordCounts(s, d)
-      val merges = graft.operators.Bpe.train(words, BpeMerges)
+      // ONE corpus pass total: the word table persists across the train
+      // loop and the final encode read. The residue is deliberate — the
+      // returned frame is lazy, so freeing here would force the second
+      // corpus pass this cache exists to prevent.
+      val words = wordCounts(s, d).persist(StorageLevel.DISK_ONLY)
+      val merges = graft.operators.Bpe.train(words, BpeMerges, manageCache = false)
       graft.operators.Bpe.symbolized(words, merges)
         .withColumn("sa", split(col("ws"), ";"))
         .select(col("wcnt"), explode(expr("slice(sa, 1, size(sa) - 1)")).as("token"))
