@@ -615,6 +615,69 @@ object Relational {
         }
         .toDF("o_custkey", "o_orderkey", "o_totalprice", "rnk")
         .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    // Statistical aggregates (variance/stddev/covariance/correlation) from
+    // DECIMAL moment sums — n, Σx, Σy, Σxy, Σx², Σy² in ONE map-side-
+    // combinable aggregate pass, doubles only in the final fixed-order
+    // formulas. The builtin corr/stddev aggregate doubles in partition
+    // order (non-deterministic across engines AND across runs at scale);
+    // this moment factorization is bit-stable anywhere. DECIMAL(38,6)
+    // holds Σ(price²) up to ~10³² — 17 orders of magnitude above the
+    // 100 TB corpus's worth.
+    "q_agg_stats" -> ((s, d) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val m = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(d38)).cast("double").as("sx"),
+          sum(y.cast(d38)).cast("double").as("sy"),
+          sum((x * y).cast(d38)).cast("double").as("sxy"),
+          sum((x * x).cast(d38)).cast("double").as("sxx"),
+          sum((y * y).cast(d38)).cast("double").as("syy"))
+      val nd = col("n").cast("double")
+      val varX = (col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)
+      val varY = (col("syy") - col("sy") * col("sy") / nd) / (nd - 1)
+      val cov = (col("sxy") - col("sx") * col("sy") / nd) / (nd - 1)
+      m.select(col("l_returnflag").as("flag"), col("n"),
+          varX.as("var_qty"), sqrt(varX).as("std_qty"),
+          cov.as("covar_qp"), (cov / (sqrt(varX) * sqrt(varY))).as("corr_qp"))
+        .orderBy(col("flag"))
+    }),
+
+    // One PageRank iteration over the customer→supplier purchase graph —
+    // link-graph authority scoring (the harvest-graph quality signal of a
+    // web-corpus pipeline), expressed relationally: edges are a distinct
+    // equi-join of the two fact tables, out-degrees one aggregate,
+    // contributions an equi-join fan-out, inflow one dst-keyed aggregate —
+    // every shuffle is key-bounded, nothing quadratic, so the iteration
+    // scales to any edge count. Mass is FIXED-POINT integer (1e6 per
+    // node, damping 0.85 as 85/100 integer ops) — bit-deterministic in
+    // any engine and any partition order, where double mass would drift
+    // with summation order. The loop discipline to iterate this to
+    // convergence is operators/Graph.connectedComponents.
+    "q_pagerank_iter" -> ((s, d) => {
+      val edges = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val inflow = edges.join(outdeg, "src")
+        .select(col("dst"), expr("1000000 div deg").as("w"))
+        .groupBy(col("dst")).agg(sum(col("w")).as("inflow"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(inflow, cast(0 as bigint))) div 100"))
+            .as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(25)
     })
   )
 
@@ -989,6 +1052,37 @@ object Relational {
         |  SELECT flag, 'n_rows' AS metric, n_rows AS value FROM agg
         |  UNION ALL SELECT flag, 'n_orders', n_orders FROM agg
         |  UNION ALL SELECT flag, 'n_parts', n_parts FROM agg) u
-        |ORDER BY flag, metric""".stripMargin
+        |ORDER BY flag, metric""".stripMargin,
+
+    // Same moment factorization, same double-op order — bit-identical.
+    "q_agg_stats" ->
+      """WITH m AS (SELECT l_returnflag AS flag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST((l_quantity * l_extendedprice) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST((l_quantity * l_quantity) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST((l_extendedprice * l_extendedprice) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, n,
+        |  (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS std_qty,
+        |  (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS covar_qp,
+        |  ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+        |    / (sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+        |       * sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) AS corr_qp
+        |FROM m ORDER BY flag""".stripMargin,
+
+    // Same fixed-point integer arithmetic — exact in both engines.
+    "q_pagerank_iter" ->
+      """WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |infl AS (SELECT dst, CAST(SUM(1000000 // deg) AS BIGINT) AS inflow
+        |         FROM e JOIN od USING (src) GROUP BY 1),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+        |SELECT node,
+        |  CAST(150000 + (85 * COALESCE(inflow, 0)) // 100 AS BIGINT) AS rank_fp
+        |FROM n LEFT JOIN infl ON node = dst
+        |ORDER BY rank_fp DESC, node LIMIT 25""".stripMargin
   )
 }
