@@ -402,6 +402,27 @@ object Dedup {
           (0 to 15).map(b => when(col(s"sb_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
             .reduce(_ + _).as("simhash16"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental ingest dedup — the shape a LIVE corpus runs daily: a new
+    // batch (here the doc_id%5==0 slice) is admitted only where its
+    // content fingerprint is absent from the already-ingested corpus
+    // (LEFT ANTI equi-join against the fingerprint index, which at scale
+    // is a persisted narrow table — never the corpus text), then deduped
+    // within itself (min doc_id per fingerprint). Two fingerprint-keyed
+    // shuffles total, both O(batch); the corpus side is column-pruned to
+    // the 16-byte key. Uses the SAME normalized fingerprint as the batch
+    // pipeline and the streaming ingest — one key, no drift.
+    "q_incremental_dedup" -> ((s, d) => {
+      val fp = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.normFpExpr.as("fp"))
+      val corpusFps = fp.filter(col("doc_id") % 5 =!= 0).select(col("fp")).distinct()
+      fp.filter(col("doc_id") % 5 === 0)
+        .join(corpusFps, Seq("fp"), "left_anti")
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("fp"), col("n_copies"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -575,6 +596,17 @@ object Dedup {
         |         GROUP BY doc_id, b)
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN sb >= 0 THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |       FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 != 0)
+        |SELECT MIN(b.doc_id) AS doc_id, b.fp, COUNT(*) AS n_copies
+        |FROM fp b
+        |WHERE b.doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+        |GROUP BY b.fp ORDER BY doc_id""".stripMargin
   )
 }
