@@ -192,6 +192,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.longDotDescriptor)
     ext.injectFunction(GraftFunctions.levenshteinDescriptor)
+    ext.injectFunction(GraftFunctions.nfcDescriptor)
   }
 }
 
@@ -206,9 +207,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TrimmedLevenshtein].getName, "graft_levenshtein"),
       (children: Seq[Expression]) => TrimmedLevenshtein(children.head, children(1)))
 
+  val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head))
+
   /** Idempotent session-level registration. */
   def register(spark: SparkSession): Unit =
-    Seq(longDotDescriptor, levenshteinDescriptor).foreach { case (fid, info, builder) =>
+    Seq(longDotDescriptor, levenshteinDescriptor, nfcDescriptor).foreach { case (fid, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(fid)) {
         spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
       }

@@ -526,6 +526,27 @@ object TextOps {
           (col("c").cast("double") / col("c1").cast("double")).as("prob"))
         .orderBy(col("c").desc, col("w1"), col("w2"))
         .limit(20)
+    }),
+
+    // Unicode text cleanup — the pass a web corpus runs before ANY
+    // hashing/dedup stage (decomposed "é" and composed "é" must
+    // fingerprint identically): NFC-normalize via the codegen'd
+    // [[graft.expressions.NfcNormalize]] (no normalization builtin in
+    // Spark; a UDF would box every row out of Tungsten), then strip
+    // C0/DEL control characters, collapse whitespace runs, trim. Pure
+    // per-row map work — no shuffle at any scale. Control chars are
+    // stripped BEFORE the whitespace collapse so \x0B/\x0C (in Java's \s
+    // but not RE2's) never reach the cross-engine regex.
+    "q_unicode_clean" -> ((s, d) => {
+      val cleaned = trim(regexp_replace(regexp_replace(
+          expr("graft_nfc(text)"),
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+        "\\s+", " "))
+      t(s, d, "documents")
+        .select(col("doc_id"), cleaned.as("text_clean"))
+        .select(col("doc_id"), col("text_clean"),
+          length(col("text_clean")).as("clean_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -823,6 +844,17 @@ object TextOps {
         |fst AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM cnt GROUP BY 1)
         |SELECT cnt.w1, w2, c, c1, CAST(c AS DOUBLE) / CAST(c1 AS DOUBLE) AS prob
         |FROM cnt JOIN fst USING (w1)
-        |ORDER BY c DESC, cnt.w1, w2 LIMIT 20""".stripMargin
+        |ORDER BY c DESC, cnt.w1, w2 LIMIT 20""".stripMargin,
+
+    // nfc_normalize = utf8proc NFC; graft_nfc = java.text.Normalizer NFC —
+    // both Unicode-conformant canonical composition, same output.
+    "q_unicode_clean" ->
+      """WITH c AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS text_clean
+        |  FROM documents)
+        |SELECT doc_id, text_clean, CAST(length(text_clean) AS INT) AS clean_chars
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

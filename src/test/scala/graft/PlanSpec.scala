@@ -253,4 +253,36 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_dup_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_agg_stats computes all six moments in ONE aggregate pass (no window, no join)") {
+    val p = plan("q_agg_stats")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // partial→final over one grouping key: exactly one data shuffle (the
+    // output orderBy adds a rangepartitioning exchange, not a hash one)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("q_incremental_dedup admits the batch via an ANTI equi-join, never a cartesian") {
+    val p = plan("q_incremental_dedup")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_pagerank_iter propagates mass through equi-joins only") {
+    val p = plan("q_pagerank_iter")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_unicode_clean runs the native NFC expression in-plan, reading two columns") {
+    val p = plan("q_unicode_clean")
+    // the expression itself (not a UDF wrapper) sits in the projection —
+    // shuffle-free map work; codegen correctness is TextExpressionsSpec's
+    assert(p.contains("graft_nfc"), p)
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("source"), read)
+  }
 }

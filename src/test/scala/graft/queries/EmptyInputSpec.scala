@@ -18,7 +18,8 @@ class EmptyInputSpec extends SparkSpec {
         "q_hash_split", "q_importance_sample", "q_domain_mix",
         "q_doc_chunks", "q_seq_pack", "q_quality_model",
         "q_vocab_build", "q_dup_spans", "q_bpe_step",
-        "q_bpe_train", "q_bpe_encode").foreach { q =>
+        "q_bpe_train", "q_bpe_encode", "q_unicode_clean",
+        "q_incremental_dedup").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
