@@ -154,7 +154,45 @@ object Sources {
     // DuckDB interval join.
     "q_interval_join" -> ((s, d) =>
       graft.streaming.EventsStream.purchaseAttribution(t(s, d, "events"), 10)
-        .orderBy(col("purchase_id"), col("click_id")))
+        .orderBy(col("purchase_id"), col("click_id"))),
+
+    // Sliding (hopping) window aggregate — 1 h windows every 30 min, so
+    // each event lands in exactly 2 windows. Spark's built-in `window`
+    // with a slide fans the rows out BEFORE the aggregate (2× row
+    // multiplier, then one (win, type)-keyed shuffle) — the same
+    // assignment Structured Streaming maintains incrementally; oracled by
+    // materializing both epoch-aligned candidate starts per event.
+    "q_hopping_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // Time-series RESAMPLING with gap fill — the dense hourly grid a
+    // forecast/monitoring consumer needs: aggregate per (type, hour),
+    // then left-join onto the full hours × types scaffold and fill
+    // missing buckets with zero. The scaffold is MODEL-sized (distinct
+    // hours × distinct types, built from two tiny aggregates), so its
+    // cross join is scaffold×dimension work — the corpus-sized side is
+    // touched exactly once, by the equi-join.
+    "q_resample" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+      val agg = e.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+      val hours = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val types = e.select(col("event_type")).distinct()
+      hours.crossJoin(types)
+        .join(agg, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h").as("win_start"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy(col("event_type"), col("win_start"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -266,6 +304,37 @@ object Sources {
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.user_id = p.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
-        |ORDER BY purchase_id, click_id""".stripMargin
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // Each event's two epoch-aligned candidate starts materialized
+    // explicitly (slide 30 min, width 1 h ⇒ both always contain ts).
+    "q_hopping_window" ->
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+         |            FROM events),
+         |w AS (SELECT event_type, value,
+         |        UNNEST([make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+         |                make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+         |                               - 1800000000)]) AS win_start
+         |      FROM ev)
+         |SELECT win_start, event_type, COUNT(*) AS n,
+         |  ${Num.sqlDsum("value")} AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q_resample" ->
+      s"""WITH e AS (SELECT event_type,
+         |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+         |           FROM events),
+         |agg AS (SELECT event_type, h, COUNT(*) AS n,
+         |          ${Num.sqlDsum("value")} AS sum_value
+         |        FROM e GROUP BY 1, 2),
+         |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+         |hours AS (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |          FROM b),
+         |ty AS (SELECT DISTINCT event_type FROM e)
+         |SELECT ty.event_type, hours.h AS win_start,
+         |  COALESCE(n, 0) AS n, COALESCE(sum_value, 0.0) AS sum_value
+         |FROM hours CROSS JOIN ty
+         |LEFT JOIN agg ON agg.event_type = ty.event_type AND agg.h = hours.h
+         |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -275,6 +275,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_hopping_window fans windows out map-side: one aggregate shuffle, no join") {
+    val p = plan("q_hopping_window")
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("q_resample joins the fact side by equi-key; events scan pruned to three columns") {
+    val p = plan("q_resample")
+    // the hours×types scaffold cross join is model-sized; the DATA join
+    // must be an equi left join, never a nested-loop over events
+    assert(p.contains("LeftOuter"), p)
+    // every events scan is pruned to its own needs (the bounds scan reads
+    // ts alone); none drags the unused wide columns
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty, p)
+    assert(reads.forall(r => !r.contains("props") && !r.contains("user_id")), reads)
+    assert(reads.exists(r => r.contains("event_type") && r.contains("value")), reads)
+  }
+
   test("q_unicode_clean runs the native NFC expression in-plan, reading two columns") {
     val p = plan("q_unicode_clean")
     // the expression itself (not a UDF wrapper) sits in the projection —

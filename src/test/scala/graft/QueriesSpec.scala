@@ -140,4 +140,25 @@ class QueriesSpec extends SparkSpec {
       assert(err >= 0.0 && err <= 1.0 / 254 + 1e-12, s"vec ${r.getLong(0)} err $err")
     }
   }
+
+  test("q_hopping_window: every event lands in exactly 2 windows (slide = width/2)") {
+    val rows = SparkEntry.queries("q_hopping_window")(spark, sf).collect()
+    val nEvents = Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == 2 * nEvents)
+    // window starts sit on the 30-min slide grid
+    assert(rows.forall(r =>
+      r.getAs[java.sql.Timestamp]("win_start").getTime % (30 * 60 * 1000L) == 0))
+  }
+
+  test("q_resample: dense hours × types grid, gap buckets zero-filled, totals preserved") {
+    val rows = SparkEntry.queries("q_resample")(spark, sf).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    val hours = rows.map(_.getAs[java.sql.Timestamp]("win_start")).distinct
+    assert(rows.length == types.length * hours.length, "grid not dense")
+    // hour grid is contiguous: max-min spans exactly (count-1) hours
+    val ms = hours.map(_.getTime).sorted
+    assert(ms.last - ms.head == (ms.length - 1) * 3600 * 1000L, "hour gap in scaffold")
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.load(spark, sf, "events").count())
+  }
 }
