@@ -18,6 +18,9 @@ object Sampling {
   private val TrainMax = 52429 // 0.8 * 65536
   private val DevMax = 58982   // 0.9 * 65536
 
+  /** Per-language document cap for q_group_cap. */
+  private val CapK = 50
+
   /** Deterministic split assignment for any DataFrame with an id column. */
   def withSplit(df: DataFrame, idCol: String): DataFrame = {
     val bucket = conv(substring(md5(encode(col(idCol).cast("string"), "UTF-8")), 1, 4), 16, 10)
@@ -122,6 +125,34 @@ object Sampling {
         .filter(col("u") < col("rate"))
         .select(col("doc_id"), col("lang"), col("rate"), col("u"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-group HARD cap: at most CapK docs per language, chosen by the
+    // deterministic hash order (an unbiased, backfill-stable draw — the
+    // "no more than N per domain" curation rule, where q_domain_mix is
+    // the rate-based expectation twin). Selection runs through the
+    // bounded TopKAggregator: the shuffle carries ≤ CapK rows per
+    // (lang × map task) and nothing is per-group sorted — the window
+    // route would shuffle AND sort the whole corpus.
+    "q_group_cap" -> ((s, d) => {
+      import s.implicits._
+      val topk = new graft.functions.TopKAggregator(CapK).toColumn
+      // negated 32-bit bucket: aggregator keeps k LARGEST ⇒ k smallest
+      // buckets; doc_id tie-break matches the oracle's (bucket, doc_id)
+      val negBucket =
+        -(conv(substring(md5(encode(col("doc_id").cast("string"), "UTF-8")), 1, 8), 16, 10)
+          .cast("long").cast("double"))
+      Tables.load(s, d, "documents")
+        .select(col("lang"), negBucket.as("nb"), col("doc_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, nb, id) => (nb, id) }
+        .agg(topk)
+        .flatMap { case (lang, tops) =>
+          tops.zipWithIndex.map { case ((_, id), i) => (lang, id, (i + 1).toLong) }
+        }
+        .toDF("lang", "doc_id", "rnk")
+        .orderBy(col("lang"), col("rnk"))
     })
   )
 
@@ -188,6 +219,15 @@ object Sampling {
          |SELECT pd.doc_id, pd.n_shingles, COALESCE(hc.n_hit, 0) AS n_hit,
          |  CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / pd.n_shingles AS contam_frac,
          |  (CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / pd.n_shingles >= 0.5) AS contaminated
-         |FROM pd LEFT JOIN hc USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM pd LEFT JOIN hc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_group_cap" ->
+      s"""WITH b AS (SELECT lang, doc_id, ${sqlBucket("doc_id")} AS bucket
+         |           FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rnk
+         |      FROM b)
+         |SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= $CapK ORDER BY lang, rnk""".stripMargin
   )
 }

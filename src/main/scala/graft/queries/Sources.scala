@@ -192,6 +192,31 @@ object Sources {
           coalesce(col("n"), lit(0L)).as("n"),
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
         .orderBy(col("event_type"), col("win_start"))
+    }),
+
+    // Z-score outlier flagging per event type — the metric-anomaly scrub
+    // a pipeline runs before trusting ingest volumes. Mean/std come from
+    // the SAME decimal moment factorization as q_agg_stats (one map-side-
+    // combinable aggregate, fixed-order double formulas — bit-stable), so
+    // the per-row z and the boundary verdict are identical in any engine
+    // and any partition order. The tiny per-type stats broadcast back
+    // against the scan: no corpus shuffle for the scoring pass.
+    "q_outlier_zscore" -> ((s, d) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val nd = col("n").cast("double")
+      val stats = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(d38)).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast(d38)).cast("double").as("sxx"))
+        .select(col("event_type"), (col("sx") / nd).as("mean_v"),
+          sqrt((col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)).as("std_v"))
+      val z = (col("value") - col("mean_v")) / col("std_v")
+      e.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          z.as("z"), (abs(z) > 2.5).as("is_outlier"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -335,6 +360,21 @@ object Sources {
          |  COALESCE(n, 0) AS n, COALESCE(sum_value, 0.0) AS sum_value
          |FROM hours CROSS JOIN ty
          |LEFT JOIN agg ON agg.event_type = ty.event_type AND agg.h = hours.h
-         |ORDER BY 1, 2""".stripMargin
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Same moment factorization and double-op order as the Spark side.
+    "q_outlier_zscore" ->
+      """WITH m AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST((value * value) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT event_type, sx / CAST(n AS DOUBLE) AS mean_v,
+        |    sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS std_v
+        |  FROM m)
+        |SELECT event_id, e.event_type, value,
+        |  (value - mean_v) / std_v AS z,
+        |  (abs((value - mean_v) / std_v) > 2.5) AS is_outlier
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -547,6 +547,29 @@ object TextOps {
         .select(col("doc_id"), col("text_clean"),
           length(col("text_clean")).as("clean_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Out-of-vocabulary rate per document against the top-512 corpus
+    // vocabulary (q_vocab_build's ranking) — the tokenizer-coverage
+    // metric that decides whether a vocab is big enough for a corpus
+    // slice. The vocab is MODEL-sized and broadcast; scoring is one
+    // token-keyed left join + one doc-keyed aggregate — the corpus is
+    // never shuffled on anything wider than its own tokens.
+    "q_oov_rate" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(VocabSize)
+        .select(col("token"), lit(1L).as("inv"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+            .as("oov_rate"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -855,6 +878,19 @@ object TextOps {
         |      '\s+', ' ', 'g')) AS text_clean
         |  FROM documents)
         |SELECT doc_id, text_clean, CAST(length(text_clean) AS INT) AS clean_chars
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    UNNEST(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token
+         |  FROM documents),
+         |v AS (SELECT token FROM (
+         |        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+         |        ORDER BY cnt DESC, token LIMIT $VocabSize) z),
+         |j AS (SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM tok t LEFT JOIN v ON t.token = v.token)
+         |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -275,6 +275,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_group_cap selects through the bounded top-k aggregate, never a corpus window sort") {
+    val p = plan("q_group_cap")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("q_outlier_zscore broadcasts the per-type stats back — no corpus shuffle to score") {
+    val p = plan("q_outlier_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only hash exchange is the tiny stats aggregate's partial→final
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("q_oov_rate scores via a broadcast vocab join; corpus shuffled only on its own keys") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_hopping_window fans windows out map-side: one aggregate shuffle, no join") {
     val p = plan("q_hopping_window")
     assert(!p.contains("Join"), p)

@@ -141,6 +141,29 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_group_cap: per-language counts are min(cap, |lang|) and agree with the window route") {
+    val rows = SparkEntry.queries("q_group_cap")(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val langCounts = Tables.load(spark, sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    langCounts.foreach { case (lang, n) =>
+      assert(byLang.getOrElse(lang, 0) == math.min(50L, n), s"$lang: $byLang vs $n")
+    }
+    // the bounded aggregate must pick the SAME docs as the window route
+    import org.apache.spark.sql.expressions.Window
+    val bucket = conv(substring(md5(encode(col("doc_id").cast("string"), "UTF-8")), 1, 8), 16, 10)
+      .cast("long")
+    val viaWindow = Tables.load(spark, sf, "documents")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(bucket, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= 50)
+      .select(col("lang"), col("doc_id"), col("rnk")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaAgg = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("q_hopping_window: every event lands in exactly 2 windows (slide = width/2)") {
     val rows = SparkEntry.queries("q_hopping_window")(spark, sf).collect()
     val nEvents = Tables.load(spark, sf, "events").count()
