@@ -353,6 +353,34 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Shingle CONTAINMENT over the LSH candidates — the asymmetric score
+    // Jaccard misses: a short document quoted wholesale inside a long one
+    // has low Jaccard (union is large) but containment ≈ 1 on the short
+    // side (Broder's containment; the quote/inclusion dedup signal).
+    // Same candidate machinery as q_minhash_estimate: the shingle
+    // intersection is counted ONLY on candidate pairs, both directions
+    // reported, verdict = either side ≥ 0.9 contained.
+    "q_containment" -> ((s, d) => {
+      val ng = shingles(s, d).persist(StorageLevel.DISK_ONLY)
+      val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cand = bandPairs(signature(ng))
+      val common = cand
+        .join(ng.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+        .join(ng.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+      val cm = coalesce(col("common"), lit(0L))
+      val ca = cm.cast("double") / col("n_a").cast("double")
+      val cb = cm.cast("double") / col("n_b").cast("double")
+      cand
+        .join(common, Seq("doc_a", "doc_b"), "left")
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), cm.as("common"),
+          ca.as("contain_a"), cb.as("contain_b"),
+          (greatest(ca, cb) >= 0.9).as("contained"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Edit-distance rerank of the MinHash candidates: LSH proposes, exact
     // levenshtein scores. The expensive O(len²) distance runs ONLY on
     // candidate pairs (never all pairs) — the canonical
@@ -597,6 +625,38 @@ object Dedup {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN sb >= 0 THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_containment" -> {
+      val mins = (0 until Seeds)
+        .map(o => s"MIN(substr(md5(g), ${o + 1}, 16)) AS m$o").mkString(", ")
+      val bandRows = (0 until Seeds / 2)
+        .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS bv FROM sig")
+        .mkString("\n          UNION ALL ")
+      s"""WITH $ngCte,
+         |sig AS (SELECT doc_id, $mins FROM ng GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM bands a
+         |       JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
+         |cm AS (SELECT pr.doc_a, pr.doc_b, COUNT(*) AS common
+         |       FROM pr
+         |       JOIN ng na ON na.doc_id = pr.doc_a
+         |       JOIN ng nb ON nb.doc_id = pr.doc_b AND nb.g = na.g
+         |       GROUP BY 1, 2)
+         |SELECT pr.doc_a, pr.doc_b,
+         |  CAST(COALESCE(cm.common, 0) AS BIGINT) AS common,
+         |  CAST(COALESCE(cm.common, 0) AS DOUBLE) / CAST(ca.n AS DOUBLE) AS contain_a,
+         |  CAST(COALESCE(cm.common, 0) AS DOUBLE) / CAST(cb.n AS DOUBLE) AS contain_b,
+         |  (GREATEST(CAST(COALESCE(cm.common, 0) AS DOUBLE) / CAST(ca.n AS DOUBLE),
+         |            CAST(COALESCE(cm.common, 0) AS DOUBLE) / CAST(cb.n AS DOUBLE))
+         |   >= 0.9) AS contained
+         |FROM pr
+         |LEFT JOIN cm ON cm.doc_a = pr.doc_a AND cm.doc_b = pr.doc_b
+         |JOIN cnt ca ON ca.doc_id = pr.doc_a
+         |JOIN cnt cb ON cb.doc_id = pr.doc_b
+         |ORDER BY pr.doc_a, pr.doc_b""".stripMargin
+    },
 
     "q_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id,

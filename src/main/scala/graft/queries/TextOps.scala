@@ -570,6 +570,29 @@ object TextOps {
           (col("n_oov").cast("double") / col("n_tokens").cast("double"))
             .as("oov_rate"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Token-distribution (Shannon) entropy per document — the gibberish/
+    // boilerplate signal orthogonal to the repetition fractions: machine
+    // text with few distinct tokens scores low H even when no single
+    // token dominates. H = −Σ p·ln p in nats, each term DECIMAL(28,12)-
+    // cast before summing (the q_lm_perplexity discipline) so the sum is
+    // order-independent and oracle-exact. One (doc, token) aggregate +
+    // one doc aggregate — map-side combined at any scale.
+    "q_entropy" -> ((s, d) => {
+      val wc = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tkn"))
+        .groupBy(col("doc_id"), col("tkn")).agg(count(lit(1)).as("c"))
+      val tot = wc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      val h = (-sum((p * log(p)).cast("decimal(28,12)"))).cast("double")
+      wc.join(tot, "doc_id")
+        .groupBy(col("doc_id"), col("n"))
+        .agg(h.as("entropy"))
+        .select(col("doc_id"), col("n"), col("entropy"),
+          (col("entropy") >= 2.0).as("diverse"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -891,6 +914,21 @@ object TextOps {
          |      FROM tok t LEFT JOIN v ON t.token = v.token)
          |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
          |  CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
-         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin
+         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Per-term p·ln p decimal-cast before summing — same op order as Spark.
+    "q_entropy" ->
+      """WITH wc AS (SELECT doc_id, tkn, COUNT(*) AS c FROM (
+        |         SELECT doc_id,
+        |                UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tkn
+        |         FROM documents) z GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+        |terms AS (SELECT wc.doc_id, n,
+        |    CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,12)) AS t
+        |  FROM wc JOIN tot USING (doc_id))
+        |SELECT doc_id, n, CAST(-SUM(t) AS DOUBLE) AS entropy,
+        |  (CAST(-SUM(t) AS DOUBLE) >= 2.0) AS diverse
+        |FROM terms GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
   )
 }

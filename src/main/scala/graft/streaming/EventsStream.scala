@@ -38,14 +38,18 @@ object EventsStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
 
-  /** Watermarked tumbling-window counts per event type. Late data beyond
+  /** Watermarked tumbling-or-hopping window counts per event type. A
+    * `slide` shorter than the width makes the windows overlap (each event
+    * lands in width/slide windows — the batch twin is q_hopping_window);
+    * the default slide = width is a tumbling window. Late data beyond
     * the watermark is dropped; state size is bounded by
     * (#windows in watermark horizon) × (#event types). */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
-                     watermark: String = "2 hours"): DataFrame =
+                     watermark: String = "2 hours",
+                     slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_), col("event_type"))
+      .groupBy(window(col("ts"), window_, slide.getOrElse(window_)), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))

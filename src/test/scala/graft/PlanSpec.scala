@@ -275,6 +275,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_entropy is two map-side-combinable aggregates — no window over the token table") {
+    val p = plan("q_entropy")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_containment intersects shingles only on candidate pairs — no cartesian") {
+    val p = plan("q_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_group_cap selects through the bounded top-k aggregate, never a corpus window sort") {
     val p = plan("q_group_cap")
     assert(!p.contains("Window"), p)

@@ -19,7 +19,8 @@ class EmptyInputSpec extends SparkSpec {
         "q_doc_chunks", "q_seq_pack", "q_quality_model",
         "q_vocab_build", "q_dup_spans", "q_bpe_step",
         "q_bpe_train", "q_bpe_encode", "q_unicode_clean",
-        "q_incremental_dedup", "q_oov_rate", "q_group_cap").foreach { q =>
+        "q_incremental_dedup", "q_oov_rate", "q_group_cap",
+        "q_entropy", "q_containment").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }

@@ -35,6 +35,31 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows stream with doubled mass: each event in exactly 2 windows") {
+    val dir = stageEvents()
+    val q = EventsStream.windowedCounts(EventsStream.readEvents(spark, dir),
+        slide = Some("30 minutes"))
+      .writeStream.format("memory").queryName("hop_counts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hop_counts")
+        .groupBy("event_type").agg(sum("n").as("n"))
+        .as[(String, Long)].collect().toMap
+      // closed hopping windows count each event up to twice (width/slide)
+      val batch = Tables.load(spark, sf, "events")
+        .groupBy("event_type").count().as[(String, Long)].collect().toMap
+      assert(streamed.nonEmpty)
+      assert(streamed.forall { case (k, v) => v > 0 && v <= 2 * batch(k) })
+      // starts sit on the 30-min slide grid, denser than the 1-h tumble
+      val starts = spark.table("hop_counts")
+        .select("win_start").distinct()
+        .as[java.sql.Timestamp].collect()
+      assert(starts.forall(_.getTime % (30 * 60 * 1000L) == 0))
+      assert(starts.exists(_.getTime % (60 * 60 * 1000L) != 0), "no half-hour start seen")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink converges replayed batches to one row per key") {
     val dir = tmpDir("upsert-in")
     val ev = Tables.load(spark, sf, "events").limit(300)
