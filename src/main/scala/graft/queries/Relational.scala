@@ -659,13 +659,17 @@ object Relational {
     // with summation order. The loop discipline to iterate this to
     // convergence is operators/Graph.connectedComponents.
     "q_pagerank_iter" -> ((s, d) => {
+      // distinct on the (long, long) pair BEFORE building node labels:
+      // the dedup shuffle carries 16 bytes/row instead of two strings,
+      // and the concat runs once per distinct edge, not per lineitem
       val edges = t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"))
         .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
+        .select(concat(lit("c"), col("ck")).as("src"),
+          concat(lit("s"), col("sk")).as("dst"))
       val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val inflow = edges.join(outdeg, "src")
         .select(col("dst"), expr("1000000 div deg").as("w"))
