@@ -153,6 +153,24 @@ object Sampling {
         }
         .toDF("lang", "doc_id", "rnk")
         .orderBy(col("lang"), col("rnk"))
+    }),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    // assign key = u^(1/w) with u uniform per record, take the top-k keys
+    // — an exact w-weighted draw, embarrassingly parallel. Ranked here by
+    // the monotone-equivalent ln(u)/w (same order; ln agrees bit-for-bit
+    // across engines where pow's last-ulp rounding may not), with u from
+    // the deterministic hash — the draw is backfill-stable and costs one
+    // map pass + a TakeOrdered. u is (bucket+1)/2^32 ∈ (0,1] so ln never
+    // sees zero; ties (u=1 keys = 0) break on doc_id in both engines.
+    "q_weighted_sample" -> ((s, d) => {
+      val u = (conv(substring(md5(encode(col("doc_id").cast("string"), "UTF-8")), 1, 8), 16, 10)
+        .cast("long").cast("double") + lit(1.0)) / lit(4294967296.0)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (log(u) / col("n_chars").cast("double")).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(100)
     })
   )
 
@@ -220,6 +238,13 @@ object Sampling {
          |  CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / pd.n_shingles AS contam_frac,
          |  (CAST(COALESCE(hc.n_hit, 0) AS DOUBLE) / pd.n_shingles >= 0.5) AS contaminated
          |FROM pd LEFT JOIN hc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+         |  ln((CAST(${sqlBucket("doc_id")} AS DOUBLE) + 1.0) / 4294967296.0)
+         |    / CAST(n_chars AS DOUBLE) AS es_key
+         |FROM documents
+         |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_group_cap" ->
       s"""WITH b AS (SELECT lang, doc_id, ${sqlBucket("doc_id")} AS bucket

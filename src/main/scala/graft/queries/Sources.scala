@@ -217,6 +217,28 @@ object Sources {
         .select(col("event_id"), col("event_type"), col("value"),
           z.as("z"), (abs(z) > 2.5).as("is_outlier"))
         .orderBy(col("event_id"))
+    }),
+
+    // Fixed-width histogram (20 bins over the global value range) per
+    // event type, empty bins zero-filled — the distribution profile a
+    // data-quality dashboard reads. Bin assignment is one map pass
+    // against the broadcast (lo, hi) scalar; the dense types×bins
+    // scaffold is model-sized (the q_resample discipline). The top bin
+    // is closed ([lo+19w, hi]) via least(), matching the oracle exactly.
+    "q_histogram" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_type"), col("value"))
+      val b = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val agg = e.crossJoin(broadcast(b))
+        .select(col("event_type"),
+          least(floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / 20.0)), lit(19.0)).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("n"))
+      val types = e.select(col("event_type")).distinct()
+      val bins = s.range(0, 20).toDF("bin")
+      types.crossJoin(bins)
+        .join(agg, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("bin"))
     })
   )
 
@@ -375,6 +397,19 @@ object Sources {
         |  (value - mean_v) / std_v AS z,
         |  (abs((value - mean_v) / std_v) > 2.5) AS is_outlier
         |FROM events e JOIN st ON e.event_type = st.event_type
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+        |bi AS (SELECT event_type,
+        |         CAST(LEAST(FLOOR((value - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bin
+        |       FROM events, b),
+        |agg AS (SELECT event_type, bin, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |bins AS (SELECT UNNEST(range(0, 20)) AS bin)
+        |SELECT ty.event_type, bins.bin, COALESCE(n, 0) AS n
+        |FROM ty CROSS JOIN bins
+        |LEFT JOIN agg ON agg.event_type = ty.event_type AND agg.bin = bins.bin
+        |ORDER BY 1, 2""".stripMargin
   )
 }

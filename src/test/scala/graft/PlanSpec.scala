@@ -275,6 +275,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_weighted_sample is one map pass + TakeOrdered — no shuffle, no join") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"), p)
+  }
+
+  test("q_histogram bins against a broadcast scalar; fact side joined by equi-key") {
+    val p = plan("q_histogram")
+    assert(p.contains("LeftOuter"), p)
+    val reads = p.linesIterator.filter(l => l.contains("ReadSchema") && l.contains("events"))
+    assert(reads.forall(r => !r.contains("props") && !r.contains("user_id")), p)
+  }
+
   test("q_entropy is two map-side-combinable aggregates — no window over the token table") {
     val p = plan("q_entropy")
     assert(!p.contains("Window"), p)

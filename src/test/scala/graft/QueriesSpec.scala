@@ -164,6 +164,22 @@ class QueriesSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("q_weighted_sample: 100 rows, keys non-positive and non-increasing") {
+    val rows = SparkEntry.queries("q_weighted_sample")(spark, sf).collect()
+    assert(rows.length == 100)
+    val keys = rows.map(_.getAs[Double]("es_key"))
+    assert(keys.forall(_ <= 0.0))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+  }
+
+  test("q_histogram: dense 20-bin grid per type, totals preserved") {
+    val rows = SparkEntry.queries("q_histogram")(spark, sf).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    assert(rows.length == types.length * 20)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.load(spark, sf, "events").count())
+  }
+
   test("q_hopping_window: every event lands in exactly 2 windows (slide = width/2)") {
     val rows = SparkEntry.queries("q_hopping_window")(spark, sf).collect()
     val nEvents = Tables.load(spark, sf, "events").count()

@@ -20,7 +20,7 @@ class EmptyInputSpec extends SparkSpec {
         "q_vocab_build", "q_dup_spans", "q_bpe_step",
         "q_bpe_train", "q_bpe_encode", "q_unicode_clean",
         "q_incremental_dedup", "q_oov_rate", "q_group_cap",
-        "q_entropy", "q_containment").foreach { q =>
+        "q_entropy", "q_containment", "q_weighted_sample").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
