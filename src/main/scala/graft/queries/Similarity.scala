@@ -358,27 +358,57 @@ object Similarity {
     // cluster-keyed join and the dup-id distinct. Deterministic model +
     // deterministic drop rule → the DuckDB oracle replays training and
     // reproduces the verdict bit-for-bit.
-    "q_semantic_dedup" -> ((s, d) => {
-      val iv = intVecs(s, d)
-      val cents = graft.operators.KMeans.model(iv, (1L to 8L).toSeq, updates = 2)
-      val assigned = iv
-        .withColumn("cluster", graft.operators.KMeans.centArgmax(cents))
-        .select(col("vec_id"), col("v"), col("nv"), col("cluster"))
-      val a = assigned.select(col("vec_id").as("ida"), col("v").as("va"),
-        col("nv").as("na"), col("cluster").as("ca"))
-      val b = assigned.select(col("vec_id").as("idb"), col("v").as("vb"),
-        col("nv").as("nb"), col("cluster").as("cb"))
-      val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
-      val dups = a.join(b, col("ca") === col("cb") && col("ida") < col("idb")
-          && cos >= lit(SemTau))
-        .select(col("idb").as("vec_id")).distinct()
-        .withColumn("is_dup", lit(true))
-      assigned.join(dups, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cluster"),
-          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    "q_semantic_dedup" -> ((s, d) =>
+      semanticVerdict(s, d).orderBy(col("vec_id"))),
+
+    // END-TO-END vector-corpus build — the embedding-side capstone
+    // mirroring q_pipeline_corpus: semantic-dedup the space (trained
+    // k-means clusters, within-cluster cos prune), keep the survivors,
+    // and emit them int8-QUANTIZED with their cluster id — exactly the
+    // artifact an ANN index or training job consumes (4× smaller
+    // payload, cluster = IVF partition key at ingest). One composition,
+    // one oracle; the join on vec_id is the only stage added to the two
+    // proven pipelines.
+    "q_pipeline_vectors" -> ((s, d) => {
+      val kept = semanticVerdict(s, d).filter(!col("is_dup"))
+        .select(col("vec_id"), col("cluster"))
+      val qv = t(s, d, "embeddings")
+        .select(col("vec_id"), intVec("embedding").as("v"))
+        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .select(col("vec_id"), col("amax").as("scale"),
+          expr("""transform(v, x -> cast(case
+                   when amax = 0 then 0
+                   when x >= 0 then (2*x*127 + amax) div (2*amax)
+                   else -((2*(-x)*127 + amax) div (2*amax)) end as int))""").as("qvec"))
+        .select(col("vec_id"), col("scale"), concat_ws(",", col("qvec")).as("qvec_csv"))
+      kept.join(qv, "vec_id")
+        .select(col("vec_id"), col("cluster"), col("scale"), col("qvec_csv"))
         .orderBy(col("vec_id"))
     })
   )
+
+  /** (vec_id, cluster, is_dup) — the SemDeDup verdict (trained-model
+    * cluster assignment + within-cluster cos-τ prune), shared by
+    * q_semantic_dedup and the q_pipeline_vectors capstone. */
+  private def semanticVerdict(s: SparkSession, d: String): DataFrame = {
+    val iv = intVecs(s, d)
+    val cents = graft.operators.KMeans.model(iv, (1L to 8L).toSeq, updates = 2)
+    val assigned = iv
+      .withColumn("cluster", graft.operators.KMeans.centArgmax(cents))
+      .select(col("vec_id"), col("v"), col("nv"), col("cluster"))
+    val a = assigned.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("nv").as("na"), col("cluster").as("ca"))
+    val b = assigned.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("nv").as("nb"), col("cluster").as("cb"))
+    val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
+    val dups = a.join(b, col("ca") === col("cb") && col("ida") < col("idb")
+        && cos >= lit(SemTau))
+      .select(col("idb").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 
   /** SemDeDup cosine threshold — same τ as the near-dup family. */
   private val SemTau = 0.4
@@ -430,6 +460,25 @@ object Similarity {
     s"""iv AS (SELECT vec_id, label, ${sqlIntVec("embedding")} AS v
        |      FROM embeddings),
        |idx AS (SELECT UNNEST(range(1, 65)) AS i)""".stripMargin
+
+  /** SemDeDup oracle chain ending in `asg3` + `dup` — shared by
+    * q_semantic_dedup and the q_pipeline_vectors capstone. */
+  private lazy val semCtes =
+    s"""$ivCte,
+       |$kmPrefix,
+       |${kmRoundCtes(3, sumsAtLast = false)},
+       |pc AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+       |       FROM asg3 a JOIN asg3 b
+       |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |sc AS (SELECT pc.ida, pc.idb, SUM(x.v[i] * y.v[i]) AS dot
+       |       FROM pc JOIN iv x ON x.vec_id = pc.ida
+       |               JOIN iv y ON y.vec_id = pc.idb, idx
+       |       GROUP BY pc.ida, pc.idb),
+       |dup AS (SELECT DISTINCT sc.idb AS vec_id
+       |        FROM sc JOIN vn a ON a.vec_id = sc.ida
+       |                JOIN vn b ON b.vec_id = sc.idb
+       |        WHERE CAST(dot AS DOUBLE) /
+       |          (SQRT(CAST(a.nv AS DOUBLE)) * SQRT(CAST(b.nv AS DOUBLE))) >= $SemTau)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_embed_quantize" ->
@@ -596,23 +645,29 @@ object Similarity {
     "q_semantic_dedup" -> {
       // assignment = asg3 (the model after 2 updates, as in the trained
       // probe); pairs exist only within a cluster, norms come from vn.
-      s"""WITH $ivCte,
-         |$kmPrefix,
-         |${kmRoundCtes(3, sumsAtLast = false)},
-         |pc AS (SELECT a.vec_id AS ida, b.vec_id AS idb
-         |       FROM asg3 a JOIN asg3 b
-         |         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-         |sc AS (SELECT pc.ida, pc.idb, SUM(x.v[i] * y.v[i]) AS dot
-         |       FROM pc JOIN iv x ON x.vec_id = pc.ida
-         |               JOIN iv y ON y.vec_id = pc.idb, idx
-         |       GROUP BY pc.ida, pc.idb),
-         |dup AS (SELECT DISTINCT sc.idb AS vec_id
-         |        FROM sc JOIN vn a ON a.vec_id = sc.ida
-         |                JOIN vn b ON b.vec_id = sc.idb
-         |        WHERE CAST(dot AS DOUBLE) /
-         |          (SQRT(CAST(a.nv AS DOUBLE)) * SQRT(CAST(b.nv AS DOUBLE))) >= $SemTau)
+      s"""WITH $semCtes
          |SELECT g.vec_id, g.cluster, (d.vec_id IS NOT NULL) AS is_dup
          |FROM asg3 g LEFT JOIN dup d USING (vec_id)
+         |ORDER BY g.vec_id""".stripMargin
+    },
+
+    "q_pipeline_vectors" -> {
+      s"""WITH $semCtes,
+         |st AS (SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) AS amax
+         |       FROM iv),
+         |qt AS (SELECT vec_id, amax AS scale,
+         |         list_transform(v, x -> CAST(CASE
+         |           WHEN amax = 0 THEN 0
+         |           WHEN x >= 0 THEN (2*x*127 + amax) // (2*amax)
+         |           ELSE -((2*(-x)*127 + amax) // (2*amax)) END AS INTEGER)) AS qvec
+         |       FROM st)
+         |SELECT g.vec_id, g.cluster, qt.scale,
+         |  array_to_string(qt.qvec, ',') AS qvec_csv
+         |FROM asg3 g
+         |LEFT JOIN dup d USING (vec_id)
+         |JOIN qt USING (vec_id)
+         |WHERE d.vec_id IS NULL
          |ORDER BY g.vec_id""".stripMargin
     },
 

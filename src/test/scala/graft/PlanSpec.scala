@@ -275,6 +275,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_pipeline_vectors composes with equi-joins only — no cartesian in the vector capstone") {
+    val p = plan("q_pipeline_vectors")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_weighted_sample is one map pass + TakeOrdered — no shuffle, no join") {
     val p = plan("q_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), p)
