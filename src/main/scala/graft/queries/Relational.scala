@@ -641,7 +641,10 @@ object Relational {
       val varX = (col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)
       val varY = (col("syy") - col("sy") * col("sy") / nd) / (nd - 1)
       val cov = (col("sxy") - col("sx") * col("sy") / nd) / (nd - 1)
-      m.select(col("l_returnflag").as("flag"), col("n"),
+      // sample statistics are undefined for n = 1 (division by n-1 would
+      // emit Inf/NaN, whose comparison semantics differ across engines)
+      m.filter(col("n") >= 2)
+        .select(col("l_returnflag").as("flag"), col("n"),
           varX.as("var_qty"), sqrt(varX).as("std_qty"),
           cov.as("covar_qp"), (cov / (sqrt(varX) * sqrt(varY))).as("corr_qp"))
         .orderBy(col("flag"))
@@ -1074,7 +1077,7 @@ object Relational {
         |  ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
         |    / (sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
         |       * sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) AS corr_qp
-        |FROM m ORDER BY flag""".stripMargin,
+        |FROM m WHERE n >= 2 ORDER BY flag""".stripMargin,
 
     // Same fixed-point integer arithmetic — exact in both engines.
     "q_pagerank_iter" ->

@@ -210,8 +210,13 @@ object Sources {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(d38)).cast("double").as("sx"),
           sum((col("value") * col("value")).cast(d38)).cast("double").as("sxx"))
-        .select(col("event_type"), (col("sx") / nd).as("mean_v"),
+        .select(col("event_type"), col("n"), (col("sx") / nd).as("mean_v"),
           sqrt((col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)).as("std_v"))
+        // n = 1 (std undefined) or an all-equal group (std 0) would make z
+        // NaN/Inf — and NaN COMPARES differently across engines (greater
+        // than everything in some, unordered in others). Scoring is only
+        // defined where a spread exists; both engines drop the rest.
+        .filter(col("n") >= 2 && col("std_v") > 0.0)
       val z = (col("value") - col("mean_v")) / col("std_v")
       e.join(broadcast(stats), "event_type")
         .select(col("event_id"), col("event_type"), col("value"),
@@ -228,10 +233,14 @@ object Sources {
     "q_histogram" -> ((s, d) => {
       val e = t(s, d, "events").select(col("event_type"), col("value"))
       val b = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      // hi = lo (an all-equal shard) would make the bin width 0 and the
+      // assignment NaN — and NaN orders DIFFERENTLY across engines; pin
+      // the degenerate case to bin 0 in both.
       val agg = e.crossJoin(broadcast(b))
         .select(col("event_type"),
-          least(floor((col("value") - col("lo")) /
-            ((col("hi") - col("lo")) / 20.0)), lit(19.0)).cast("long").as("bin"))
+          when(col("hi") === col("lo"), lit(0.0))
+            .otherwise(least(floor((col("value") - col("lo")) /
+              ((col("hi") - col("lo")) / 20.0)), lit(19.0))).cast("long").as("bin"))
         .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("n"))
       val types = e.select(col("event_type")).distinct()
       val bins = s.range(0, 20).toDF("bin")
@@ -392,17 +401,20 @@ object Sources {
         |  FROM events GROUP BY 1),
         |st AS (SELECT event_type, sx / CAST(n AS DOUBLE) AS mean_v,
         |    sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS std_v
-        |  FROM m)
+        |  FROM m WHERE n >= 2)
+        |, stv AS (SELECT * FROM st WHERE std_v > 0.0)
         |SELECT event_id, e.event_type, value,
         |  (value - mean_v) / std_v AS z,
         |  (abs((value - mean_v) / std_v) > 2.5) AS is_outlier
-        |FROM events e JOIN st ON e.event_type = st.event_type
+        |FROM events e JOIN stv ON e.event_type = stv.event_type
         |ORDER BY event_id""".stripMargin,
 
     "q_histogram" ->
       """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
         |bi AS (SELECT event_type,
-        |         CAST(LEAST(FLOOR((value - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bin
+        |         CAST(CASE WHEN hi = lo THEN 0.0
+        |              ELSE LEAST(FLOOR((value - lo) / ((hi - lo) / 20.0)), 19.0)
+        |              END AS BIGINT) AS bin
         |       FROM events, b),
         |agg AS (SELECT event_type, bin, COUNT(*) AS n FROM bi GROUP BY 1, 2),
         |ty AS (SELECT DISTINCT event_type FROM events),

@@ -180,6 +180,35 @@ class QueriesSpec extends SparkSpec {
       Tables.load(spark, sf, "events").count())
   }
 
+  test("degenerate event shards: single-row and zero-variance types never emit NaN/Inf") {
+    import spark.implicits._
+    val dir = tmpDir("degen-ev")
+    val ns = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z in nanos
+    // 'solo': one event (std undefined); 'flat': zero variance; 'ok': spread
+    Seq(
+      (1L, ns, 1L, "solo", 5.0, "{}"),
+      (2L, ns, 1L, "flat", 2.0, "{}"), (3L, ns, 1L, "flat", 2.0, "{}"),
+      (4L, ns, 1L, "flat", 2.0, "{}"),
+      (5L, ns, 1L, "ok", 1.0, "{}"), (6L, ns, 1L, "ok", 2.0, "{}"),
+      (7L, ns, 1L, "ok", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val z = SparkEntry.queries("q_outlier_zscore")(spark, dir).collect()
+    assert(z.map(_.getAs[String]("event_type")).toSet == Set("ok"), "undefined-std types must drop")
+    assert(z.forall { r =>
+      val v = r.getAs[Double]("z"); !v.isNaN && !v.isInfinite
+    })
+    // all-equal range (hi = lo per the GLOBAL range only if every value is
+    // equal) — rebuild with one flat type alone to hit the zero-width path
+    val dir2 = tmpDir("degen-ev2")
+    Seq((1L, ns, 1L, "flat", 2.0, "{}"), (2L, ns, 1L, "flat", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir2/events.parquet")
+    val h = SparkEntry.queries("q_histogram")(spark, dir2).collect()
+    assert(h.map(_.getAs[Long]("n")).sum == 2)
+    assert(h.filter(_.getAs[Long]("n") > 0).forall(_.getAs[Long]("bin") == 0L))
+  }
+
   test("q_hopping_window: every event lands in exactly 2 windows (slide = width/2)") {
     val rows = SparkEntry.queries("q_hopping_window")(spark, sf).collect()
     val nEvents = Tables.load(spark, sf, "events").count()
