@@ -181,11 +181,18 @@ object Sources {
       val e = t(s, d, "events")
         .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
           col("value"))
+      // ONE corpus pass: bounds and the type dimension both derive from
+      // the persisted (type, hour) aggregate — model-sized, so the
+      // scaffold branches re-read a tiny cache instead of re-scanning
+      // events per consumer. (The narrow residue is deliberate: the
+      // returned frame is lazy, freeing here would force the rescans this
+      // cache exists to prevent.)
       val agg = e.groupBy(col("event_type"), col("h"))
         .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
-      val hours = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hours = agg.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-      val types = e.select(col("event_type")).distinct()
+      val types = agg.select(col("event_type")).distinct()
       hours.crossJoin(types)
         .join(agg, Seq("event_type", "h"), "left")
         .select(col("event_type"), col("h").as("win_start"),
