@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Damped PageRank over a directed edge list, iterated with the
+  * [[Graph.connectedComponents]] loop discipline (truncate-per-round plan
+  * cutting, freed superseded rounds, loop-scoped child-session tuning) and
+  * the [[KMeans.trainConverged]] fixed-point stop: mass is FIXED-POINT
+  * integer (1e6 per node, damping 85/100 as integer ops — the
+  * q_pagerank_iter convention), so "converged" is exact rank equality, not
+  * a float tolerance, and every round is bit-deterministic in any engine
+  * and any partition order.
+  *
+  * Per-round shape (each shuffle key-bounded, nothing quadratic):
+  *   - contributions: edges ⋈ out-degrees ⋈ ranks on `src` (fanout = edge
+  *     count), integer `rank div deg` per edge;
+  *   - inflow: one dst-keyed integer sum (map-side combined);
+  *   - next ranks: node table LEFT JOIN inflow — nodes without inflow
+  *     (sources) settle at the teleport mass 150000 after round 1.
+  *
+  * Edges are taken as given (parallel edges act as weights; callers
+  * wanting simple-graph semantics dedup first, as q_pagerank_k does).
+  * Dangling nodes (no out-edges) absorb mass without redistributing it —
+  * the same contract as the single-round q_pagerank_iter query this
+  * operator iterates.
+  */
+object PageRank {
+
+  /** Ranks after EXACTLY `iters` damped rounds from the uniform 1e6 start —
+    * the SQL-oracle-expressible variant (k chained CTE rounds); returns
+    * (node, rank_fp). */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one PageRank round")
+    run(edges, iters, convergeStop = false)._1
+  }
+
+  /** Iterate to the EXACT integer fixed point (ranks stop changing).
+    * Returns (ranks, roundsRun) — roundsRun includes the final no-change
+    * round that proved convergence. Hitting `maxIters` THROWS: silently
+    * returning non-fixed-point ranks would let a truncated authority
+    * signal leak into downstream quality gates unlabeled.
+    *
+    * @param checkpointDir as in [[Graph.connectedComponents]]: when set,
+    *        loop state is reliably checkpointed there (executor-loss
+    *        tolerance on a real cluster); same context-global caveat —
+    *        concurrent invocations must pass the same dir. */
+  def trainConverged(edges: DataFrame, maxIters: Int = 100,
+                     checkpointDir: Option[String] = None): (DataFrame, Int) =
+    run(edges, maxIters, convergeStop = true, checkpointDir)
+
+  private def run(edges0: DataFrame, maxIters: Int, convergeStop: Boolean,
+                  checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val s = edges0.sparkSession
+    val pairs = edges0.toDF("src", "dst").persist(StorageLevel.DISK_ONLY)
+    val loopS = s.newSession()
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    // Plan truncation with a directly held RDD handle — the Graph.truncate
+    // idiom verbatim: reliable-or-local checkpoint, eager materialization,
+    // LogicalRDD leaf in the loop session.
+    def truncate(df: DataFrame): (DataFrame, RDD[Row]) = {
+      val rdd = df.rdd
+      if (checkpointDir.isDefined) {
+        rdd.persist(StorageLevel.DISK_ONLY)
+        rdd.checkpoint()
+      } else rdd.localCheckpoint()
+      rdd.count()
+      (loopS.createDataFrame(rdd, df.schema), rdd)
+    }
+    def free(rdd: RDD[Row]): Unit = {
+      rdd.unpersist(blocking = false)
+      if (checkpointDir.isDefined) rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+    var edges: DataFrame = null
+    var deg: DataFrame = null
+    var lastRdd: RDD[Row] = null
+    var lastSchema: org.apache.spark.sql.types.StructType = null
+    try {
+      val nEdges = pairs.count()
+      val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
+      val loopParts =
+        math.max(1L, math.min(sessionParts.toLong, nEdges / 100000L + 1L)).toInt
+      loopS.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      loopS.conf.set("spark.sql.adaptive.enabled", "false")
+      // Edges pre-partitioned on the join key (src) once — every round's
+      // contribution join reuses the layout; out-degrees likewise computed
+      // once, node-sized, cached beside them.
+      edges = loopS.createDataFrame(pairs.rdd, pairs.schema)
+        .repartition(loopParts, col("src"))
+        .persist(StorageLevel.DISK_ONLY)
+      deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.DISK_ONLY)
+      deg.count() // deg + edges materialized; the input handle is dead weight
+      pairs.unpersist(blocking = false)
+      val (ranks0, rdd0) = truncate(
+        edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .select(col("node"), lit(1000000L).as("rank_fp")))
+      var ranks = ranks0
+      lastRdd = rdd0
+      lastSchema = ranks0.schema
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val contrib = edges.join(deg, "src")
+          .join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("rank_fp div deg").as("w"))
+          .groupBy(col("dst")).agg(sum(col("w")).as("inflow"))
+        val (next, nextRdd) = truncate(
+          ranks.select(col("node"), col("rank_fp").as("old_rank"))
+            .join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (lit(150000L) +
+                expr("(85 * coalesce(inflow, cast(0 as bigint))) div 100"))
+                .as("rank_fp"),
+              col("old_rank")))
+        iter += 1
+        // Exact integer fixed point — reads the just-checkpointed blocks.
+        converged = convergeStop &&
+          next.filter(col("rank_fp") =!= col("old_rank")).isEmpty
+        free(lastRdd)
+        lastRdd = nextRdd
+        lastSchema = next.schema
+        ranks = next.select(col("node"), col("rank_fp"))
+      }
+      if (convergeStop && !converged) throw new IllegalStateException(
+        s"PageRank: integer ranks did not reach a fixed point within $iter rounds")
+      if (checkpointDir.isDefined) lastRdd.unpersist(blocking = false)
+      (s.createDataFrame(lastRdd, lastSchema).select(col("node"), col("rank_fp")),
+        iter)
+    } catch {
+      case t: Throwable =>
+        if (lastRdd != null) free(lastRdd)
+        throw t
+    } finally {
+      pairs.unpersist(blocking = false)
+      if (edges != null) edges.unpersist(blocking = false)
+      if (deg != null) deg.unpersist(blocking = false)
+    }
+  }
+}

@@ -662,17 +662,7 @@ object Relational {
     // with summation order. The loop discipline to iterate this to
     // convergence is operators/Graph.connectedComponents.
     "q_pagerank_iter" -> ((s, d) => {
-      // distinct on the (long, long) pair BEFORE building node labels:
-      // the dedup shuffle carries 16 bytes/row instead of two strings,
-      // and the concat runs once per distinct edge, not per lineitem
-      val edges = t(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderkey"))
-        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-        .distinct()
-        .select(concat(lit("c"), col("ck")).as("src"),
-          concat(lit("s"), col("sk")).as("dst"))
+      val edges = purchaseEdges(s, d)
       val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val inflow = edges.join(outdeg, "src")
         .select(col("dst"), expr("1000000 div deg").as("w"))
@@ -685,8 +675,39 @@ object Relational {
             .as("rank_fp"))
         .orderBy(col("rank_fp").desc, col("node"))
         .limit(25)
-    })
+    }),
+
+    // PageRank ITERATED — q_pagerank_iter's round run k=3 times through
+    // [[graft.operators.PageRank.ranks]] (the Graph.connectedComponents
+    // loop discipline: per-round plan truncation, freed superseded rounds,
+    // loop-scoped shuffle sizing). Fixed round count keeps the query
+    // SQL-oracle-expressible (k chained CTE rounds); the convergence-driven
+    // twin [[graft.operators.PageRank.trainConverged]] stops at the exact
+    // integer fixed point and is spec-proven on closed-form graphs
+    // (PageRankSpec). Integer mass end-to-end — bit-identical in DuckDB.
+    "q_pagerank_k" -> ((s, d) =>
+      graft.operators.PageRank.ranks(purchaseEdges(s, d), PrRounds)
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(25))
   )
+
+  /** Rounds for q_pagerank_k (mirrored by its chained-CTE oracle). */
+  private val PrRounds = 3
+
+  /** Distinct customer→supplier purchase edges — the link graph behind the
+    * PageRank queries. distinct on the (long, long) pair BEFORE building
+    * node labels: the dedup shuffle carries 16 bytes/row instead of two
+    * strings, and the concat runs once per distinct edge, not per
+    * lineitem. */
+  private def purchaseEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+      .select(concat(lit("c"), col("ck")).as("src"),
+        concat(lit("s"), col("sk")).as("dst"))
 
   private val unionBase =
     """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000

@@ -277,6 +277,17 @@ object Similarity {
     // top-k shuffle width stays N×k. The approximate scale path swaps the
     // block join for LSH/IVF candidates (q_ann_lsh / q_ann_ivf machinery).
     "q_knn_join" -> ((s, d) => {
+      // SCALE GUARD (same discipline as q_dedup_ngram, Dedup.scala): this
+      // is the exact all-pairs baseline — O(N²) dot products no matter how
+      // evenly the block join spreads them. Refuse corpus-scale inputs
+      // unless the caller explicitly raises the bound; the production twin
+      // is q_knn_join_ann (LSH candidates, same bounded top-k tail).
+      val maxVecs = s.conf.get("graft.knn.exact.maxVecs", "100000").toLong
+      val nVecs = t(s, d, "embeddings").count()
+      require(nVecs <= maxVecs,
+        s"q_knn_join is the exact all-pairs kNN baseline: $nVecs vectors " +
+          s"exceed the guard ($maxVecs). Use q_knn_join_ann at corpus scale, " +
+          "or raise graft.knn.exact.maxVecs explicitly.")
       val B = 8
       val iv = intVecs(s, d).withColumn("blk", pmod(col("vec_id"), lit(B)))
       val a = iv.select(col("vec_id").as("ida"), col("v").as("va"),

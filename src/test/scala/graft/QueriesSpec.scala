@@ -82,6 +82,22 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.2) // documented floor: isotropic vectors spread candidates thin
   }
 
+  test("q_knn_join guard refuses corpus-scale input until explicitly raised") {
+    spark.conf.set("graft.knn.exact.maxVecs", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("q_knn_join")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("graft.knn.exact.maxVecs"))
+      assert(e.getMessage.contains("q_knn_join_ann"))
+      // the override path: raising the bound admits the same corpus
+      spark.conf.set("graft.knn.exact.maxVecs", "1000000")
+      assert(SparkEntry.queries("q_knn_join")(spark, sf).count() > 0)
+    } finally spark.conf.unset("graft.knn.exact.maxVecs")
+    // default guard admits the test corpus
+    assert(SparkEntry.queries("q_knn_join")(spark, sf).count() > 0)
+  }
+
   test("q_semantic_dedup drops exactly the clustered tail of the exact near-dup graph") {
     val exactPairs = SparkEntry.queries("q_embed_neardup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
