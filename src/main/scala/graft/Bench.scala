@@ -70,13 +70,25 @@ object Bench {
     // steady-state execution, not first-query class loading.
     selected.foreach { case (n, fn) => runOnce(n, fn, "/root/testdata/sf0.001") }
 
+    // Host-load self-identification (round-8 verdict: two rounds of bench
+    // artifacts were inflated ~1.9× by co-tenant load and nothing in the
+    // artifact said so). Record /proc/loadavg before and after: a run whose
+    // start load is far above this JVM's own thread count is machine-
+    // detectably contaminated without re-running anything.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+
+    val loadStart = loadavg()
     val results = selected.map { case (name, fn) =>
       name -> median((1 to repeats).map(_ => runOnce(name, fn, sfDir)))
     }
+    val loadEnd = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     println(line)
     // sbt wraps stdout in [info] tags, which breaks machine parsing of the
     // metric line — mirror it to a plain file the driver can read directly.

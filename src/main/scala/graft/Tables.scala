@@ -16,8 +16,10 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   private def tune(spark: SparkSession): Unit = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read natively
-    // (PARQUET_TYPE_ILLEGAL); read nanos as LongType and convert in-loader.
+    // Older testdata generations wrote events.ts as parquet TIMESTAMP(NANOS)
+    // which Spark cannot read natively (PARQUET_TYPE_ILLEGAL); this legacy
+    // flag reads nanos as LongType so the loader can convert. Harmless for
+    // µs data, which reads as a timestamp type directly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Native expressions (sessions created with
@@ -29,8 +31,17 @@ object Tables {
     tune(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      // ns → µs truncation (matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast).
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // Normalize events.ts to TimestampType regardless of how the testdata
+      // generation wrote it. The session tz is UTC, so the NTZ→LTZ cast is a
+      // wall-clock identity and all three branches yield identical values.
+      df.schema("ts").dataType match {
+        case LongType =>
+          // TIMESTAMP(NANOS) read as raw longs: ns → µs truncation (matches
+          // DuckDB's TIMESTAMP_NS → TIMESTAMP cast).
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
     else df
   }
 }

@@ -175,6 +175,44 @@ object DatasetConvention {
     }
   }
 
+  /** Cross-version read (schema evolution): the convention's `version=V` is
+    * a SCHEMA version (gcs.py:58-67), so each version subtree gets its OWN
+    * JSON schema inference, and the versions are then aligned by column
+    * NAME (`unionByName(allowMissingColumns = true)`) — a column absent in
+    * an older version reads as NULL for that version's rows, exactly like
+    * a warehouse reading old partitions after ADD COLUMN. This is distinct
+    * from [[read]] without a version filter, whose single global inference
+    * welds every version into one schema before any row is attributed to
+    * its version. Versions are unioned in ascending order so the combined
+    * frame's column order is "oldest schema first, evolved columns
+    * appended" — deterministic across runs. At 100 TB each version's
+    * subtree keeps its own scan (partition discovery under one
+    * `version=V` prefix); a later `filter(col("version") === v)` prunes
+    * whole branches of the union. */
+  def readVersions(spark: SparkSession, base: String, dataset: String): DataFrame = {
+    val root = s"$base/$dataset"
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root))) return emptyConvention(spark)
+    val versions = fs.listStatus(new Path(root)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("version="))
+      .flatMap(_.stripPrefix("version=").toIntOption)
+      .sorted
+    val frames = versions.flatMap { v =>
+      val dir = s"$root/version=$v"
+      // An existing-but-fileless version dir would make schema inference
+      // throw — skip it, matching read()'s empty-root discipline.
+      val it = fs.listFiles(new Path(dir), true)
+      val hasFiles = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .exists(st => !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+      if (hasFiles) Some(spark.read.option("basePath", root).json(dir)) else None
+    }
+    if (frames.isEmpty) emptyConvention(spark)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Empty read result: no rows, just the convention's partition columns —
     * so `df.filter(col("version") === v)` composes on an empty dataset. */
   private def emptyConvention(spark: SparkSession): DataFrame =

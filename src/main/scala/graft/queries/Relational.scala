@@ -681,14 +681,108 @@ object Relational {
     // [[graft.operators.PageRank.ranks]] (the Graph.connectedComponents
     // loop discipline: per-round plan truncation, freed superseded rounds,
     // loop-scoped shuffle sizing). Fixed round count keeps the query
-    // SQL-oracle-expressible (k chained CTE rounds); the convergence-driven
-    // twin [[graft.operators.PageRank.trainConverged]] stops at the exact
+    // SQL-oracle-expressible (the chained-CTE oracle below is generated
+    // from the same PrRounds constant); the convergence-driven twin
+    // [[graft.operators.PageRank.trainConverged]] stops at the exact
     // integer fixed point and is spec-proven on closed-form graphs
     // (PageRankSpec). Integer mass end-to-end — bit-identical in DuckDB.
+    //
+    // EAGER, unlike every other builder here: the k-round loop (counts +
+    // per-round checkpoints) runs at BUILD time — the returned frame is a
+    // post-loop LogicalRDD plus sort/limit, so inspecting its plan does
+    // not re-trigger the loop, but building it does the full work, and in
+    // local mode the final localCheckpoint'd RDD stays persisted for the
+    // life of the context (the loop frees every superseded round; only
+    // the result survives). Callers that collect immediately and want the
+    // memory back should unpersist via the frame's .rdd handle.
     "q_pagerank_k" -> ((s, d) =>
       graft.operators.PageRank.ranks(purchaseEdges(s, d), PrRounds)
         .orderBy(col("rank_fp").desc, col("node"))
-        .limit(25))
+        .limit(25)),
+
+    // TPC-H Q3 shape: two-fact join through a filtered dimension, grouped
+    // revenue, top-10. Catalyst pushes all three filters to the scans
+    // (date predicates into parquet min/max pruning), the customer side is
+    // projected to the join key alone before the join, and the aggregate
+    // is partial+final on the join output — at 100 TB the only big
+    // shuffles are the two fact-fact exchanges on o_orderkey, each
+    // pre-filtered. The double revenue sum goes through [[Num.dsum]] so
+    // the top-10 cut is on exact, order-independent values.
+    "q_shipping_priority" -> ((s, d) => {
+      val cutoff = to_timestamp(lit("1998-03-15"))
+      val cust = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Num.dsum(col("rev")).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q18 shape: HAVING-subquery membership as a LEFT SEMI join
+    // against the aggregated fact — the delegated-SQL pattern
+    // `WHERE o_orderkey IN (SELECT ... GROUP BY ... HAVING sum > k)`.
+    // The big-orders set is tiny after the HAVING cut (sub-1% of orders),
+    // so the semi join prunes orders BEFORE the customer join and the
+    // re-join with lineitem; both remaining shuffles are on already-pruned
+    // keys. Exact decimal quantity sums on both sides of the cut.
+    "q_large_orders" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(Num.dsum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 200.0).select(col("l_orderkey").as("big_okey"))
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+        .join(t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(Num.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q21 shape: the EXISTS / NOT EXISTS chain as LEFT SEMI + LEFT
+    // ANTI self-joins on the fact. "Late" here is l_shipdate more than 90
+    // days after o_orderdate (this schema has no commit/receipt dates —
+    // same shape, different predicate). The late set is computed ONCE and
+    // reused as both the probe side and the anti side; the supplier
+    // restriction goes through a broadcast nation dim BEFORE the fact
+    // join. All four joins are equi-joins on l_orderkey/s_suppkey with a
+    // residual inequality — no cartesian anywhere, and the anti join's
+    // build side is the already-late-filtered subset, not the full fact.
+    "q_suppliers_waiting" -> ((s, d) => {
+      val ordF = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      val waiting = late
+        .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+      val sup = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      waiting.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    })
   )
 
   /** Rounds for q_pagerank_k (mirrored by its chained-CTE oracle). */
@@ -1111,6 +1205,71 @@ object Relational {
         |SELECT node,
         |  CAST(150000 + (85 * COALESCE(inflow, 0)) // 100 AS BIGINT) AS rank_fp
         |FROM n LEFT JOIN infl ON node = dst
-        |ORDER BY rank_fp DESC, node LIMIT 25""".stripMargin
+        |ORDER BY rank_fp DESC, node LIMIT 25""".stripMargin,
+
+    // q_pagerank_iter's round chained PrRounds times (generated from the
+    // same constant the Spark query uses, so query and oracle cannot
+    // drift). Integer mass end-to-end, so the match is bit-exact.
+    "q_pagerank_k" -> {
+      val rounds = (1 to PrRounds).map { i =>
+        s"""i$i AS (SELECT dst, CAST(SUM(rank_fp // deg) AS BIGINT) AS inflow
+           |        FROM e JOIN od USING (src) JOIN r${i - 1} ON src = r${i - 1}.node
+           |        GROUP BY 1),
+           |r$i AS (SELECT n.node,
+           |          CAST(150000 + (85 * COALESCE(inflow, 0)) // 100 AS BIGINT) AS rank_fp
+           |        FROM n LEFT JOIN i$i ON n.node = i$i.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM n),
+         |$rounds
+         |SELECT node, rank_fp FROM r$PrRounds
+         |ORDER BY rank_fp DESC, node LIMIT 25""".stripMargin
+    },
+
+    "q_shipping_priority" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |  ${Num.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey AS big_okey FROM lineitem GROUP BY 1
+         |  HAVING ${Num.sqlDsum("l_quantity")} > 200.0)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  ${Num.sqlDsum("l_quantity")} AS sum_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = big_okey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_suppliers_waiting" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
   )
 }

@@ -32,6 +32,13 @@ object Similarity {
   // literal arrays so each plane dot is one codegen'd LongDot pass.
   private val PLANES = 4
 
+  /** Per-dataset-dir embedding row counts for the q_knn_join scale guard —
+    * one count job per dataset per JVM instead of one per query build.
+    * A dataset dir is immutable in this engine's convention (testdata and
+    * the GCS layout are append-by-new-partition), so staleness is not a
+    * correctness risk for a guard. */
+  private val vecCount = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private def planeLit(p: Int): String =
     (1 to 64).map(j => if ((p + 1) * (j + 3) % 7 < 3) "1L" else "-1L")
       .mkString("array(", ", ", ")")
@@ -283,7 +290,10 @@ object Similarity {
       // unless the caller explicitly raises the bound; the production twin
       // is q_knn_join_ann (LSH candidates, same bounded top-k tail).
       val maxVecs = s.conf.get("graft.knn.exact.maxVecs", "100000").toLong
-      val nVecs = t(s, d, "embeddings").count()
+      // Count cached per dataset dir: the guard runs at query-build time,
+      // and an uncached count() here would add a full table scan (an eager
+      // driver-blocking job) to EVERY build even when the guard passes.
+      val nVecs = vecCount.getOrElseUpdate(d, t(s, d, "embeddings").count())
       require(nVecs <= maxVecs,
         s"q_knn_join is the exact all-pairs kNN baseline: $nVecs vectors " +
           s"exceed the guard ($maxVecs). Use q_knn_join_ann at corpus scale, " +
