@@ -314,6 +314,34 @@ object Multimodal {
 
   final case class ImageHash(id: Long, ahash: Long, dhash: Long)
 
+  final case class AudioHash(id: Long, afp: Long)
+
+  /** 64-bit audio fingerprint per decodable audio row: RMS energy over 65
+    * equal time slices, bit i = sign of the energy GRADIENT slice i → i+1
+    * — [[imageHashes]]' dHash idiom applied in time. Gradient signs are
+    * invariant to uniform gain change (scaling every sample scales every
+    * slice RMS equally) and to resampling (slices are fractions of the
+    * clip, not fixed windows) — the two cheap transforms duplicated audio
+    * actually arrives under. Non-audio rows, undecodable payloads
+    * (mp3/flac — no JDK codec), and clips shorter than 65 samples are
+    * dropped; route those through exact byte dedup. Pure map work. Pairs
+    * come from the same Hamming-banded [[nearDupImagePairs]] join (pass
+    * hashCol = "afp"). */
+  def audioHashes(media: Dataset[Media]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      if (m.kind != "audio") None
+      else decodeAudio(m.bytes).filter(_._2.length >= 65).map {
+        case (sr, samples) =>
+          val e = audioFeatures(sr, samples, 65)
+          var fp = 0L
+          var i = 0
+          while (i < 64) { if (e(i) < e(i + 1)) fp |= 1L << i; i += 1 }
+          AudioHash(m.id, fp)
+      }
+    }
+  }
+
   /** Bilinear-downscale an image to exactly w × h and return its luminance
     * grid (row-major, [0, 1]) — the shared front half of aHash and dHash. */
   private[multimodal] def luminanceGrid(img: java.awt.image.BufferedImage,
@@ -379,8 +407,10 @@ object Multimodal {
     }
   }
 
-  /** Near-duplicate image pairs (id_a < id_b, hamming ≤ maxHamming) by
-    * Hamming-banded self-join over a 64-bit perceptual hash column: the
+  /** Near-duplicate pairs (id_a < id_b, hamming ≤ maxHamming) by
+    * Hamming-banded self-join over ANY 64-bit hash column — image
+    * aHash/dHash or the [[audioHashes]] fingerprint alike; only the
+    * hash's semantics are image-specific, not this join. The
     * hash splits into `maxHamming + 1` bit-slices, and by pigeonhole any
     * pair within the radius agrees EXACTLY on at least one slice — so an
     * equi-join on (band, slice-value) finds every true pair (recall 1,

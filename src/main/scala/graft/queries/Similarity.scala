@@ -48,6 +48,33 @@ object Similarity {
       when(dotL(v, planeLit(p)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Multi-table LSH (q_knn_join_ann_multi): L independent tables of
+    * PLANES sign planes each. Signs are seeded-deterministic (fixed
+    * java.util.Random LCG sequence, spec-stable across JVMs) and shared
+    * VERBATIM between the Spark literals and the generated oracle SQL, so
+    * the two engines can't disagree. Independent draws — unlike extending
+    * the arithmetic formula above, whose (mult mod 7) sign patterns repeat
+    * across plane indices and would correlate the tables' buckets. */
+  private val MtTables = 4
+
+  private lazy val mtSigns: IndexedSeq[IndexedSeq[IndexedSeq[Int]]] = {
+    val rnd = new scala.util.Random(0x5EED)
+    IndexedSeq.fill(MtTables, PLANES, 64)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  private def mtPlaneLit(l: Int, p: Int): String =
+    mtSigns(l)(p).map(s => s"${s}L").mkString("array(", ", ", ")")
+
+  /** Flattened per-table sign list for the oracle: plane p occupies
+    * 1-based positions p*64+1 .. p*64+64. */
+  private def mtSqlLit(l: Int): String =
+    mtSigns(l).flatten.mkString("[", ", ", "]")
+
+  private def mtBucketExpr(v: String, l: Int): org.apache.spark.sql.Column =
+    (0 until PLANES).map { p =>
+      when(dotL(v, mtPlaneLit(l, p)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Shared tail of the exact and ANN kNN self-joins: each unordered
     * scored pair (ida, idb, cos) explodes into its two directed rows —
     * one dot per pair, never per direction — then the bounded typed
@@ -339,6 +366,43 @@ object Similarity {
       val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
       val pairs = a.join(b, col("bka") === col("pb") && col("ida") < col("idb"))
         .select(col("ida"), col("idb"), cos.as("cos"))
+      topKNeighbors(s, pairs, 3)
+    }),
+
+    // MULTI-TABLE LSH kNN join — the recall lever the single-table probe
+    // scheme can't reach: L=4 INDEPENDENT plane sets (seeded-deterministic
+    // ±1 signs, shared verbatim with the oracle as literals), one 4-bit
+    // bucket per table, candidates = pairs sharing a bucket in ANY table.
+    // Standard LSH amplification: a near pair missing one table's bucket
+    // still collides in another (miss rate ε^L instead of ε), which is
+    // what lifts top-k recall to ≥0.8 on clustered (real-corpus-shaped)
+    // vectors — measured in QueriesSpec on a SemDeDup-style fixture.
+    // Execution shape at 100 TB: buckets are computed once per vector
+    // (map-side, codegen'd LongDot per plane); per-table candidate
+    // generation is an EQUI-join on (table, bucket); the union is
+    // deduped on the bare (ida, idb) PAIR KEY while still id-only
+    // (16 bytes/row) so each surviving pair's exact dot is computed ONCE
+    // after a shuffle-by-id vector fetch. Deterministic end-to-end → the
+    // DuckDB oracle replays the same planes and matches bit-for-bit.
+    // More tables or more bits/table tune the recall/cost point without
+    // touching the shape.
+    "q_knn_join_ann_multi" -> ((s, d) => {
+      val iv = (0 until MtTables).foldLeft(intVecs(s, d)) { (df, l) =>
+        df.withColumn(s"bk$l", mtBucketExpr("v", l))
+      }
+      val a = iv.select(col("vec_id").as("ida") +:
+        (0 until MtTables).map(l => col(s"bk$l").as(s"abk$l")): _*)
+      val b = iv.select(col("vec_id").as("idb") +:
+        (0 until MtTables).map(l => col(s"bk$l").as(s"bbk$l")): _*)
+      val cands = (0 until MtTables).map { l =>
+          a.join(b, col(s"abk$l") === col(s"bbk$l") && col("ida") < col("idb"))
+            .select(col("ida"), col("idb"))
+        }.reduce(_ union _).distinct()
+      val va = iv.select(col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
+      val vb = iv.select(col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
+      val pairs = cands.join(va, "ida").join(vb, "idb")
+        .select(col("ida"), col("idb"),
+          cosine(dotL("va", "vb"), col("na"), col("nb")).as("cos"))
       topKNeighbors(s, pairs, 3)
     }),
 
@@ -725,6 +789,42 @@ object Similarity {
          |           FROM bk),
          |cand AS (SELECT a.vec_id AS vec_a, p.vec_id AS vec_b
          |         FROM bk a JOIN probes p ON a.bucket = p.pb AND a.vec_id < p.vec_id),
+         |sc AS (SELECT c.vec_a, c.vec_b,
+         |         SUM(x.v[i] * y.v[i]) AS dot,
+         |         SUM(x.v[i] * x.v[i]) AS na,
+         |         SUM(y.v[i] * y.v[i]) AS nb
+         |       FROM cand c
+         |       JOIN iv x ON x.vec_id = c.vec_a
+         |       JOIN iv y ON y.vec_id = c.vec_b, idx
+         |       GROUP BY c.vec_a, c.vec_b),
+         |cs AS (SELECT vec_a, vec_b,
+         |         CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cos
+         |       FROM sc),
+         |dir AS (SELECT vec_a AS vid, vec_b AS nbr, cos FROM cs
+         |        UNION ALL SELECT vec_b, vec_a, cos FROM cs),
+         |rk AS (SELECT vid, nbr, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nbr ASC) AS rnk
+         |       FROM dir)
+         |SELECT vid AS vec_id, nbr AS nbr_id, cos, rnk
+         |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin,
+
+    // Same plane signs as the Spark side, embedded as literal lists (the
+    // CASE over l picks the table's flattened [plane*64 + dim] list).
+    "q_knn_join_ann_multi" ->
+      s"""WITH $ivCte,
+         |tbl AS (SELECT UNNEST(range(0, $MtTables)) AS l),
+         |pl AS (SELECT UNNEST(range(0, ${PLANES})) AS p),
+         |dots AS (SELECT iv.vec_id, l, p,
+         |           SUM(iv.v[i] * list_extract(CASE l
+         |             ${(0 until MtTables).map(l => s"WHEN $l THEN ${mtSqlLit(l)}").mkString(" ")}
+         |             END, p*64 + i)) AS dp
+         |         FROM iv, tbl, pl, idx GROUP BY iv.vec_id, l, p),
+         |bk AS (SELECT vec_id, l,
+         |         CAST(SUM(CASE WHEN dp >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM dots GROUP BY vec_id, l),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bk a JOIN bk b
+         |           ON a.l = b.l AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |sc AS (SELECT c.vec_a, c.vec_b,
          |         SUM(x.v[i] * y.v[i]) AS dot,
          |         SUM(x.v[i] * x.v[i]) AS na,

@@ -30,6 +30,29 @@ object Sources {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-version schema evolution through the convention (the
+    // `version=V` directory IS a schema version, gcs.py:58-67): half the
+    // corpus written under v1 with the ORIGINAL two-column schema, the
+    // other half under v2 with two ADDED columns, then read back through
+    // [[DatasetConvention.readVersions]] — per-version schema inference,
+    // name-aligned union, v1 rows carrying NULL for the columns their
+    // schema predates. The oracle reproduces exactly that null pattern.
+    "q_dataset_versions" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-dsv").toString
+      val docs = t(s, d, "documents")
+      DatasetConvention.append(
+        docs.filter(col("n_chars") % 2 === 0).select(col("doc_id"), col("text")),
+        base, "docs", version = 1, ts = Instant.parse("2024-01-15T00:00:00Z"))
+      DatasetConvention.append(
+        docs.filter(col("n_chars") % 2 =!= 0)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars")),
+        base, "docs", version = 2, ts = Instant.parse("2024-02-20T00:00:00Z"))
+      DatasetConvention.readVersions(s, base, "docs")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("version"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batch tumbling window over event time — the exact aggregation
     // EventsStream.windowedCounts runs incrementally; here verifiable
     // against DuckDB's date_trunc.
@@ -201,6 +224,37 @@ object Sources {
         .orderBy(col("event_type"), col("win_start"))
     }),
 
+    // LOCF (last-observation-carried-forward) resampling — the gap-fill
+    // rule time-series consumers usually want instead of q_resample's
+    // zeros: an hour with no events repeats the last OBSERVED hourly
+    // sum for its type; hours before a type's first observation stay
+    // NULL (nothing to carry). Same one-corpus-pass scaffold as
+    // q_resample; the carry itself is one `last(_, ignoreNulls)` window
+    // over the dense grid — the q_asof_join window-carry idiom — so the
+    // only added shuffle is the grid-sized (types × hours, model-sized)
+    // partition-by-type sort, never a second corpus pass.
+    "q_resample_locf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+      val agg = e.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hours = agg.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val types = agg.select(col("event_type")).distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("win_start"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hours.crossJoin(types)
+        .join(agg, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h").as("win_start"),
+          coalesce(col("n"), lit(0L)).as("n"), col("sum_value"))
+        .withColumn("locf_value", last(col("sum_value"), ignoreNulls = true).over(w))
+        .drop("sum_value")
+        .orderBy(col("event_type"), col("win_start"))
+    }),
+
     // Z-score outlier flagging per event type — the metric-anomaly scrub
     // a pipeline runs before trusting ingest volumes. Mean/std come from
     // the SAME decimal moment factorization as q_agg_stats (one map-side-
@@ -262,6 +316,16 @@ object Sources {
     // Round-trip is identity over the source table.
     "q_dataset_roundtrip" ->
       "SELECT doc_id, text, n_chars FROM documents ORDER BY doc_id",
+
+    // v1 rows predate lang/n_chars → NULL; v2 rows carry them.
+    "q_dataset_versions" ->
+      """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang,
+        |  CAST(NULL AS BIGINT) AS n_chars, 1 AS version
+        |FROM documents WHERE n_chars % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, text, lang, n_chars, 2 AS version
+        |FROM documents WHERE n_chars % 2 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_tumbling_window" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
@@ -399,6 +463,29 @@ object Sources {
          |FROM hours CROSS JOIN ty
          |LEFT JOIN agg ON agg.event_type = ty.event_type AND agg.h = hours.h
          |ORDER BY 1, 2""".stripMargin,
+
+    // Same grid as q_resample; the carry is IGNORE NULLS last_value over
+    // the per-type ordered grid — identical unbounded-preceding frame.
+    "q_resample_locf" ->
+      s"""WITH e AS (SELECT event_type,
+         |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+         |           FROM events),
+         |agg AS (SELECT event_type, h, COUNT(*) AS n,
+         |          ${Num.sqlDsum("value")} AS sum_value
+         |        FROM e GROUP BY 1, 2),
+         |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+         |hours AS (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |          FROM b),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |grid AS (SELECT ty.event_type, hours.h AS win_start,
+         |           COALESCE(n, 0) AS n, sum_value
+         |         FROM hours CROSS JOIN ty
+         |         LEFT JOIN agg ON agg.event_type = ty.event_type AND agg.h = hours.h)
+         |SELECT event_type, win_start, n,
+         |  last_value(sum_value IGNORE NULLS) OVER (
+         |    PARTITION BY event_type ORDER BY win_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+         |FROM grid ORDER BY 1, 2""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
     "q_outlier_zscore" ->

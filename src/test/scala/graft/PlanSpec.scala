@@ -344,6 +344,49 @@ class PlanSpec extends SparkSpec {
     assert(reads.forall(r => !r.contains("props") && !r.contains("user_id")), reads)
   }
 
+  test("q_shipping_priority pushes all three dimension filters and collapses the top-10") {
+    val p = plan("q_shipping_priority")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // selection reaches the scans: segment equality and both date bounds
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate") && p.contains("GreaterThan(l_shipdate"), p)
+    // top-10 is a TakeOrdered, not a global sort of the aggregate
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_large_orders prunes orders through a LEFT SEMI before the wide joins") {
+    val p = plan("q_large_orders")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the quantity scan needs exactly its two columns
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(r => r.contains("l_orderkey") && r.contains("l_quantity")
+      && !r.contains("l_extendedprice")), reads)
+  }
+
+  test("q_suppliers_waiting keeps the EXISTS/NOT EXISTS chain as semi/anti equi-joins") {
+    val p = plan("q_suppliers_waiting")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    // the nation dimension restricts supplier via a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_knn_join_ann_multi unions per-table bucket equi-joins — no BNLJ, native dot") {
+    val p = plan("q_knn_join_ann_multi")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_long_dot"), p)
+  }
+
+  test("q_resample_locf adds only the grid-sized window to q_resample's shape") {
+    val p = plan("q_resample_locf")
+    assert(p.contains("LeftOuter"), p)
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3, p)
+    // the LOCF carry is a window over the dense grid, not a second join
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
   test("q_unicode_clean runs the native NFC expression in-plan, reading two columns") {
     val p = plan("q_unicode_clean")
     // the expression itself (not a UDF wrapper) sits in the projection —

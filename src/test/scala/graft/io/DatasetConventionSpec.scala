@@ -93,6 +93,31 @@ class DatasetConventionSpec extends SparkSpec {
     assert(read(spark, base, "markers", latestOnly = true).count() == 0)
   }
 
+  test("readVersions: per-version inference, name-aligned union, NULLs for pre-schema columns") {
+    import spark.implicits._
+    val base = tmpDir("dsver")
+    append(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), base, "ds", 1, frozen)
+    append(Seq((3L, "z", 10L)).toDF("id", "v", "extra"),
+      base, "ds", 2, Instant.parse("2023-06-07T00:00:00Z"))
+
+    val df = readVersions(spark, base, "ds")
+    assert(df.columns.toSet ==
+      Set("id", "v", "extra", "version", "year", "month", "day"))
+    val rows = df.select("id", "v", "extra", "version").orderBy("id")
+      .as[(Long, String, Option[Long], Int)].collect().toSeq
+    assert(rows == Seq((1L, "x", None, 1), (2L, "y", None, 1),
+      (3L, "z", Some(10L), 2)))
+    // a version filter on the union prunes to that version's rows
+    assert(readVersions(spark, base, "ds")
+      .filter(col("version") === 2).count() == 1)
+  }
+
+  test("readVersions of a missing dataset is the convention-empty frame") {
+    val df = readVersions(spark, tmpDir("dsver-none"), "nope")
+    assert(df.isEmpty &&
+      df.columns.toSeq == Seq("version", "year", "month", "day"))
+  }
+
   test("version miss on a POPULATED dataset keeps the data schema (zero rows)") {
     import spark.implicits._
     val base = tmpDir("dsmiss")

@@ -239,6 +239,70 @@ class MultimodalSpec extends SparkSpec {
     hashes.unpersist()
   }
 
+  /** WAV of 65 constant-amplitude 440 Hz segments (200 samples each) —
+    * each fingerprint time slice maps to exactly one segment, so the
+    * energy-gradient bits are the amplitude-difference signs. */
+  private def segWav(amps: Seq[Double], gain: Double = 1.0): Array[Byte] = {
+    val perSeg = 200
+    val sampleRate = 8000
+    val n = amps.length * perSeg
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * 440 * i / sampleRate) *
+        amps(i / perSeg) * gain * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioHashes: gain-invariant energy-gradient fingerprint; banded join finds audio near-dups") {
+    val rnd = new scala.util.Random(11)
+    val ampsA = Seq.fill(65)(0.1 + 0.8 * rnd.nextDouble())
+    val ampsB = Seq.fill(65)(0.1 + 0.8 * rnd.nextDouble()) // unrelated clip
+    // a lightly edited copy: swap two adjacent segment pairs — each swap
+    // reverses that boundary's gradient sign, so ham >= 2 by construction
+    val ampsA2 = ampsA
+      .updated(10, ampsA(11)).updated(11, ampsA(10))
+      .updated(40, ampsA(41)).updated(41, ampsA(40))
+    val media = Seq(
+      Media(1, "audio", segWav(ampsA), MediaMeta(None, None, Some(8000))),
+      Media(2, "audio", segWav(ampsA, gain = 0.5), MediaMeta(None, None, Some(8000))),
+      Media(3, "audio", segWav(ampsA2), MediaMeta(None, None, Some(8000))),
+      Media(4, "audio", segWav(ampsB), MediaMeta(None, None, Some(8000))),
+      Media(5, "audio", "not-audio".getBytes, MediaMeta(None, None, None)),
+      Media(6, "image", "not-audio-either".getBytes, MediaMeta(None, None, None))).toDS()
+    val fps = audioHashes(media).collect().map(h => h.id -> h.afp).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L, 4L)) // undecodable / non-audio dropped
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // uniform gain change: every slice RMS scales equally → same signs
+    // (≤ 2 bits of 16-bit quantization slack on near-tied neighbors)
+    assert(ham(fps(1L), fps(2L)) <= 2, s"gain copy drifted ${ham(fps(1L), fps(2L))} bits")
+    // two swapped boundaries flip their gradient bits and at most the
+    // four neighboring ones
+    assert(ham(fps(1L), fps(3L)) <= 6 && ham(fps(1L), fps(3L)) >= 2)
+    // an unrelated clip is far away
+    assert(ham(fps(1L), fps(4L)) > 10)
+    // deterministic across partitionings
+    val again = audioHashes(media.repartition(4)).collect().map(h => h.id -> h.afp).toMap
+    assert(fps == again)
+    // the SAME Hamming-banded join serves audio: brute-force ground truth
+    val pairs = nearDupImagePairs(audioHashes(media).toDF(), "afp", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      a <- fps.keys; b <- fps.keys if a < b && ham(fps(a), fps(b)) <= 6
+    } yield (a, b)).toSet
+    assert(pairs == want, s"got=$pairs want=$want")
+    assert(want.contains((1L, 2L)) && want.contains((1L, 3L)) && !want.exists
+      { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("property: Hamming banding has recall 1 at every radius 0..7, incl. negative hashes") {
     // synthetic 64-bit hashes, sign bit exercised (the top slice keeps the
     // remainder bits and sign-extends — both sides must agree)
