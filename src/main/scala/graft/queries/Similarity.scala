@@ -430,6 +430,33 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Multi-table LSH near-dup — q_embed_neardup_lsh's recall lever, same
+    // L=4 independent tables as q_knn_join_ann_multi: candidates = pairs
+    // sharing a bucket in ANY table (deduped on the pair key while
+    // id-only), exact cos ≥ 0.4 rerank — so emitted pairs are always TRUE
+    // near-dups and only recall varies with the table count. Measured in
+    // QueriesSpec on the clustered fixture alongside the kNN variant.
+    "q_embed_neardup_lsh_multi" -> ((s, d) => {
+      val iv = (0 until MtTables).foldLeft(intVecs(s, d)) { (df, l) =>
+        df.withColumn(s"bk$l", mtBucketExpr("v", l))
+      }
+      val a = iv.select(col("vec_id").as("vec_a") +:
+        (0 until MtTables).map(l => col(s"bk$l").as(s"abk$l")): _*)
+      val b = iv.select(col("vec_id").as("vec_b") +:
+        (0 until MtTables).map(l => col(s"bk$l").as(s"bbk$l")): _*)
+      val cands = (0 until MtTables).map { l =>
+          a.join(b, col(s"abk$l") === col(s"bbk$l") && col("vec_a") < col("vec_b"))
+            .select(col("vec_a"), col("vec_b"))
+        }.reduce(_ union _).distinct()
+      val va = iv.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na"))
+      val vb = iv.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb"))
+      cands.join(va, "vec_a").join(vb, "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          cosine(dotL("va", "vb"), col("na"), col("nb")).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // SEMANTIC dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
     // embedding space, then near-dup prune WITHIN clusters only — drop
     // vector b iff some lower-id vector in b's cluster has cos ≥ τ. The
@@ -539,6 +566,37 @@ object Similarity {
       else if (sumsAtLast) Seq(asg, sums).mkString(",\n")
       else asg
     }.mkString(",\n")
+
+  /** Multi-table LSH oracle chain (q_knn_join_ann_multi /
+    * q_embed_neardup_lsh_multi): per-(table, plane) sign dots → 4-bit
+    * bucket per table → DISTINCT candidate pairs sharing any table's
+    * bucket → exact integer dot/norms → `cs(vec_a, vec_b, cos)`. */
+  private lazy val mtCtes =
+    s"""$ivCte,
+       |tbl AS (SELECT UNNEST(range(0, $MtTables)) AS l),
+       |pl AS (SELECT UNNEST(range(0, ${PLANES})) AS p),
+       |dots AS (SELECT iv.vec_id, l, p,
+       |           SUM(iv.v[i] * list_extract(CASE l
+       |             ${(0 until MtTables).map(l => s"WHEN $l THEN ${mtSqlLit(l)}").mkString(" ")}
+       |             END, p*64 + i)) AS dp
+       |         FROM iv, tbl, pl, idx GROUP BY iv.vec_id, l, p),
+       |bk AS (SELECT vec_id, l,
+       |         CAST(SUM(CASE WHEN dp >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM dots GROUP BY vec_id, l),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bk a JOIN bk b
+       |           ON a.l = b.l AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |sc AS (SELECT c.vec_a, c.vec_b,
+       |         SUM(x.v[i] * y.v[i]) AS dot,
+       |         SUM(x.v[i] * x.v[i]) AS na,
+       |         SUM(y.v[i] * y.v[i]) AS nb
+       |       FROM cand c
+       |       JOIN iv x ON x.vec_id = c.vec_a
+       |       JOIN iv y ON y.vec_id = c.vec_b, idx
+       |       GROUP BY c.vec_a, c.vec_b),
+       |cs AS (SELECT vec_a, vec_b,
+       |         CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cos
+       |       FROM sc)""".stripMargin
 
   // Shared oracle scaffolding: scaled int vectors, index table 1..64.
   private val ivCte =
@@ -809,33 +867,10 @@ object Similarity {
          |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin,
 
     // Same plane signs as the Spark side, embedded as literal lists (the
-    // CASE over l picks the table's flattened [plane*64 + dim] list).
+    // CASE over l picks the table's flattened [plane*64 + dim] list);
+    // chain shared with q_embed_neardup_lsh_multi via mtCtes.
     "q_knn_join_ann_multi" ->
-      s"""WITH $ivCte,
-         |tbl AS (SELECT UNNEST(range(0, $MtTables)) AS l),
-         |pl AS (SELECT UNNEST(range(0, ${PLANES})) AS p),
-         |dots AS (SELECT iv.vec_id, l, p,
-         |           SUM(iv.v[i] * list_extract(CASE l
-         |             ${(0 until MtTables).map(l => s"WHEN $l THEN ${mtSqlLit(l)}").mkString(" ")}
-         |             END, p*64 + i)) AS dp
-         |         FROM iv, tbl, pl, idx GROUP BY iv.vec_id, l, p),
-         |bk AS (SELECT vec_id, l,
-         |         CAST(SUM(CASE WHEN dp >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-         |       FROM dots GROUP BY vec_id, l),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM bk a JOIN bk b
-         |           ON a.l = b.l AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |sc AS (SELECT c.vec_a, c.vec_b,
-         |         SUM(x.v[i] * y.v[i]) AS dot,
-         |         SUM(x.v[i] * x.v[i]) AS na,
-         |         SUM(y.v[i] * y.v[i]) AS nb
-         |       FROM cand c
-         |       JOIN iv x ON x.vec_id = c.vec_a
-         |       JOIN iv y ON y.vec_id = c.vec_b, idx
-         |       GROUP BY c.vec_a, c.vec_b),
-         |cs AS (SELECT vec_a, vec_b,
-         |         CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cos
-         |       FROM sc),
+      s"""WITH $mtCtes,
          |dir AS (SELECT vec_a AS vid, vec_b AS nbr, cos FROM cs
          |        UNION ALL SELECT vec_b, vec_a, cos FROM cs),
          |rk AS (SELECT vid, nbr, cos,
@@ -843,6 +878,11 @@ object Similarity {
          |       FROM dir)
          |SELECT vid AS vec_id, nbr AS nbr_id, cos, rnk
          |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin,
+
+    "q_embed_neardup_lsh_multi" ->
+      s"""WITH $mtCtes
+         |SELECT vec_a, vec_b, cos FROM cs
+         |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_embed_neardup" ->
       s"""WITH $ivCte,

@@ -123,6 +123,20 @@ class QueriesSpec extends SparkSpec {
       single.getOrElse(v, Set.empty).intersect(ens).size
     }.sum
     info(f"single-table (multi-probe) recall on the same fixture: ${sHits.toDouble / denom}%.2f")
+
+    // near-dup twin on the same fixture: multi-table candidates, exact
+    // cos >= 0.4 rerank — emitted pairs must all be true near-dups
+    // (precision 1 by construction), recall >= 0.8 vs the exact join
+    val exactPairs = SparkEntry.queries("q_embed_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multiPairs = SparkEntry.queries("q_embed_neardup_lsh_multi")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multiPairs.subsetOf(exactPairs),
+      s"multi-table rerank emitted non-pairs: ${multiPairs.diff(exactPairs)}")
+    val ndRecall =
+      if (exactPairs.isEmpty) 1.0 else multiPairs.size.toDouble / exactPairs.size
+    info(f"multi-table near-dup recall at cos>=0.4 on clustered vectors: $ndRecall%.2f")
+    assert(ndRecall >= 0.8, f"multi-table near-dup recall $ndRecall%.2f below the 0.8 bar")
   }
 
   test("q_knn_join guard refuses corpus-scale input until explicitly raised") {
