@@ -75,6 +75,23 @@ object Similarity {
       when(dotL(v, mtPlaneLit(l, p)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The narrow (vec_id, l, bucket) relation behind both multi-table LSH
+    * queries: all L×PLANES plane dots happen in ONE map pass over the
+    * scan, then explode to one row per (vector, table) — so the per-table
+    * candidate generation collapses to a single self-equi-join on
+    * (l, bucket) instead of L separate joins each rescanning the corpus.
+    * At 100 TB this is the difference between 2 scans and 2·L of them;
+    * at real corpus scale you'd persist this table (it is the LSH index —
+    * 3 longs/row·L) and bucket-partition it at ingest. */
+  private def mtBucketTable(s: SparkSession, d: String): DataFrame = {
+    val iv = (0 until MtTables).foldLeft(intVecs(s, d)) { (df, l) =>
+      df.withColumn(s"bk$l", mtBucketExpr("v", l))
+    }
+    iv.select(col("vec_id"), explode(array((0 until MtTables).map(l =>
+        struct(lit(l).as("l"), col(s"bk$l").as("bucket"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.l").as("l"), col("x.bucket").as("bucket"))
+  }
+
   /** Shared tail of the exact and ANN kNN self-joins: each unordered
     * scored pair (ida, idb, cos) explodes into its two directed rows —
     * one dot per pair, never per direction — then the bounded typed
@@ -387,17 +404,13 @@ object Similarity {
     // More tables or more bits/table tune the recall/cost point without
     // touching the shape.
     "q_knn_join_ann_multi" -> ((s, d) => {
-      val iv = (0 until MtTables).foldLeft(intVecs(s, d)) { (df, l) =>
-        df.withColumn(s"bk$l", mtBucketExpr("v", l))
-      }
-      val a = iv.select(col("vec_id").as("ida") +:
-        (0 until MtTables).map(l => col(s"bk$l").as(s"abk$l")): _*)
-      val b = iv.select(col("vec_id").as("idb") +:
-        (0 until MtTables).map(l => col(s"bk$l").as(s"bbk$l")): _*)
-      val cands = (0 until MtTables).map { l =>
-          a.join(b, col(s"abk$l") === col(s"bbk$l") && col("ida") < col("idb"))
-            .select(col("ida"), col("idb"))
-        }.reduce(_ union _).distinct()
+      val bk = mtBucketTable(s, d)
+      val cands = bk.select(col("vec_id").as("ida"), col("l"), col("bucket"))
+        .join(bk.select(col("vec_id").as("idb"), col("l"), col("bucket")),
+          Seq("l", "bucket"))
+        .filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb")).distinct()
+      val iv = intVecs(s, d)
       val va = iv.select(col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
       val vb = iv.select(col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
       val pairs = cands.join(va, "ida").join(vb, "idb")
@@ -437,17 +450,13 @@ object Similarity {
     // near-dups and only recall varies with the table count. Measured in
     // QueriesSpec on the clustered fixture alongside the kNN variant.
     "q_embed_neardup_lsh_multi" -> ((s, d) => {
-      val iv = (0 until MtTables).foldLeft(intVecs(s, d)) { (df, l) =>
-        df.withColumn(s"bk$l", mtBucketExpr("v", l))
-      }
-      val a = iv.select(col("vec_id").as("vec_a") +:
-        (0 until MtTables).map(l => col(s"bk$l").as(s"abk$l")): _*)
-      val b = iv.select(col("vec_id").as("vec_b") +:
-        (0 until MtTables).map(l => col(s"bk$l").as(s"bbk$l")): _*)
-      val cands = (0 until MtTables).map { l =>
-          a.join(b, col(s"abk$l") === col(s"bbk$l") && col("vec_a") < col("vec_b"))
-            .select(col("vec_a"), col("vec_b"))
-        }.reduce(_ union _).distinct()
+      val bk = mtBucketTable(s, d)
+      val cands = bk.select(col("vec_id").as("vec_a"), col("l"), col("bucket"))
+        .join(bk.select(col("vec_id").as("vec_b"), col("l"), col("bucket")),
+          Seq("l", "bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b")).distinct()
+      val iv = intVecs(s, d)
       val va = iv.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na"))
       val vb = iv.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb"))
       cands.join(va, "vec_a").join(vb, "vec_b")
