@@ -15,8 +15,9 @@ import org.apache.spark.storage.StorageLevel
   * and any partition order.
   *
   * Per-round shape (each shuffle key-bounded, nothing quadratic):
-  *   - contributions: edges ⋈ out-degrees ⋈ ranks on `src` (fanout = edge
-  *     count), integer `rank div deg` per edge;
+  *   - contributions: degree-widened edges ⋈ ranks on `src` (fanout =
+  *     edge count; out-degrees are joined into the edge relation ONCE
+  *     before the loop), integer `rank div deg` per edge;
   *   - inflow: one dst-keyed integer sum (map-side combined);
   *   - next ranks: node table LEFT JOIN inflow — nodes without inflow
   *     (sources) settle at the teleport mass 150000 after round 1.
@@ -87,15 +88,22 @@ object PageRank {
         math.max(1L, math.min(sessionParts.toLong, nEdges / 100000L + 1L)).toInt
       loopS.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
       loopS.conf.set("spark.sql.adaptive.enabled", "false")
-      // Edges pre-partitioned on the join key (src) once — every round's
-      // contribution join reuses the layout; out-degrees likewise computed
-      // once, node-sized, cached beside them.
-      edges = loopS.createDataFrame(pairs.rdd, pairs.schema)
+      // Edges pre-partitioned on the join key (src) once, then WIDENED by
+      // their out-degree once — the (src, dst, deg) relation every round's
+      // contribution join probes. Joining deg inside the loop instead
+      // would repeat that node-sized join every round; hoisted here it is
+      // paid once, and the per-round work drops to rank-join + two
+      // aggregates. 8 bytes/row wider than the bare edge list — free at
+      // any scale next to a per-round shuffle.
+      val bare = loopS.createDataFrame(pairs.rdd, pairs.schema)
         .repartition(loopParts, col("src"))
         .persist(StorageLevel.DISK_ONLY)
-      deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      deg = bare.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      edges = bare.join(deg, "src")
+        .repartition(loopParts, col("src"))
         .persist(StorageLevel.DISK_ONLY)
-      deg.count() // deg + edges materialized; the input handle is dead weight
+      edges.count() // edges-with-deg materialized; feeder handles are dead weight
+      bare.unpersist(blocking = false)
       pairs.unpersist(blocking = false)
       val (ranks0, rdd0) = truncate(
         edges.select(col("src").as("node"))
@@ -107,7 +115,7 @@ object PageRank {
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
-        val contrib = edges.join(deg, "src")
+        val contrib = edges
           .join(ranks, col("src") === col("node"))
           .select(col("dst"), expr("rank_fp div deg").as("w"))
           .groupBy(col("dst")).agg(sum(col("w")).as("inflow"))
