@@ -12,6 +12,7 @@ object SparkEntry {
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracleSql),
+      (graft.queries.Shapes.queries, graft.queries.Shapes.oracleSql),
       (graft.queries.Sources.queries, graft.queries.Sources.oracleSql),
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracleSql),
       (graft.queries.Dedup.queries, graft.queries.Dedup.oracleSql),

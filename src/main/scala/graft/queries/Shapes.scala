@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Num, Tables}
+
+/** Wide multi-join TPC-H query shapes beyond Q1/Q3/Q5/Q18/Q21.
+  *
+  * The reference's contract is arbitrary delegated SQL (reference:
+  * bq.py:149-163, bq.py:219-234), so classic decision-support shapes —
+  * outer-join count distributions, max-over-aggregate ties, correlated
+  * scalar subqueries, scalar-cutoff anti-joins, multi-dimension volume
+  * cubes — are part of its surface. Each is re-expressed Spark-first here:
+  * correlated subqueries become aggregate-then-join, scalar subqueries
+  * become broadcast 1-row frames, EXISTS chains become semi/anti joins,
+  * and every pre-aggregation is placed BEFORE the join it feeds so the
+  * big shuffles run on already-reduced inputs.
+  */
+object Shapes {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q13 shape: how many customers placed 0, 1, 2, … orders. The
+    // naive plan joins raw orders to customer and counts after the join;
+    // here orders are pre-aggregated to one (custkey, n) row FIRST — the
+    // only corpus-sized shuffle is the map-side-combined count on
+    // o_custkey, the outer join then carries one row per customer, and
+    // the final distribution aggregate is model-sized (distinct counts).
+    // At 100 TB the join input is |customers|, never |orders|.
+    "q_order_count_dist" -> ((s, d) => {
+      val perCust = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape: supplier(s) achieving the maximum 3-month revenue —
+    // max-over-aggregated-view with exact tie semantics. Revenue per
+    // supplier is one partial+final aggregate over the date-pruned scan;
+    // the global max is a 1-row aggregate broadcast back (no second scan
+    // of the fact), and the equality cut runs on [[Num.dsum]] values so
+    // the tie comparison is exact in both engines. The surviving row set
+    // (usually 1) is broadcast into the supplier dim join.
+    "q_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      val top = rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .select(col("l_suppkey"), col("total_revenue"))
+      t(s, d, "supplier")
+        .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q17 shape: revenue lost to small-quantity orders — the
+    // correlated scalar subquery `l_quantity < 0.2 * (SELECT AVG(...)
+    // WHERE l2.l_partkey = p_partkey)` decorrelated into a per-part
+    // average aggregate joined back. The brand cut runs FIRST as a
+    // broadcast semi-restriction of the fact, so both the average and
+    // the final sum touch only the brand's lineitems (~1/25 of the
+    // fact); the avg is [[Num.davg]] (exact decimal sum / count) so the
+    // threshold compare is bit-identical cross-engine.
+    "q_small_qty_revenue" -> ((s, d) => {
+      val pk = t(s, d, "part").filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      val avgQ = li.groupBy(col("p_partkey").as("ak"))
+        .agg(Num.davg(col("l_quantity")).as("avg_q"))
+      li.join(avgQ, col("l_partkey") === col("ak"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
+        .agg((Num.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // TPC-H Q22 shape: high-balance customers gone quiet. The scalar
+    // subquery (average positive balance) is a 1-row aggregate broadcast
+    // into the filter; "quiet" is a LEFT ANTI join against the
+    // date-pruned, pre-distinct recent-buyer keys (distinct BEFORE the
+    // anti join: the shuffle carries unique keys, not raw orders). The
+    // final per-nation rollup is model-sized.
+    "q_inactive_customers" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val cutoff = cust.filter(col("c_acctbal") > 0.0)
+        .agg(Num.davg(col("c_acctbal")).as("cut"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+        .select(col("o_custkey")).distinct()
+      cust.join(broadcast(cutoff)).filter(col("c_acctbal") > col("cut"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          Num.dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    }),
+
+    // TPC-H Q7 shape: cross-nation trade volume by year, both directions
+    // of one nation pair. The nation restriction is applied to the
+    // supplier and customer dims FIRST via broadcast joins (map-side, no
+    // shuffle), so the two fact shuffles — lineitem⋈orders on orderkey,
+    // then ⋈customer on custkey — run against already-2/25-pruned dims;
+    // the asymmetry filter sn≠cn is a residual predicate, never a
+    // cartesian. Yearly rollup is exact decimal revenue.
+    "q_nation_volume" -> ((s, d) => {
+      val pair = t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_18", "NATION_19"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(pair), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cus = t(s, d, "customer")
+        .join(broadcast(pair.select(col("n_nationkey").as("nk2"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("nk2"))
+        .select(col("c_custkey"), col("cust_nation"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(Num.dsum(col("rev")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_order_count_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${Num.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_small_qty_revenue" ->
+      s"""SELECT ${Num.sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#1'
+         |  AND l_quantity < (
+         |    SELECT 0.2 * ${Num.sqlDavg("l2.l_quantity")}
+         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_inactive_customers" ->
+      s"""WITH cutoff AS (
+         |  SELECT ${Num.sqlDavg("c_acctbal")} AS cut
+         |  FROM customer WHERE c_acctbal > 0.0)
+         |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+         |  ${Num.sqlDsum("c_acctbal")} AS totacctbal
+         |FROM customer, cutoff
+         |WHERE c_acctbal > cut
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         |  ${Num.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+         |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+         |  AND n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  )
+}

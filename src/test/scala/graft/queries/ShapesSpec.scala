@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Semantics + scale-plan pins for the TPC-H-derived shapes (Shapes.scala)
+  * at sf0.001. Value-level correctness is the DuckDB oracle's job; these
+  * tests pin the invariants a refactor could silently lose. */
+class ShapesSpec extends SparkSpec {
+
+  private def run(q: String) = SparkEntry.queries(q)(spark, sf)
+  private def plan(q: String): String =
+    run(q).queryExecution.executedPlan.toString
+
+  test("q_order_count_dist covers every customer exactly once") {
+    val rows = run("q_order_count_dist").collect()
+    val customers = graft.Tables.load(spark, sf, "customer").count()
+    assert(rows.map(_.getLong(1)).sum === customers)
+    // distribution buckets are unique
+    val buckets = rows.map(_.getLong(0))
+    assert(buckets.distinct.length === buckets.length)
+  }
+
+  test("q_order_count_dist pre-aggregates orders before the outer join") {
+    // the join must consume the aggregated per-customer counts, not raw
+    // orders: in the optimized logical plan an Aggregate sits BELOW the
+    // outer join (Catalyst cannot introduce one there itself)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = run("q_order_count_dist").queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty, lp.toString)
+    assert(joins.forall(_.collect { case a: Aggregate => a }.nonEmpty),
+      "orders not pre-aggregated below the join:\n" + lp)
+  }
+
+  test("q_top_supplier returns the argmax supplier(s) with exact revenue") {
+    val rows = run("q_top_supplier").collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length === 1, "tie rows must share the max revenue")
+  }
+
+  test("q_small_qty_revenue yields one aggregate row") {
+    val rows = run("q_small_qty_revenue").collect()
+    assert(rows.length === 1)
+    assert(!rows.head.isNullAt(0) && rows.head.getDouble(0) > 0.0)
+  }
+
+  test("q_inactive_customers: every reported customer is above the cutoff") {
+    val total = run("q_inactive_customers").collect().map(_.getLong(1)).sum
+    assert(total > 0)
+    // no customer with a recent order may appear: recompute the quiet set
+    import org.apache.spark.sql.functions._
+    val cust = graft.Tables.load(spark, sf, "customer")
+    val recent = graft.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+      .select(col("o_custkey")).distinct()
+    val cut = cust.filter(col("c_acctbal") > 0.0)
+      .agg(graft.Num.davg(col("c_acctbal"))).head.getDouble(0)
+    val expected = cust.filter(col("c_acctbal") > cut)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(total === expected)
+  }
+
+  test("q_nation_volume restricts both dims via broadcast, no cartesian") {
+    val p = plan("q_nation_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_nation_volume rows pair the two nations asymmetrically") {
+    val rows = run("q_nation_volume").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0) != r.getString(1)))
+    assert(rows.forall(r => Set("NATION_18", "NATION_19")(r.getString(0))))
+  }
+
+  test("q_top_supplier prunes the lineitem scan to the 3-month window") {
+    val p = plan("q_top_supplier")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+}
