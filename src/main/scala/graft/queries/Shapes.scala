@@ -103,6 +103,79 @@ object Shapes {
         .orderBy(col("cntrycode"))
     }),
 
+    // TPC-H Q8 shape: one nation's share of a market, by year — the
+    // conditional-sum-over-sum ratio pattern. All three dims (part type
+    // cut, supplier→nation name, customer→ASIA region) are broadcast
+    // restrictions applied BEFORE the fact-fact shuffle on o_orderkey;
+    // numerator and denominator are both [[Num.dsum]]-exact, so the final
+    // double division is bit-identical cross-engine.
+    "q_market_share" -> ((s, d) => {
+      val pk = t(s, d, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val asiaCust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")
+          .join(broadcast(t(s, d, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("ck"))),
+          col("c_nationkey") === col("ck"))
+        .select(col("c_custkey"))
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("supp_nation"), rev)
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((Num.dsum(when(col("supp_nation") === "NATION_5", col("rev"))
+          .otherwise(lit(0.0))) / Num.dsum(col("rev"))).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q14 shape: promo revenue percentage within one shipping month
+    // — conditional aggregate over a date-pruned scan. The month predicate
+    // reaches the parquet scan (min/max pruning), the part-type flag rides
+    // a broadcast join, and one partial+final aggregate produces both
+    // sums; no second pass.
+    "q_promo_share" -> ((s, d) => {
+      val pt = t(s, d, "part").select(col("p_partkey"), col("p_type"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-02-01")))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * Num.dsum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0.0))) / Num.dsum(col("rev"))).as("promo_share"))
+    }),
+
+    // TPC-H Q11 shape: parts whose total traded value exceeds a fraction
+    // of the global total — the HAVING-against-scalar-subquery pattern.
+    // Per-part values are one map-side-combined aggregate; the global
+    // total and part count come from a 1-row re-aggregate of that
+    // model-sized result (never a second fact scan), broadcast into the
+    // filter. Threshold = 1.25× the average part share, so the cut is
+    // data-relative and survives any scale factor.
+    "q_part_contribution" -> ((s, d) => {
+      val pv = t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(Num.dsum(col("l_extendedprice")).as("value"))
+      val tot = pv.agg(Num.dsum(col("value")).as("tot"),
+        count(lit(1)).as("n"))
+      pv.join(broadcast(tot))
+        .filter(col("value") > lit(1.25) * col("tot") / col("n"))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
     // TPC-H Q7 shape: cross-nation trade volume by year, both directions
     // of one nation pair. The nation restriction is applied to the
     // supplier and customer dims FIRST via broadcast joins (map-side, no
@@ -177,6 +250,38 @@ object Shapes {
          |                  WHERE o_custkey = c_custkey
          |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_market_share" ->
+      s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         |  ${Num.sqlDsum("CASE WHEN n1.n_name = 'NATION_5' " +
+            "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+         |  ${Num.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_promo_share" ->
+      s"""SELECT 100.0 * ${Num.sqlDsum("CASE WHEN p_type = 'PROMO' " +
+            "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+         |  ${Num.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-02-01'""".stripMargin,
+
+    "q_part_contribution" ->
+      s"""WITH pv AS (
+         |  SELECT l_partkey, ${Num.sqlDsum("l_extendedprice")} AS value
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT ${Num.sqlDsum("value")} AS tot, COUNT(*) AS n FROM pv)
+         |SELECT l_partkey, value FROM pv, t
+         |WHERE value > 1.25 * tot / n
+         |ORDER BY value DESC, l_partkey""".stripMargin,
 
     "q_nation_volume" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -75,6 +75,43 @@ class ShapesSpec extends SparkSpec {
     assert(rows.forall(r => Set("NATION_18", "NATION_19")(r.getString(0))))
   }
 
+  test("q_market_share yields a share in [0,1] per year, dims broadcast") {
+    val rows = run("q_market_share").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val s = r.getDouble(1); s >= 0.0 && s <= 1.0
+    })
+    val p = plan("q_market_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_promo_share is a single percentage row with month pushdown") {
+    val rows = run("q_promo_share").collect()
+    assert(rows.length === 1)
+    val s = rows.head.getDouble(0)
+    assert(s >= 0.0 && s <= 100.0)
+    val p = plan("q_promo_share")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q_part_contribution keeps only above-threshold parts, total from the aggregate") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_part_contribution").collect()
+    assert(rows.nonEmpty)
+    // verify against an independent computation of the threshold
+    val pv = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_partkey")).agg(graft.Num.dsum(col("l_extendedprice")).as("v"))
+    val (tot, n) = {
+      val r = pv.agg(graft.Num.dsum(col("v")), count(lit(1))).head
+      (r.getDouble(0), r.getLong(1))
+    }
+    val thr = 1.25 * tot / n
+    assert(rows.forall(_.getDouble(1) > thr))
+    assert(rows.length === pv.filter(col("v") > thr).count())
+  }
+
   test("q_top_supplier prunes the lineitem scan to the 3-month window") {
     val p = plan("q_top_supplier")
     assert(p.contains("PushedFilters") &&
