@@ -103,6 +103,25 @@ object Shapes {
         .orderBy(col("cntrycode"))
     }),
 
+    // Order-independent table checksum — the cross-engine table-diff
+    // primitive: two clusters (or two engines) compare a 100 TB table by
+    // exchanging one row per group instead of the data. Each row
+    // contributes a 40-bit integer slice of md5 over its canonical key
+    // string; the per-group SUM is commutative (partition-order-free) and
+    // accumulates in DECIMAL(38,0) so it cannot overflow at any scale.
+    // Pure map work + one map-side-combined aggregate; md5 (not
+    // xxhash64) so any engine can reproduce it.
+    "q_table_checksum" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          conv(substring(md5(encode(
+            concat_ws(":", col("l_orderkey"), col("l_linenumber")), "UTF-8")),
+            1, 10), 16, 10)
+            .cast("decimal(38,0)").as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("h")).as("checksum"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
     // TPC-H Q8 shape: one nation's share of a market, by year — the
     // conditional-sum-over-sum ratio pattern. All three dims (part type
     // cut, supplier→nation name, customer→ASIA region) are broadcast
@@ -209,7 +228,23 @@ object Shapes {
     })
   )
 
+  /** DuckDB spelling of the first-10-hex-chars md5 slice as an integer —
+    * the oracle twin of q_table_checksum's per-row hash (same digit-sum
+    * convention as Sampling.sqlBucketN). */
+  private def sqlMd5Slice10(expr: String): String = (0 until 10).map { i =>
+    val mult = 1L << (4 * (9 - i))
+    s"((strpos('0123456789abcdef', substr(md5($expr), ${i + 1}, 1)) - 1) * $mult)"
+  }.mkString("(", "\n + ", ")")
+
   val oracleSql: Map[String, String] = Map(
+    "q_table_checksum" ->
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(${sqlMd5Slice10(
+              "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")})
+         |    AS DECIMAL(38,0)) AS checksum,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_order_count_dist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

@@ -88,6 +88,24 @@ object Sources {
         .orderBy(col("user_id"), col("session_num"))
     }),
 
+    // The NATIVE session-window operator: groupBy(session_window(ts, gap))
+    // — the same physical operator Structured Streaming maintains
+    // incrementally, here run in batch and oracle-verified against the
+    // lag/cumsum formulation (boundary probe: an event at exactly
+    // prev_ts + gap MERGES into the session, matching q_sessionize's
+    // strict-> gap cut). One user_id shuffle; Spark plans
+    // UpdatingSessions + MergingSessions aggregate, no window sort pass.
+    // Window end = last event + gap, per the operator's contract.
+    "q_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("win_start"),
+          col("session_window.end").as("win_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("win_start"))),
+
     // Rolling time-range window: per user, count/sum over the trailing 10
     // minutes of EVENT TIME (a RANGE frame over epoch micros, not a rows
     // frame) — the per-entity rate/feature shape of a training pipeline.
@@ -360,6 +378,30 @@ object Sources {
          |  ${Num.sqlDsum("value")} AS total_value
          |FROM s GROUP BY user_id, session_num
          |ORDER BY user_id, session_num""".stripMargin,
+
+    // Same gap-cut as q_sessionize (the boundary probe above pins the
+    // merge-at-equality semantics); win_end = MAX(ts) + gap.
+    "q_session_window" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         |l AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM ev),
+         |f AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM l),
+         |s AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS UNBOUNDED PRECEDING) AS session_num
+         |  FROM f)
+         |SELECT user_id,
+         |  CAST(MIN(ts) AS TIMESTAMP) AS win_start,
+         |  CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS win_end,
+         |  COUNT(*) AS n_events, ${Num.sqlDsum("value")} AS total_value
+         |FROM s GROUP BY user_id, session_num
+         |ORDER BY user_id, win_start""".stripMargin,
 
     "q_window_timerange" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

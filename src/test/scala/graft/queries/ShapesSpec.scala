@@ -112,6 +112,39 @@ class ShapesSpec extends SparkSpec {
     assert(rows.length === pv.filter(col("v") > thr).count())
   }
 
+  test("q_table_checksum is invariant under repartitioning (order-free sum)") {
+    import org.apache.spark.sql.functions._
+    val base = run("q_table_checksum").collect()
+    // same computation over a shuffled/repartitioned input
+    val li = graft.Tables.load(spark, sf, "lineitem").repartition(7, col("l_partkey"))
+    val re = li.select(col("l_returnflag"),
+        conv(substring(md5(encode(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")), "UTF-8")),
+          1, 10), 16, 10).cast("decimal(38,0)").as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("h")).as("checksum"), count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(base.map(_.toString).toSeq === re.map(_.toString).toSeq)
+  }
+
+  test("q_session_window agrees with the gap-cut sessionize on session structure") {
+    val sw = run("q_session_window").collect()
+    val gz = SparkEntry.queries("q_sessionize")(spark, sf).collect()
+    assert(sw.length === gz.length, "session counts differ")
+    // per-user session counts identical
+    val a = sw.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val b = gz.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(a === b)
+  }
+
+  test("q_session_window plans the native session-window aggregate, one shuffle") {
+    val p = plan("q_session_window")
+    assert(p.contains("UpdatingSessions") || p.contains("MergingSessions") ||
+      p.contains("session_window"), p)
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"$shuffles data shuffles:\n$p")
+  }
+
   test("q_top_supplier prunes the lineitem scan to the 3-month window") {
     val p = plan("q_top_supplier")
     assert(p.contains("PushedFilters") &&
