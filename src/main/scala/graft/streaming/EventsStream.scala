@@ -105,6 +105,24 @@ object EventsStream {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** The NATIVE streaming session-window operator — the same
+    * `session_window` expression as the batch `q_session_window` query,
+    * maintained incrementally with watermark-bounded state. Sessions are
+    * emitted (append mode) once the watermark passes their end; state per
+    * key is one merged [start, last+gap) interval, evicted on emit. The
+    * batch twin is oracle-verified, and the spec proves every closed
+    * streamed session is byte-identical to its batch-computed row — the
+    * "one definition, two runtimes" contract. */
+  def nativeSessions(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("win_start"),
+        col("session_window.end").as("win_end"),
+        col("n_events"), col("total_value"))
+
   /** Custom sessionization state machine: per-user sessions closed after
     * `gapMinutes` of event-time inactivity (flatMapGroupsWithState with
     * event-time timeout). Emits a row per closed session. */

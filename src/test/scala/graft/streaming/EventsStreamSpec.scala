@@ -60,6 +60,49 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Stage events as three CHRONOLOGICAL micro-batch files (file-source
+    * order = mtime order). Session equivalence with batch needs in-order
+    * arrival: a random split would let the watermark close a session
+    * before a time-earlier file delivers its remaining events. */
+  private def stageEventsChronological(): String = {
+    val dir = tmpDir("stream-chrono")
+    val ev = Tables.load(spark, sf, "events")
+    val cuts = ev.selectExpr("percentile(unix_micros(ts), array(0.33, 0.66)) as p")
+      .head.getSeq[Double](0)
+    val (t1, t2) = (cuts(0).toLong, cuts(1).toLong)
+    Seq(
+      ev.filter(unix_micros(col("ts")) <= t1),
+      ev.filter(unix_micros(col("ts")) > t1 && unix_micros(col("ts")) <= t2),
+      ev.filter(unix_micros(col("ts")) > t2)
+    ).foreach { chunk =>
+      chunk.coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct mtimes → deterministic file-source order
+    }
+    dir
+  }
+
+  test("native session_window stream: every closed session equals its batch twin") {
+    val dir = stageEventsChronological()
+    val q = EventsStream.nativeSessions(EventsStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("native_sessions")
+        .select("user_id", "win_start", "win_end", "n_events")
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty, "no sessions closed by the watermark")
+      // batch twin (oracle-verified q_session_window) on the same data
+      val batch = graft.SparkEntry.queries("q_session_window")(spark, sf)
+        .select("user_id", "win_start", "win_end", "n_events")
+        .collect().map(_.toSeq).toSet
+      // append mode emits only watermark-closed sessions: streamed ⊆ batch,
+      // and each closed session matches the batch row exactly
+      assert(streamed.subsetOf(batch),
+        s"${streamed.diff(batch).take(3)} not found in batch sessions")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink converges replayed batches to one row per key") {
     val dir = tmpDir("upsert-in")
     val ev = Tables.load(spark, sf, "events").limit(300)
