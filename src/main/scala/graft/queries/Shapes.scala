@@ -195,6 +195,109 @@ object Shapes {
         .orderBy(col("value").desc, col("l_partkey"))
     }),
 
+    // TPC-H Q4 shape: EXISTS with a correlated residual predicate — orders
+    // (date-pruned at the scan) semi-joined against late-shipping
+    // lineitems where the lateness condition compares BOTH sides
+    // (l_shipdate > o_orderdate + 60 days), then a 5-group rollup. The
+    // semi join carries the residual comparison on the equi-join output;
+    // the fact is never widened.
+    "q_priority_exists" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-10-01")))
+      ord.join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q10 shape: top-20 customers by returned-merchandise revenue
+    // in one quarter — join + group + top-k. Returnflag and date cuts
+    // reach the scans; the nation name rides a broadcast; the top-20 cut
+    // collapses to TakeOrderedAndProject on exact decimal revenue.
+    "q_returned_topcust" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-10-01")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(Num.dsum(col("rev")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19 shape: disjunctive multi-column predicates spanning both
+    // join sides (OR of brand×size×quantity conjunctions). Catalyst
+    // extracts the common l_quantity bounds and per-side IN/range
+    // predicates for pushdown where legal; the residual OR evaluates on
+    // the (broadcast) join output. One aggregate row, exact decimal.
+    "q_disjunctive_pred" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 40)))
+        .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))),
+
+    // TPC-H Q20 shape: supply concentration — suppliers carrying more
+    // than 2× the fair share of some part's shipped quantity. Two stacked
+    // model-sized aggregates ((part, supp) then part), one equi-join
+    // between them, threshold data-relative (2×/n_suppliers) so the cut
+    // survives any scale factor; supplier names ride a final equi-join
+    // after the concentrated set has collapsed to ≤|suppliers| rows.
+    "q_volume_supplier" -> ((s, d) => {
+      val ps = t(s, d, "lineitem").groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(Num.dsum(col("l_quantity")).as("sq"))
+      val pt = ps.groupBy(col("l_partkey").as("pk"))
+        .agg(Num.dsum(col("sq")).as("tot"), count(lit(1)).as("ns"))
+      val conc = ps.join(pt, col("l_partkey") === col("pk"))
+        .filter(col("sq") > lit(2.0) * col("tot") / col("ns"))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+      conc.join(t(s, d, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_parts"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q9 shape: profit by supplier nation and year over a
+    // part-name pattern — the 5-table profit rollup. Synthetic cost
+    // (0.5 × p_retailprice × l_quantity — this schema has no
+    // ps_supplycost) keeps the amount expression per-row; the part
+    // filter and both dims broadcast, the only corpus shuffles are the
+    // orderkey join and the final (nation, year) aggregate.
+    "q_profit_by_nation" -> ((s, d) => {
+      val pk = t(s, d, "part").filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, d, "lineitem")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("n_name"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(0.5) * col("p_retailprice") * col("l_quantity")).as("amount"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(Num.dsum(col("amount")).as("sum_profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
     // TPC-H Q7 shape: cross-nation trade volume by year, both directions
     // of one nation pair. The nation restriction is applied to the
     // supplier and customer dims FIRST via broadcast joins (map-side, no
@@ -285,6 +388,65 @@ object Shapes {
          |                  WHERE o_custkey = c_custkey
          |                    AND o_orderdate >= TIMESTAMP '2001-01-01')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_returned_topcust" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${Num.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+         |  AND o_orderdate < TIMESTAMP '1997-10-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_disjunctive_pred" ->
+      s"""SELECT ${Num.sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+         |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+
+    "q_volume_supplier" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey, ${Num.sqlDsum("l_quantity")} AS sq
+         |  FROM lineitem GROUP BY 1, 2),
+         |pt AS (
+         |  SELECT l_partkey, ${Num.sqlDsum("sq")} AS tot, COUNT(*) AS ns
+         |  FROM ps GROUP BY 1),
+         |conc AS (
+         |  SELECT l_suppkey, COUNT(*) AS n_parts
+         |  FROM ps JOIN pt USING (l_partkey)
+         |  WHERE sq > 2.0 * tot / ns
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, n_parts
+         |FROM conc JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_profit_by_nation" ->
+      s"""SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         |  ${Num.sqlDsum("l_extendedprice * (1.0 - l_discount) " +
+            "- 0.5 * p_retailprice * l_quantity")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
 
     "q_market_share" ->
       s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,

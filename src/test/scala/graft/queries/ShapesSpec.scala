@@ -112,6 +112,49 @@ class ShapesSpec extends SparkSpec {
     assert(rows.length === pv.filter(col("v") > thr).count())
   }
 
+  test("q_priority_exists counts only late-shipping orders, all five priorities") {
+    val rows = run("q_priority_exists").collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
+  test("q_returned_topcust is a top-20 on exact revenue with broadcast nation") {
+    val rows = run("q_returned_topcust").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(4))
+    assert(revs.sameElements(revs.sortBy(-_: Double)), "not revenue-descending")
+    val p = plan("q_returned_topcust")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_disjunctive_pred pushes the common quantity bounds to the scan") {
+    val p = plan("q_disjunctive_pred")
+    // l_quantity >= 1 / <= 40 is the hull of the two OR branches —
+    // Catalyst should derive SOME lineitem pushdown from the disjunction
+    assert(p.contains("PushedFilters"), p)
+    val rows = run("q_disjunctive_pred").collect()
+    assert(rows.length === 1 && rows.head.getDouble(0) > 0.0)
+  }
+
+  test("q_volume_supplier: concentration threshold is data-relative") {
+    val rows = run("q_volume_supplier").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 1))
+    // suppliers are unique in the output
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("q_profit_by_nation groups (nation, year) with both dims broadcast") {
+    val rows = run("q_profit_by_nation").collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getInt(1)))
+    assert(keys.distinct.length === keys.length)
+    val p = plan("q_profit_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_table_checksum is invariant under repartitioning (order-free sum)") {
     import org.apache.spark.sql.functions._
     val base = run("q_table_checksum").collect()
