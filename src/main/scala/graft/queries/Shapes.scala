@@ -103,6 +103,36 @@ object Shapes {
         .orderBy(col("cntrycode"))
     }),
 
+    // Mergeable-sketch REAGGREGATION — the 100 TB rollup pattern: build
+    // one HLL sketch per event type (a fixed-size binary partial), then
+    // answer the GLOBAL distinct-user question by merging the sketches
+    // (`hll_union_agg`), never re-scanning the events. Per-type exact
+    // distincts are the hash-compared values; the sketch estimates (the
+    // per-type ones and the merged-union one) are asserted within 5% of
+    // exact in-row, oracle-pinned TRUE — same discipline as
+    // q_approx_distinct. At scale the per-type sketch table is the stored
+    // artifact: daily partitions union-merge into weekly/monthly distincts
+    // at the cost of k registers per group, not a corpus re-scan.
+    "q_hll_union" -> ((s, d) => {
+      val bound = 0.05
+      val ev = t(s, d, "events")
+      val perType = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("nd_users"))
+      val totalApx = perType
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("apx"))
+      val totalExact = ev.agg(countDistinct(col("user_id")).as("nd_users"))
+      perType
+        .select(col("event_type"), col("nd_users"),
+          (abs(expr("hll_sketch_estimate(sk)") - col("nd_users")) <=
+            col("nd_users") * bound).as("apx_ok"))
+        .unionByName(totalExact.crossJoin(broadcast(totalApx))
+          .select(lit("TOTAL").as("event_type"), col("nd_users"),
+            (abs(col("apx") - col("nd_users")) <=
+              col("nd_users") * bound).as("apx_ok")))
+        .orderBy(col("event_type"))
+    }),
+
     // Order-independent table checksum — the cross-engine table-diff
     // primitive: two clusters (or two engines) compare a 100 TB table by
     // exchanging one row per group instead of the data. Each row
@@ -340,6 +370,17 @@ object Shapes {
   }.mkString("(", "\n + ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // Exact distincts are the hash target; the sketch estimates (per-type
+    // and merged) are verified via the in-row booleans, pinned TRUE.
+    "q_hll_union" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users,
+        |       TRUE AS apx_ok
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT 'TOTAL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+        |FROM events
+        |ORDER BY event_type""".stripMargin,
+
     "q_table_checksum" ->
       s"""SELECT l_returnflag,
          |  CAST(SUM(${sqlMd5Slice10(

@@ -155,6 +155,17 @@ class ShapesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_hll_union: merged-sketch estimate answers the global distinct within bound") {
+    val rows = run("q_hll_union").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "a sketch estimate left its 5% bound")
+    val total = rows.filter(_.getString(0) == "TOTAL")
+    assert(total.length === 1)
+    val perType = rows.filterNot(_.getString(0) == "TOTAL")
+    // users overlap across types: the union is smaller than the sum
+    assert(total.head.getLong(1) <= perType.map(_.getLong(1)).sum)
+  }
+
   test("q_table_checksum is invariant under repartitioning (order-free sum)") {
     import org.apache.spark.sql.functions._
     val base = run("q_table_checksum").collect()
