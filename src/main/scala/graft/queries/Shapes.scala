@@ -103,6 +103,34 @@ object Shapes {
         .orderBy(col("cntrycode"))
     }),
 
+    // Map-typed column pack — the BigQuery RECORD/key-value analog
+    // (reference: test_bq.py:211-249 nested records): parse the JSON
+    // props payload into map<string,string>, synthesize a literal map,
+    // merge them, and read keys/values/point lookups back out. All pure
+    // map work (no shuffle before the order-by); arrays sorted so the
+    // output is deterministic regardless of map iteration order.
+    "q_map_ops" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_id") % 200 === 0)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)).as("pm"))
+        .select(col("event_id"),
+          map_keys(col("pm")).as("pkeys"),
+          element_at(col("pm"), lit("k")).as("k_val"),
+          map_concat(col("pm"),
+            map(lit("type"), col("event_type"),
+              lit("uid"), col("user_id").cast("string"))).as("merged"))
+        .select(col("event_id"),
+          // arrays joined to strings: no registered query emits raw
+          // array columns, so the compare surface stays scalar-only
+          concat_ws(",", col("pkeys")).as("pkeys"),
+          col("k_val"),
+          size(col("merged")).as("n_entries"),
+          concat_ws(",", array_sort(map_values(col("merged"))))
+            .as("merged_vals"))
+        .orderBy(col("event_id"))),
+
     // Mergeable-sketch REAGGREGATION — the 100 TB rollup pattern: build
     // one HLL sketch per event type (a fixed-size binary partial), then
     // answer the GLOBAL distinct-user question by merging the sketches
@@ -370,6 +398,19 @@ object Shapes {
   }.mkString("(", "\n + ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // json_keys/->> give DuckDB the same key/value views of the payload;
+    // n_entries counts the merged map's keys (props keys + type + uid,
+    // all distinct in this schema).
+    "q_map_ops" ->
+      """SELECT event_id,
+        |  LIST_AGGREGATE(json_keys(props), 'string_agg', ',') AS pkeys,
+        |  props ->> 'k' AS k_val,
+        |  CAST(LEN(json_keys(props)) + 2 AS INT) AS n_entries,
+        |  LIST_AGGREGATE(LIST_SORT(LIST_VALUE(props ->> 'k', event_type,
+        |    CAST(user_id AS VARCHAR))), 'string_agg', ',') AS merged_vals
+        |FROM events WHERE event_id % 200 = 0
+        |ORDER BY event_id""".stripMargin,
+
     // Exact distincts are the hash target; the sketch estimates (per-type
     // and merged) are verified via the in-row booleans, pinned TRUE.
     "q_hll_union" ->

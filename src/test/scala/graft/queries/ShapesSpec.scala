@@ -155,6 +155,14 @@ class ShapesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_map_ops merges parsed and literal maps without key loss") {
+    val rows = run("q_map_ops").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) === 3), "merged map should hold k+type+uid")
+    assert(rows.forall(r => r.getString(4).split(",").length === 3))
+    assert(rows.forall(r => r.getString(1) === "k"))
+  }
+
   test("q_hll_union: merged-sketch estimate answers the global distinct within bound") {
     val rows = run("q_hll_union").collect()
     assert(rows.nonEmpty)
