@@ -103,6 +103,33 @@ object Shapes {
         .orderBy(col("cntrycode"))
     }),
 
+    // One-pass table profile — the data-quality primitive a
+    // data-engineering client runs before trusting a feed (the
+    // reference's strict-insert validation is the per-row cousin,
+    // reference: bq.py:523-531): per numeric column, row/null/distinct
+    // counts and min/max, ALL columns in ONE columnar scan (a single
+    // wide aggregate row, exploded to per-column rows with stack —
+    // never one pass per column). At 100 TB this is the difference
+    // between one fact-table read and four.
+    "q_table_profile" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_ndv"),
+            min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+        }
+      val stackExpr = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max").mkString(", ")
+      t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows",
+          s"stack(${cols.length}, $stackExpr) AS " +
+            "(column_name, n_nulls, ndv, minv, maxv)")
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("ndv"), col("minv"), col("maxv"))
+        .orderBy(col("column_name"))
+    }),
+
     // Map-typed column pack — the BigQuery RECORD/key-value analog
     // (reference: test_bq.py:211-249 nested records): parse the JSON
     // props payload into map<string,string>, synthesize a literal map,
@@ -398,6 +425,17 @@ object Shapes {
   }.mkString("(", "\n + ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "q_table_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+           |  MIN($c) AS minv, MAX($c) AS maxv
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
     // json_keys/->> give DuckDB the same key/value views of the payload;
     // n_entries counts the merged map's keys (props keys + type + uid,
     // all distinct in this schema).

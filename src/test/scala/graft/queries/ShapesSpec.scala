@@ -155,6 +155,18 @@ class ShapesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_table_profile profiles every column from one scan") {
+    val rows = run("q_table_profile").collect()
+    assert(rows.length === 4)
+    val n = rows.head.getLong(1)
+    assert(rows.forall(_.getLong(1) === n), "n_rows must be shared")
+    assert(rows.forall(r => r.getLong(3) > 0 && r.getDouble(5) >= r.getDouble(4)))
+    // one scan: exactly one FileScan of lineitem in the plan
+    val p = plan("q_table_profile")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")) === 1, p)
+  }
+
   test("q_map_ops merges parsed and literal maps without key loss") {
     val rows = run("q_map_ops").collect()
     assert(rows.nonEmpty)
