@@ -88,6 +88,28 @@ object Sources {
         .orderBy(col("user_id"), col("session_num"))
     }),
 
+    // Cohort retention — the canonical product-analytics rollup: users
+    // bucketed by first-seen week (their cohort), then counted per
+    // (cohort, weeks-since-cohort) cell. Weeks are integer epoch-week
+    // indices (µs // 604800000000) so both engines bucket identically
+    // with no timezone/truncation semantics in play. Three key-bounded
+    // shuffles — distinct (user, week) activity, per-user min for the
+    // cohort, and the model-sized final cell aggregate; the user-keyed
+    // equi-join carries one row per active user-week. At 100 TB the
+    // cohort table is a persisted artifact and only the activity delta
+    // re-aggregates.
+    "q_retention" -> ((s, d) => {
+      val wk = (unix_micros(col("ts")) / lit(604800000000L)).cast("long")
+      val activity = t(s, d, "events")
+        .select(col("user_id"), wk.as("wk")).distinct()
+      val cohort = activity.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      activity.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
     // The NATIVE session-window operator: groupBy(session_window(ts, gap))
     // — the same physical operator Structured Streaming maintains
     // incrementally, here run in batch and oracle-verified against the
@@ -378,6 +400,20 @@ object Sources {
          |  ${Num.sqlDsum("value")} AS total_value
          |FROM s GROUP BY user_id, session_num
          |ORDER BY user_id, session_num""".stripMargin,
+
+    // Integer epoch-week indices on both sides; DuckDB's // is floor
+    // division on positive epochs, same as Spark's long division here.
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS BIGINT) AS wk
+        |  FROM events),
+        |coh AS (
+        |  SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY 1)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |  CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+        |FROM act JOIN coh ON act.user_id = coh.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same gap-cut as q_sessionize (the boundary probe above pins the
     // merge-at-equality semantics); win_end = MAX(ts) + gap.

@@ -155,6 +155,19 @@ class ShapesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_retention: offset-0 cell of each cohort counts the whole cohort") {
+    val rows = run("q_retention").collect()
+    assert(rows.nonEmpty)
+    // every cohort has an offset-0 row, and no later cell exceeds it
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (_, cells) =>
+      val zero = cells.find(_.getLong(1) == 0L)
+      assert(zero.isDefined, "cohort missing its week-0 cell")
+      assert(cells.forall(_.getLong(2) <= zero.get.getLong(2)),
+        "retention cell larger than its cohort")
+    }
+  }
+
   test("q_table_profile profiles every column from one scan") {
     val rows = run("q_table_profile").collect()
     assert(rows.length === 4)
