@@ -413,6 +413,122 @@ object Shapes {
           year(col("l_shipdate")).as("l_year"))
         .agg(Num.dsum(col("rev")).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q2 shape: minimum-cost supplier per part — the correlated
+    // scalar subquery `cost = (SELECT MIN(cost) WHERE ps_partkey =
+    // p_partkey)` decorrelated into aggregate-then-equality-join. This
+    // schema has no partsupp, so the cost table is derived: per
+    // (part, supplier) the minimum observed sale price. The part slice
+    // broadcasts into the fact scan FIRST, so both aggregates run on the
+    // pruned fact; the per-part min is a second (tiny, part-keyed)
+    // aggregate joined back on exact equality — MIN of doubles is
+    // order-independent, so the equality cut is engine-exact. Ties (two
+    // suppliers at the same minimum) survive, as in Q2.
+    "q_min_cost_supplier" -> ((s, d) => {
+      val pq = t(s, d, "part")
+        .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
+      val cost = t(s, d, "lineitem")
+        .join(broadcast(pq.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val minCost = cost.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("cost")).as("mincost"))
+      cost.join(minCost,
+          col("l_partkey") === col("mk") && col("cost") === col("mincost"))
+        .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier").select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("p_partkey"),
+          col("p_name"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+    }),
+
+    // TPC-H Q6 shape: the forecast-revenue single-aggregate — three range
+    // predicates and a product sum, no joins. The point at 100 TB is the
+    // scan: all three predicates reach the parquet reader (shipdate →
+    // row-group min/max pruning, discount/quantity → PushedFilters) and
+    // the projection is 4 columns of 11, so the scan IS the query; the
+    // aggregate is one map-side-combined partial to a 1-row result.
+    "q_revenue_forecast" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(Num.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    // TPC-H Q12 shape: urgent-vs-other order counts per line status (this
+    // schema has no l_shipmode; l_linestatus is the grouping analog).
+    // Both sides project to the join key + one column BEFORE the
+    // orderkey shuffle, the lineitem side is date-pruned at the scan, and
+    // the conditional split is two map-side-combined CASE sums — the
+    // classic one-pass pivot that never runs the fact twice.
+    "q_priority_split" -> ((s, d) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // TPC-H Q16 shape: distinct-supplier counts per part group, excluding
+    // a blacklisted supplier set (NOT IN → LEFT ANTI; the Q16 complaint
+    // filter becomes the negative-balance cut this schema can express).
+    // Both dims broadcast — the exclusion list is tiny and the part slice
+    // prunes the fact map-side — so the only shuffle is the two-level
+    // (group-keyed, then +suppkey) distinct aggregate, which is how
+    // COUNT(DISTINCT) should run at 100 TB: never a row explosion,
+    // always partial-deduped before the exchange.
+    "q_supplier_cnt" -> ((s, d) => {
+      val excl = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val pk = t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_size").isin(5, 10, 15, 20, 25))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // Triangle count on the co-purchase graph — the graph-analytics
+    // shape beyond PageRank/connected-components: parts appearing in the
+    // same order are adjacent; triangles are closed wedges. The canonical
+    // a<b orientation makes each edge and each triangle counted exactly
+    // once, and the wedge join (ab⋈bc on b) probed against the closing
+    // edge set is the standard distributed algorithm. Scale shape: the
+    // per-order pair fanout is quadratic in order width — bounded here by
+    // the date slice and TPC-H's ~4 lines/order; at 100 TB orient edges
+    // from the LOWER-degree endpoint instead of the lower id (compute
+    // degrees first, one extra broadcast), which provably bounds wedge
+    // work at O(E^1.5) regardless of hot-node skew.
+    "q_triangle_count" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      val wedges = e.as("ab").join(e.as("bc"), col("ab.b") === col("bc.a"))
+        .select(col("ab.a").as("wa"), col("ab.b").as("wb"), col("bc.b").as("wc"))
+      val tri = wedges.join(e.as("ac"),
+          col("wa") === col("ac.a") && col("wc") === col("ac.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     })
   )
 
@@ -613,6 +729,64 @@ object Shapes {
          |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
          |  AND n2.n_name IN ('NATION_18', 'NATION_19')
          |  AND n1.n_name <> n2.n_name
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_min_cost_supplier" ->
+      """WITH pq AS (
+        |  SELECT p_partkey, p_name FROM part
+        |  WHERE p_size <= 10 AND p_type = 'STANDARD'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        |  FROM lineitem JOIN pq ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey AS mk, MIN(cost) AS mincost FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, p_partkey, p_name, cost
+        |FROM cost
+        |JOIN mc ON l_partkey = mk AND cost = mincost
+        |JOIN pq ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_acctbal DESC, s_name, p_partkey""".stripMargin,
+
+    "q_revenue_forecast" ->
+      s"""SELECT ${Num.sqlDsum("l_extendedprice * l_discount")} AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q_priority_split" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_triangle_count" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |    AND l_shipdate < TIMESTAMP '2001-01-01'),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |  (SELECT COUNT(*)
+        |   FROM e ab JOIN e bc ON ab.b = bc.a
+        |   JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles""".stripMargin
   )
 }

@@ -593,6 +593,50 @@ object TextOps {
         .select(col("doc_id"), col("n"), col("entropy"),
           (col("entropy") >= 2.0).as("diverse"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Inverted-index build — the retrieval-side complement of
+    // q_vocab_build: token → document frequency + a TRUNCATED posting
+    // list (first 20 doc ids ascending, joined to one string; full df
+    // kept alongside, the convention real postings engines use for
+    // scoreboard heads). Scale shape: one explode + (token, doc_id)
+    // distinct (two-level aggregate, map-side deduped), collect_set runs
+    // per token AFTER the distinct so hot tokens carry ≤ df entries not
+    // corpus positions, the truncation is in-row slice, and the top-100
+    // cut is TakeOrdered on (df desc, token) — the full index is the
+    // pre-limit frame, partitioned by token, ready to write bucketed.
+    "q_inverted_index" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+"), lit(0))).as("token"))
+        .filter(length(col("token")) >= 4)
+        .distinct()
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 20), ",")
+            .as("postings"))
+        .filter(col("df") >= 5)
+        .orderBy(col("df").desc, col("token"))
+        .limit(100)),
+
+    // Quantile-gated quality filter — the dynamic-threshold corpus cut:
+    // keep documents at or above the corpus 75th percentile of word
+    // count. Unlike the fixed-bound gates (q_text_quality), the
+    // threshold is DATA-DEPENDENT: one exact interpolated percentile
+    // over the score column (1-row result, broadcast back via cross
+    // join), then a map-side filter. Two passes over a single projected
+    // column, no shuffle beyond the 1-row aggregate — at 100 TB swap
+    // percentile for approx_percentile and re-verify the edge docs.
+    "q_quality_quantile" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+      val cut = scored.agg(
+        expr("percentile(n_words, 0.75)").as("threshold"))
+      scored.crossJoin(broadcast(cut))
+        .filter(col("n_words") >= col("threshold"))
+        .select(col("doc_id"), col("n_words"), col("threshold"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -929,6 +973,30 @@ object TextOps {
         |  FROM wc JOIN tot USING (doc_id))
         |SELECT doc_id, n, CAST(-SUM(t) AS DOUBLE) AS entropy,
         |  (CAST(-SUM(t) AS DOUBLE) >= 2.0) AS diverse
-        |FROM terms GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+        |FROM terms GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT token, doc_id FROM (
+        |    SELECT doc_id,
+        |           UNNEST(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS token
+        |    FROM documents) z
+        |  WHERE length(token) >= 4)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |  LIST_AGGREGATE(LIST(doc_id ORDER BY doc_id)[1:20], 'string_agg', ',')
+        |    AS postings
+        |FROM td GROUP BY 1
+        |HAVING COUNT(*) >= 5
+        |ORDER BY df DESC, token LIMIT 100""".stripMargin,
+
+    "q_quality_quantile" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |cut AS (SELECT quantile_cont(n_words, 0.75) AS threshold FROM scored)
+        |SELECT doc_id, n_words, threshold
+        |FROM scored, cut WHERE n_words >= threshold
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -237,4 +237,88 @@ class ShapesSpec extends SparkSpec {
     assert(p.contains("PushedFilters") &&
       p.contains("GreaterThanOrEqual(l_shipdate"), p)
   }
+
+  test("q_min_cost_supplier: every row carries its part's true minimum cost") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_min_cost_supplier").collect()
+    assert(rows.nonEmpty)
+    // independent recomputation of the per-part minimum
+    val pq = graft.Tables.load(spark, sf, "part")
+      .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val mins = graft.Tables.load(spark, sf, "lineitem")
+      .join(pq, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey")).agg(min(col("l_extendedprice")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(4) === mins(r.getLong(2)),
+        s"part ${r.getLong(2)} not at its minimum cost")
+    }
+    // every qualifying part is represented (ties may add rows, never drop parts)
+    assert(rows.map(_.getLong(2)).distinct.length === mins.size)
+  }
+
+  test("q_min_cost_supplier broadcasts both dims; no cartesian") {
+    val p = plan("q_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_revenue_forecast pushes all three predicates into the scan") {
+    // the rendered plan truncates PushedFilters, so read the scan node's
+    // metadata directly (pre-AQE physical plan has the plain tree)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = run("q_revenue_forecast").queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.metadata("PushedFilters")
+    }
+    assert(scans.length === 1)
+    val pushed = scans.head
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+    assert(run("q_revenue_forecast").collect().length === 1)
+  }
+
+  test("q_priority_split: high + low = every late-shipped lineitem, counted once") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_priority_split").collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val expected = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01"))).count()
+    assert(total === expected, "orderkey FK join must be fanout-1 and lossless")
+  }
+
+  test("q_supplier_cnt: anti join excludes negative-balance suppliers from every count") {
+    import org.apache.spark.sql.functions._
+    val p = plan("q_supplier_cnt")
+    assert(p.contains("LeftAnti"), p)
+    val ok = graft.Tables.load(spark, sf, "supplier")
+      .filter(col("s_acctbal") >= 0).count()
+    run("q_supplier_cnt").collect().foreach { r =>
+      assert(r.getLong(3) <= ok, "count exceeds the eligible supplier pool")
+    }
+  }
+
+  test("q_triangle_count matches a brute-force count on the collected graph") {
+    val Array(row) = run("q_triangle_count").collect()
+    // rebuild the edge set independently and close wedges in memory
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val tris = edges.toSeq.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty[Long])
+        .count(c => b < c && edges.contains((b, c)))
+    }.sum
+    assert(row.getLong(0) === edges.size.toLong, "edge count")
+    assert(row.getLong(1) === tris.toLong, "triangle count")
+  }
 }

@@ -145,4 +145,36 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(fact == naive)
   }
+
+  test("q_inverted_index: postings are sorted, truncated at 20, consistent with df") {
+    val rows = SparkEntry.queries("q_inverted_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val ids = r.getString(2).split(",").map(_.toLong)
+      assert(df >= 5L)
+      assert(ids.length <= 20, "posting list must be truncated at 20")
+      assert(ids.sameElements(ids.sorted), "postings must ascend")
+      assert(ids.distinct.length === ids.length, "postings must be distinct")
+      if (df <= 20) assert(ids.length === df,
+        s"untruncated postings must carry exactly df ids (${r.getString(0)})")
+      else assert(ids.length === 20)
+    }
+  }
+
+  test("q_quality_quantile keeps exactly the at-or-above-threshold docs") {
+    val rows = SparkEntry.queries("q_quality_quantile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val thr = rows.head.getDouble(2)
+    rows.foreach(r => assert(r.getLong(1) >= thr))
+    // independent count of qualifying docs — nothing above the cut dropped
+    val expected = graft.Tables.load(spark, sf, "documents")
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .filter(col("n") >= thr).count()
+    assert(rows.length.toLong === expected)
+    // the cut is a real quantile: keeps between 25% and ~50% of the corpus
+    val total = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.length.toLong * 4 >= total,
+      "p75 cut must keep at least a quarter of the corpus")
+  }
 }
