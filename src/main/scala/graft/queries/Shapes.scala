@@ -529,6 +529,60 @@ object Shapes {
           col("wa") === col("ac.a") && col("wc") === col("ac.b"))
         .agg(count(lit(1)).as("n_triangles"))
       e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    }),
+
+    // Heavy hitters via count-min sketch — the frequency member of the
+    // mergeable-sketch family (q_hll_union is the cardinality member):
+    // one codegen'd partial+final count_min_sketch aggregate over the
+    // corpus (fixed-size counters, mergeable across partitions — at
+    // 100 TB each executor folds its partition into w×d integers and one
+    // reduce merges them), then the exact top-10 is probed against the
+    // sketch in-row. CMS error is one-sided, so the check est ≥ exact AND
+    // est ≤ exact + ⌈eps·N⌉ is the textbook (Cormode–Muthukrishnan)
+    // guarantee; seed fixed, so the sketch — and the boolean — are
+    // deterministic per dataset. EAGER like the other sketch/model ops:
+    // the 1-row sketch collect runs at build time.
+    "q_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val eps = 0.0001
+      val ev = t(s, d, "events")
+      val row = ev.agg(
+        expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n")).head()
+      val cms = CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+      val slack = math.ceil(eps * row.getLong(1)).toLong
+      val est = udf((uid: Long) => cms.estimateCount(uid))
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id")).limit(10)
+        .withColumn("e", est(col("user_id")))
+        .select(col("user_id"), col("cnt"),
+          (col("e") >= col("cnt") && col("e") <= col("cnt") + slack).as("cms_ok"))
+        .orderBy(col("cnt").desc, col("user_id"))
+    }),
+
+    // Bloom-filter semi-join reduction — the shuffle-avoidance primitive
+    // for selective fact⋈dim joins at 100 TB: build a Bloom filter over
+    // the dim's join keys (one small driver job, like Spark's own
+    // runtime-bloom rewrite), broadcast it, and drop non-matching fact
+    // rows AT THE SCAN, before they pay the orderkey shuffle. No false
+    // negatives, so the subsequent hash join sees every true match and
+    // removes the (≤ fpp) false positives — the result is EXACTLY the
+    // plain join's, which is what the oracle pins. EAGER: the filter
+    // build materializes the dim slice at build time.
+    "q_bloom_prune" -> ((s, d) => {
+      val dim = t(s, d, "customer").filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
+      val mightHave = udf((k: Long) => bf.mightContain(k))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .filter(mightHave(col("o_custkey")))
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -787,6 +841,22 @@ object Shapes {
         |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
         |  (SELECT COUNT(*)
         |   FROM e ab JOIN e bc ON ab.b = bc.a
-        |   JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles""".stripMargin
+        |   JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles""".stripMargin,
+
+    // Exact top-10 is the hash target; the sketch bound is the in-row
+    // boolean, pinned TRUE (same convention as q_hll_union).
+    "q_heavy_hitters" ->
+      """SELECT user_id, COUNT(*) AS cnt, TRUE AS cms_ok
+        |FROM events GROUP BY 1
+        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+
+    // The Bloom pre-filter is invisible to semantics: the oracle is the
+    // PLAIN join (no false negatives; positives die in the hash join).
+    "q_bloom_prune" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  ${Num.sqlDsum("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_acctbal > 5000.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -321,4 +321,46 @@ class ShapesSpec extends SparkSpec {
     assert(row.getLong(0) === edges.size.toLong, "edge count")
     assert(row.getLong(1) === tris.toLong, "triangle count")
   }
+
+  test("q_heavy_hitters: every top key inside the one-sided CMS bound, exact counts exact") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_heavy_hitters").collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getBoolean(2)), "CMS estimate escaped the eps bound")
+    // the exact column really is exact: recompute independently
+    val counts = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) === counts(r.getLong(0))))
+    // descending with a deterministic tiebreak
+    val pairs = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (c, u) => (-c, u) }))
+  }
+
+  test("q_bloom_prune returns exactly the plain join's answer") {
+    import org.apache.spark.sql.functions._
+    val pruned = run("q_bloom_prune").collect().map(_.toString).toSeq
+    val dim = graft.Tables.load(spark, sf, "customer")
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val plain = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Num.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment")).collect().map(_.toString).toSeq
+    assert(pruned === plain, "Bloom pre-filter must be semantically invisible")
+  }
+
+  test("q_bloom_prune applies the membership filter below the join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val lp = run("q_bloom_prune").queryExecution.optimizedPlan
+    val join = lp.collect { case j: Join => j }
+    assert(join.nonEmpty)
+    // the UDF filter must sit under the join, on the fact side
+    val filtersBelow = join.head.left.collect { case f: Filter => f }
+    assert(filtersBelow.exists(_.condition.toString.contains("UDF")),
+      "bloom membership filter not pushed below the join:\n" + lp)
+  }
 }
