@@ -561,6 +561,34 @@ object Shapes {
         .orderBy(col("cnt").desc, col("user_id"))
     }),
 
+    // Partition-level snapshot diff — the incremental-recompute primitive
+    // built on q_table_checksum: given two versions of a table, find WHICH
+    // partitions changed so a 100 TB pipeline recomputes only those. Both
+    // versions' checksums come from ONE scan (the older snapshot is the
+    // deterministic row subset l_orderkey % 97 ≠ 0, so version membership
+    // is a per-row predicate and the diff is two conditional sums in the
+    // same map-side-combined aggregate — never two passes, never a join
+    // of two scans). Output: per ship-month, both checksums + row counts
+    // and the changed verdict; at real scale the month key is the
+    // physical partition and the changed list drives partition-pruned
+    // recompute.
+    "q_partition_diff" -> ((s, d) => {
+      val h = conv(substring(md5(encode(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")), "UTF-8")),
+          1, 10), 16, 10).cast("decimal(38,0)")
+      val inOld = col("l_orderkey") % 97 =!= 0
+      t(s, d, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("p_month"))
+        .agg(sum(when(inOld, h).otherwise(lit(0))).as("checksum_old"),
+          sum(h).as("checksum_new"),
+          sum(when(inOld, 1L).otherwise(0L)).as("rows_old"),
+          count(lit(1)).as("rows_new"))
+        .withColumn("changed",
+          col("checksum_old") =!= col("checksum_new") ||
+            col("rows_old") =!= col("rows_new"))
+        .orderBy(col("p_month"))
+    }),
+
     // Bloom-filter semi-join reduction — the shuffle-avoidance primitive
     // for selective fact⋈dim joins at 100 TB: build a Bloom filter over
     // the dim's join keys (one small driver job, like Spark's own
@@ -849,6 +877,23 @@ object Shapes {
       """SELECT user_id, COUNT(*) AS cnt, TRUE AS cms_ok
         |FROM events GROUP BY 1
         |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+
+    "q_partition_diff" -> {
+      val h = sqlMd5Slice10(
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
+      s"""SELECT date_trunc('month', l_shipdate) AS p_month,
+         |  CAST(SUM(CASE WHEN l_orderkey % 97 <> 0 THEN $h ELSE 0 END)
+         |    AS DECIMAL(38,0)) AS checksum_old,
+         |  CAST(SUM($h) AS DECIMAL(38,0)) AS checksum_new,
+         |  CAST(SUM(CASE WHEN l_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS rows_old,
+         |  COUNT(*) AS rows_new,
+         |  (CAST(SUM(CASE WHEN l_orderkey % 97 <> 0 THEN $h ELSE 0 END)
+         |     AS DECIMAL(38,0)) <> CAST(SUM($h) AS DECIMAL(38,0))
+         |   OR CAST(SUM(CASE WHEN l_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
+         |     AS BIGINT) <> COUNT(*)) AS changed
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // The Bloom pre-filter is invisible to semantics: the oracle is the
     // PLAIN join (no false negatives; positives die in the hash join).

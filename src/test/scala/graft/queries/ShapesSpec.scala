@@ -353,6 +353,24 @@ class ShapesSpec extends SparkSpec {
     assert(pruned === plain, "Bloom pre-filter must be semantically invisible")
   }
 
+  test("q_partition_diff computes both snapshots' checksums from ONE scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qe = run("q_partition_diff").queryExecution
+    val scans = qe.sparkPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length === 1, "snapshot diff must not scan the table twice")
+    // every month with deleted rows is flagged; months without, not
+    import org.apache.spark.sql.functions._
+    val rows = run("q_partition_diff").collect()
+    val deletedMonths = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(date_trunc("month", col("l_shipdate"))).distinct()
+      .collect().map(_.getTimestamp(0)).toSet
+    rows.foreach { r =>
+      assert(r.getBoolean(5) === deletedMonths.contains(r.getTimestamp(0)),
+        s"changed flag wrong for ${r.getTimestamp(0)}")
+    }
+  }
+
   test("q_bloom_prune applies the membership filter below the join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val lp = run("q_bloom_prune").queryExecution.optimizedPlan
