@@ -561,6 +561,40 @@ object Shapes {
         .orderBy(col("cnt").desc, col("user_id"))
     }),
 
+    // Sliding-window distinct users — the time-series face of sketch
+    // reaggregation (q_hll_union is the group-by face): exact distincts
+    // cannot be merged across windows, so at 100 TB the daily HLL sketch
+    // is the ONLY per-day state kept and every trailing 7-day window is a
+    // union of 7 sketches. No non-equi join anywhere: each day's sketch
+    // (and each distinct (day,user) pair for the exact twin) EXPLODES to
+    // the ≤7 windows it feeds via sequence(), then it's equi-joins and
+    // map-side-combined aggregates all the way down; the window list is
+    // semi-joined against observed days so partial leading windows match
+    // the oracle's BETWEEN semantics. Estimate vs exact pinned in-row.
+    "q_sliding_distinct" -> ((s, d) => {
+      val bound = 0.05
+      val ev = t(s, d, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val days = ev.select(col("day")).distinct().select(col("day").as("w"))
+      val wExpr = explode(expr(
+        "sequence(day, day + interval 6 days, interval 1 day)")).as("w")
+      val apx = ev.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .select(col("sk"), wExpr)
+        .join(broadcast(days), Seq("w"), "left_semi")
+        .groupBy(col("w"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("apx"))
+      val exact = ev.distinct()
+        .select(col("user_id"), wExpr)
+        .join(broadcast(days), Seq("w"), "left_semi")
+        .groupBy(col("w")).agg(countDistinct(col("user_id")).as("nd_users"))
+      exact.join(apx, "w")
+        .select(col("w").as("window_day"), col("nd_users"),
+          (abs(col("apx") - col("nd_users")) <=
+            col("nd_users") * bound).as("apx_ok"))
+        .orderBy(col("window_day"))
+    }),
+
     // Partition-level snapshot diff — the incremental-recompute primitive
     // built on q_table_checksum: given two versions of a table, find WHICH
     // partitions changed so a 100 TB pipeline recomputes only those. Both
@@ -877,6 +911,19 @@ object Shapes {
       """SELECT user_id, COUNT(*) AS cnt, TRUE AS cms_ok
         |FROM events GROUP BY 1
         |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+
+    // Exact trailing-window distincts are the hash target; the merged-
+    // sketch estimate is the in-row boolean, pinned TRUE.
+    "q_sliding_distinct" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM pairs)
+        |SELECT d.day AS window_day,
+        |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS nd_users,
+        |  TRUE AS apx_ok
+        |FROM days d
+        |JOIN pairs p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_partition_diff" -> {
       val h = sqlMd5Slice10(

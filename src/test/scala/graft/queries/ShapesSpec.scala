@@ -353,6 +353,24 @@ class ShapesSpec extends SparkSpec {
     assert(pruned === plain, "Bloom pre-filter must be semantically invisible")
   }
 
+  test("q_sliding_distinct: equi-joins only, first window equals day-1 distinct") {
+    val p = plan("q_sliding_distinct")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "window fan-out must be explode + equi-join, not a range join:\n" + p)
+    import org.apache.spark.sql.functions._
+    val rows = run("q_sliding_distinct").collect()
+    assert(rows.forall(_.getBoolean(2)), "sketch estimate escaped the bound")
+    // the earliest window has no history: it must equal that day's distinct
+    val first = rows.minBy(_.getTimestamp(0).getTime)
+    val day1 = graft.Tables.load(spark, sf, "events")
+      .filter(date_trunc("day", col("ts")) === first.getTimestamp(0))
+      .select(col("user_id")).distinct().count()
+    assert(first.getLong(1) === day1)
+    // trailing windows are supersets of their newest day
+    assert(rows.map(_.getLong(1)).max >= day1)
+  }
+
   test("q_partition_diff computes both snapshots' checksums from ONE scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val qe = run("q_partition_diff").queryExecution
