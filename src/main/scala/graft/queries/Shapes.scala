@@ -549,16 +549,23 @@ object Shapes {
       val row = ev.agg(
         expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").as("sk"),
         count(lit(1)).as("n")).head()
-      val cms = CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
-      val slack = math.ceil(eps * row.getLong(1)).toLong
-      val est = udf((uid: Long) => cms.estimateCount(uid))
-      ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("user_id")).limit(10)
-        .withColumn("e", est(col("user_id")))
-        .select(col("user_id"), col("cnt"),
-          (col("e") >= col("cnt") && col("e") <= col("cnt") + slack).as("cms_ok"))
-        .orderBy(col("cnt").desc, col("user_id"))
+      if (row.isNullAt(0)) {
+        // empty shard: the sketch aggregate yields NULL — degrade to an
+        // empty scoreboard (the EmptyInputSpec contract), same schema
+        import s.implicits._
+        Seq.empty[(Long, Long, Boolean)].toDF("user_id", "cnt", "cms_ok")
+      } else {
+        val cms = CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+        val slack = math.ceil(eps * row.getLong(1)).toLong
+        val est = udf((uid: Long) => cms.estimateCount(uid))
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("user_id")).limit(10)
+          .withColumn("e", est(col("user_id")))
+          .select(col("user_id"), col("cnt"),
+            (col("e") >= col("cnt") && col("e") <= col("cnt") + slack).as("cms_ok"))
+          .orderBy(col("cnt").desc, col("user_id"))
+      }
     }),
 
     // Sliding-window distinct users — the time-series face of sketch

@@ -20,7 +20,17 @@ class EmptyInputSpec extends SparkSpec {
         "q_vocab_build", "q_dup_spans", "q_bpe_step",
         "q_bpe_train", "q_bpe_encode", "q_unicode_clean",
         "q_incremental_dedup", "q_oov_rate", "q_group_cap",
-        "q_entropy", "q_containment", "q_weighted_sample").foreach { q =>
+        "q_entropy", "q_containment", "q_weighted_sample",
+        "q_inverted_index", "q_quality_quantile").foreach { q =>
+      assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
+    }
+  }
+
+  test("event operators degrade to empty results on an empty events shard") {
+    val dir = tmpDir("empty-ev")
+    Tables.load(spark, sf, "events").limit(0)
+      .write.parquet(s"$dir/events.parquet")
+    Seq("q_heavy_hitters", "q_sliding_distinct").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
