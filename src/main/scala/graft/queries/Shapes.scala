@@ -630,6 +630,35 @@ object Shapes {
         .orderBy(col("p_month"))
     }),
 
+    // Incremental aggregate maintenance — the APPLY half of
+    // q_partition_diff's detect half: given the stored per-month rollup
+    // of the old snapshot and the list of changed months, rebuild ONLY
+    // the changed months from the new data and carry every other month's
+    // row forward untouched. The changed list is tiny and broadcast;
+    // unchanged months never touch the fact again (LEFT ANTI against the
+    // stored rollup), so at 100 TB the recompute scan is pruned to the
+    // delta partitions. The oracle is the FULL recompute — incremental
+    // maintenance is only correct if it is indistinguishable from it
+    // (exact decimal sums make the carried-forward rows bit-identical).
+    "q_incremental_agg" -> ((s, d) => {
+      val isNewRow = col("l_orderkey") % 97 === 0
+      val liM = t(s, d, "lineitem")
+        .withColumn("p_month", date_trunc("month", col("l_shipdate")))
+      val changed = liM.filter(isNewRow).select(col("p_month")).distinct()
+      // stands in for the STORED materialized rollup of the old snapshot
+      val oldAgg = liM.filter(!isNewRow)
+        .groupBy(col("p_month"))
+        .agg(Num.dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+      val recomputed = liM.join(broadcast(changed), "p_month")
+        .groupBy(col("p_month"))
+        .agg(Num.dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+      oldAgg.join(broadcast(changed), Seq("p_month"), "left_anti")
+        .unionByName(recomputed)
+        .orderBy(col("p_month"))
+    }),
+
     // Bloom-filter semi-join reduction — the shuffle-avoidance primitive
     // for selective fact⋈dim joins at 100 TB: build a Bloom filter over
     // the dim's join keys (one small driver job, like Spark's own
@@ -948,6 +977,14 @@ object Shapes {
          |     AS BIGINT) <> COUNT(*)) AS changed
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // The oracle is the full recompute over the new snapshot — the
+    // incremental path must be indistinguishable from it.
+    "q_incremental_agg" ->
+      s"""SELECT date_trunc('month', l_shipdate) AS p_month,
+         |  ${Num.sqlDsum("l_extendedprice")} AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The Bloom pre-filter is invisible to semantics: the oracle is the
     // PLAIN join (no false negatives; positives die in the hash join).

@@ -389,6 +389,25 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_incremental_agg: detect and apply halves agree; unchanged months carried verbatim") {
+    import org.apache.spark.sql.functions._
+    val diff = run("q_partition_diff").collect()
+      .map(r => r.getTimestamp(0) -> r.getBoolean(5)).toMap
+    val inc = run("q_incremental_agg").collect()
+      .map(r => r.getTimestamp(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(inc.keySet === diff.keySet, "both halves must cover the same months")
+    // the old stored rollup, recomputed independently
+    val old = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 97 =!= 0)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(graft.Num.dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    diff.foreach { case (m, changed) =>
+      if (changed) assert(inc(m) !== old(m), s"$m flagged changed but not rebuilt")
+      else assert(inc(m) === old(m), s"$m not carried verbatim from the rollup")
+    }
+  }
+
   test("q_bloom_prune applies the membership filter below the join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val lp = run("q_bloom_prune").queryExecution.optimizedPlan
