@@ -127,6 +127,30 @@ object Sampling {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-scaled language mixing — the α<1 generalization of
+    // q_domain_mix's equal-count rule (α=1): keep-rate per language is
+    // (min/c)^α, so smaller languages are up-weighted but the size
+    // ordering survives — expected kept mass per language is c^(1-α)·m^α
+    // (for α=0.5, the geometric mean of the language size and the
+    // smallest language). This is the standard multilingual-pretraining
+    // rebalance; same broadcast-stats + deterministic per-doc hash draw
+    // as the α=1 rule, so membership is reproducible across rebuilds
+    // and pure map work after two tiny aggregates.
+    "q_temperature_mix" -> ((s, d) => {
+      val alpha = 0.5
+      val docs = Tables.load(s, d, "documents")
+      val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val m = cnts.agg(min(col("c")).as("m"))
+      docs.join(broadcast(cnts), "lang")
+        .crossJoin(broadcast(m))
+        .withColumn("rate",
+          pow(col("m").cast("double") / col("c").cast("double"), lit(alpha)))
+        .withColumn("u", hashUniform("doc_id"))
+        .filter(col("u") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("rate"), col("u"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-group HARD cap: at most CapK docs per language, chosen by the
     // deterministic hash order (an unbiased, backfill-stable draw — the
     // "no more than N per domain" curation rule, where q_domain_mix is
@@ -208,6 +232,16 @@ object Sampling {
          |m AS (SELECT MIN(c) AS m FROM cnts),
          |b AS (SELECT d.doc_id, d.lang,
          |  CAST(m.m AS DOUBLE) / CAST(cnts.c AS DOUBLE) AS rate,
+         |  CAST(${sqlBucket("d.doc_id")} AS DOUBLE) / 4294967296.0 AS u
+         |FROM documents d JOIN cnts USING (lang), m)
+         |SELECT doc_id, lang, rate, u FROM b
+         |WHERE u < rate ORDER BY doc_id""".stripMargin,
+
+    "q_temperature_mix" ->
+      s"""WITH cnts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+         |m AS (SELECT MIN(c) AS m FROM cnts),
+         |b AS (SELECT d.doc_id, d.lang,
+         |  POWER(CAST(m.m AS DOUBLE) / CAST(cnts.c AS DOUBLE), 0.5) AS rate,
          |  CAST(${sqlBucket("d.doc_id")} AS DOUBLE) / 4294967296.0 AS u
          |FROM documents d JOIN cnts USING (lang), m)
          |SELECT doc_id, lang, rate, u FROM b

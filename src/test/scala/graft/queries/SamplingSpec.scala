@@ -39,4 +39,24 @@ class SamplingSpec extends SparkSpec {
     assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
       sampled.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("temperature mix (α=0.5) keeps a superset of the equal-count mix (α=1)") {
+    // same per-doc hash draw, larger rate (m/c ≤ 1 ⇒ (m/c)^0.5 ≥ m/c):
+    // every α=1 pick must survive at α=0.5, and the smallest language is
+    // kept whole under both (rate = 1)
+    val hot = graft.SparkEntry.queries("q_temperature_mix")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val eq = graft.SparkEntry.queries("q_domain_mix")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(eq.subsetOf(hot), "α=1 picks lost at α=0.5")
+    assert(hot.size > eq.size, "temperature must keep strictly more overall")
+    // size ordering survives α=0.5 in expectation: the largest language
+    // keeps at least as many docs as the smallest keeps in total
+    val byLang = graft.SparkEntry.queries("q_temperature_mix")(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val base = Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val smallest = base.minBy(_._2)._1
+    assert(byLang(smallest) == base(smallest), "smallest language must be kept whole")
+  }
 }
