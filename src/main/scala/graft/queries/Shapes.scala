@@ -619,10 +619,14 @@ object Shapes {
           1, 10), 16, 10).cast("decimal(38,0)")
       val inOld = col("l_orderkey") % 97 =!= 0
       t(s, d, "lineitem")
-        .groupBy(date_trunc("month", col("l_shipdate")).as("p_month"))
-        .agg(sum(when(inOld, h).otherwise(lit(0))).as("checksum_old"),
-          sum(h).as("checksum_new"),
-          sum(when(inOld, 1L).otherwise(0L)).as("rows_old"),
+        // project the hash ONCE below the aggregate — inlining `h` into
+        // both conditional sums would md5 every row twice
+        .select(date_trunc("month", col("l_shipdate")).as("p_month"),
+          h.as("h"), inOld.as("in_old"))
+        .groupBy(col("p_month"))
+        .agg(sum(when(col("in_old"), col("h")).otherwise(lit(0))).as("checksum_old"),
+          sum(col("h")).as("checksum_new"),
+          sum(when(col("in_old"), 1L).otherwise(0L)).as("rows_old"),
           count(lit(1)).as("rows_new"))
         .withColumn("changed",
           col("checksum_old") =!= col("checksum_new") ||
