@@ -531,6 +531,41 @@ object Shapes {
       e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }),
 
+    // Bounded-depth BFS reachability — the traversal member of the graph
+    // family (PageRank = authority, components = partition, triangles =
+    // cohesion): how many nodes sit at hop-distance 0/1/2 from a seed
+    // set on the undirected co-purchase graph. Each hop is one
+    // frontier⋈edges equi-join plus LEFT ANTI de-visits — the standard
+    // distributed BFS round, shuffles keyed on node ids and the frontier
+    // only ever holds one hop's nodes. At 100 TB the same loop runs to
+    // depth k with the visited set as the only growing state (and the
+    // Graph.truncate checkpoint idiom bounds its lineage).
+    "q_bfs_reach" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e0 = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val seeds = und.select(col("a").as("n")).distinct()
+        .filter(col("n") % 100 === 0)
+      val d1 = und.join(seeds.select(col("n").as("a")), "a")
+        .select(col("b").as("n")).distinct()
+        .join(seeds, Seq("n"), "left_anti")
+      val d2 = und.join(d1.select(col("n").as("a")), "a")
+        .select(col("b").as("n")).distinct()
+        .join(seeds.unionByName(d1), Seq("n"), "left_anti")
+      seeds.select(lit(0L).as("depth"), col("n"))
+        .unionByName(d1.select(lit(1L).as("depth"), col("n")))
+        .unionByName(d2.select(lit(2L).as("depth"), col("n")))
+        .groupBy(col("depth")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("depth"))
+    }),
+
     // Heavy hitters via count-min sketch — the frequency member of the
     // mergeable-sketch family (q_hll_union is the cardinality member):
     // one codegen'd partial+final count_min_sketch aggregate over the
@@ -944,6 +979,27 @@ object Shapes {
         |  (SELECT COUNT(*)
         |   FROM e ab JOIN e bc ON ab.b = bc.a
         |   JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles""".stripMargin,
+
+    "q_bfs_reach" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |    AND l_shipdate < TIMESTAMP '2001-01-01'),
+        |e0 AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |seeds AS (SELECT DISTINCT a AS n FROM und WHERE a % 100 = 0),
+        |d1 AS (
+        |  SELECT DISTINCT b AS n FROM und JOIN seeds ON und.a = seeds.n
+        |  WHERE b NOT IN (SELECT n FROM seeds)),
+        |d2 AS (
+        |  SELECT DISTINCT b AS n FROM und JOIN d1 ON und.a = d1.n
+        |  WHERE b NOT IN (SELECT n FROM seeds) AND b NOT IN (SELECT n FROM d1))
+        |SELECT CAST(0 AS BIGINT) AS depth, COUNT(*) AS n_nodes FROM seeds
+        |UNION ALL SELECT 1, COUNT(*) FROM d1
+        |UNION ALL SELECT 2, COUNT(*) FROM d2
+        |ORDER BY depth""".stripMargin,
 
     // Exact top-10 is the hash target; the sketch bound is the in-row
     // boolean, pinned TRUE (same convention as q_hll_union).

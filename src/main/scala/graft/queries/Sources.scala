@@ -169,6 +169,38 @@ object Sources {
         .orderBy(col("purchase_id"))
     }),
 
+    // NEAREST-event join — the bidirectional generalization of the
+    // backward-only as-of: each purchase is enriched with whichever
+    // click (before or after, same user) is closest in time, ties to
+    // the backward side. Both directions come from the SAME sorted
+    // window pass (one shuffle on user_id, two framed aggregates) —
+    // never a time-band self-join, so the cost is one sort-based window
+    // regardless of event density; the microsecond diffs are integer
+    // arithmetic, so the tie decision is engine-exact.
+    "q_asof_nearest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickId = when(col("event_type") === "click", col("event_id"))
+      val clickTs = when(col("event_type") === "click", col("ts"))
+      val pd = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+      val nd = unix_micros(col("next_ts")) - unix_micros(col("ts"))
+      val takePrev = col("next_ts").isNull ||
+        (col("prev_ts").isNotNull && pd <= nd)
+      t(s, d, "events")
+        .withColumn("prev_id", last(clickId, ignoreNulls = true).over(wb))
+        .withColumn("prev_ts", last(clickTs, ignoreNulls = true).over(wb))
+        .withColumn("next_id", first(clickId, ignoreNulls = true).over(wf))
+        .withColumn("next_ts", first(clickTs, ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(takePrev, col("prev_id")).otherwise(col("next_id"))
+            .as("nearest_click_id"),
+          when(takePrev, pd).otherwise(nd).as("diff_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // Funnel analysis: view → click → purchase per user, each stage's
     // timestamp being the FIRST qualifying event strictly after the prior
     // stage (the standard ordered-funnel semantics). Three conditional
@@ -468,6 +500,39 @@ object Sources {
         |  last_click_id, CAST(last_click_ts AS TIMESTAMP) AS last_click_ts
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+
+    // Same (ts, event_id) total order as Spark's window; integer
+    // microsecond diffs make the tie decision engine-exact.
+    "q_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS prev_id,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS prev_ts,
+        |    FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id,
+        |    FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+        |  FROM ev),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, prev_id, next_id,
+        |    epoch_us(ts) - epoch_us(prev_ts) AS pd,
+        |    epoch_us(next_ts) - epoch_us(ts) AS nd,
+        |    (next_ts IS NULL OR (prev_ts IS NOT NULL
+        |       AND epoch_us(ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts)))
+        |      AS take_prev
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN take_prev THEN prev_id ELSE next_id END AS nearest_click_id,
+        |  CASE WHEN take_prev THEN pd ELSE nd END AS diff_us
+        |FROM p ORDER BY purchase_id""".stripMargin,
 
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -68,6 +68,12 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("q_asof_nearest is join-free: both directions from one user_id shuffle") {
+    val p = plan("q_asof_nearest")
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("q_join_banded turns the proximity predicate into a bucket equi-join (no BNLJ)") {
     val p = plan("q_join_banded")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

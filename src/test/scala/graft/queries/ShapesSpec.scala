@@ -322,6 +322,30 @@ class ShapesSpec extends SparkSpec {
     assert(row.getLong(1) === tris.toLong, "triangle count")
   }
 
+  test("q_bfs_reach matches a brute-force BFS on the collected graph") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_bfs_reach").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent BFS in memory
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pairs: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct
+      for (x <- ps; y <- ps if x != y) yield (x, y)
+    }.toSet
+    val adj: Map[Long, Set[Long]] =
+      pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val seeds = adj.keySet.filter(_ % 100 == 0)
+    val d1 = seeds.flatMap(adj(_)) -- seeds
+    val d2 = d1.flatMap(adj(_)) -- seeds -- d1
+    assert(rows(0L) === seeds.size.toLong)
+    assert(rows(1L) === d1.size.toLong)
+    assert(rows(2L) === d2.size.toLong)
+  }
+
   test("q_heavy_hitters: every top key inside the one-sided CMS bound, exact counts exact") {
     import org.apache.spark.sql.functions._
     val rows = run("q_heavy_hitters").collect()

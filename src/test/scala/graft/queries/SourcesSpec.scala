@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Semantics checks for the event-sourced queries (Sources.scala) at
+  * sf0.001. Value-level correctness is the DuckDB oracle's job; these
+  * verify invariants against independent in-memory recomputations. */
+class SourcesSpec extends SparkSpec {
+
+  test("q_asof_nearest picks the true minimum |Δt| click, ties backward") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    val rows = SparkEntry.queries("q_asof_nearest")(spark, sf).collect()
+    val purchases = ev.filter(_._4 == "purchase")
+      .map(e => e._1 -> e).toMap
+    assert(rows.length === purchases.size)
+    rows.foreach { r =>
+      val (_, user, pUs, _) = purchases(r.getLong(0))
+      clicksByUser.get(user) match {
+        case None =>
+          assert(r.isNullAt(2), "no clicks for user ⇒ null nearest")
+        case Some(clicks) =>
+          val best = clicks.map(c => math.abs(pUs - c._3)).min
+          assert(r.getLong(3) === best,
+            s"purchase ${r.getLong(0)}: diff ${r.getLong(3)} != min $best")
+          // tie rule: if a backward click achieves the min, the chosen id
+          // must be a backward one
+          val backAtMin = clicks.exists(c => c._3 <= pUs && pUs - c._3 == best)
+          if (backAtMin) {
+            val chosenUs = clicks.find(_._1 == r.getLong(2)).map(_._3)
+            assert(chosenUs.exists(_ <= pUs), "tie must resolve backward")
+          }
+      }
+    }
+  }
+}
