@@ -669,6 +669,49 @@ object Shapes {
         .orderBy(col("p_month"))
     }),
 
+    // Row-level change-data capture — the row-grain companion to the
+    // partition-grain q_partition_diff: a FULL OUTER join of two
+    // snapshots on the primary key classifies every row as added /
+    // removed / changed / unchanged, the feed a downstream MERGE
+    // consumes. Snapshots are derived deterministically (old lacks
+    // l_orderkey%97=0 and drifts l_quantity by +1 where l_partkey%101=0;
+    // new lacks l_orderkey%89=0), so all four classes actually occur.
+    // Scale shape: both sides are key-projected before the join, the
+    // join is the ONE key-partitioned shuffle (at 100 TB: bucket both
+    // snapshots on the key at write time and it collapses to a zipped
+    // scan), and the value compare is per-row — never a second pass.
+    "q_cdc_rows" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      // CDC compares KEYED snapshots: (orderkey, partkey, suppkey) is not
+      // physically unique in this data, so each snapshot aggregates to
+      // the key first (exact decimal sums) — the join is then 1:1 by
+      // construction, which is what a MERGE consumer requires anyway
+      def snap(pred: org.apache.spark.sql.Column,
+               qty: org.apache.spark.sql.Column, tag: String) =
+        li.filter(pred)
+          .groupBy(col("l_orderkey").as(s"ok_$tag"),
+            col("l_partkey").as(s"pk_$tag"), col("l_suppkey").as(s"sk_$tag"))
+          .agg(sum(qty.cast(graft.Num.Dec)).as(s"q_$tag"),
+            min(col("l_shipdate")).as(s"sd_$tag"))
+      val old = snap(col("l_orderkey") % 97 =!= 0,
+        when(col("l_partkey") % 101 === 0, col("l_quantity") + 1)
+          .otherwise(col("l_quantity")), "old")
+      val nw = snap(col("l_orderkey") % 89 =!= 0, col("l_quantity"), "new")
+      old.join(nw, col("ok_old") === col("ok_new") &&
+          col("pk_old") === col("pk_new") && col("sk_old") === col("sk_new"),
+          "full_outer")
+        .select(
+          date_trunc("month", coalesce(col("sd_new"), col("sd_old")))
+            .as("p_month"),
+          when(col("ok_old").isNull, lit("added"))
+            .when(col("ok_new").isNull, lit("removed"))
+            .when(col("q_old") =!= col("q_new"), lit("changed"))
+            .otherwise(lit("unchanged")).as("change_class"))
+        .groupBy(col("p_month"), col("change_class"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("p_month"), col("change_class"))
+    }),
+
     // Incremental aggregate maintenance — the APPLY half of
     // q_partition_diff's detect half: given the stored per-month rollup
     // of the old snapshot and the list of changed months, rebuild ONLY
@@ -1037,6 +1080,30 @@ object Shapes {
          |     AS BIGINT) <> COUNT(*)) AS changed
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q_cdc_rows" ->
+      """WITH old AS (
+        |  SELECT l_orderkey AS ok_old, l_partkey AS pk_old,
+        |    l_suppkey AS sk_old,
+        |    SUM(CAST(CASE WHEN l_partkey % 101 = 0 THEN l_quantity + 1
+        |             ELSE l_quantity END AS DECIMAL(18,6))) AS q_old,
+        |    MIN(l_shipdate) AS sd_old
+        |  FROM lineitem WHERE l_orderkey % 97 <> 0 GROUP BY 1, 2, 3),
+        |nw AS (
+        |  SELECT l_orderkey AS ok_new, l_partkey AS pk_new,
+        |    l_suppkey AS sk_new,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS q_new,
+        |    MIN(l_shipdate) AS sd_new
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0 GROUP BY 1, 2, 3)
+        |SELECT date_trunc('month', COALESCE(sd_new, sd_old)) AS p_month,
+        |  CASE WHEN ok_old IS NULL THEN 'added'
+        |       WHEN ok_new IS NULL THEN 'removed'
+        |       WHEN q_old <> q_new THEN 'changed'
+        |       ELSE 'unchanged' END AS change_class,
+        |  COUNT(*) AS n_rows
+        |FROM old FULL OUTER JOIN nw
+        |  ON ok_old = ok_new AND pk_old = pk_new AND sk_old = sk_new
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The oracle is the full recompute over the new snapshot — the
     // incremental path must be indistinguishable from it.

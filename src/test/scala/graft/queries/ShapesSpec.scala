@@ -413,6 +413,28 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_cdc_rows: class totals partition the key universe correctly") {
+    import org.apache.spark.sql.functions._
+    val byClass = run("q_cdc_rows").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    // the classifier works at KEY grain: snapshot filters are
+    // orderkey-level and the drift is partkey-level, so expected class
+    // sizes are distinct-key counts under those predicates
+    val keys = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")).distinct()
+    def cnt(c: org.apache.spark.sql.Column) = keys.filter(c).count()
+    val added = cnt(col("l_orderkey") % 97 === 0 && col("l_orderkey") % 89 =!= 0)
+    val removed = cnt(col("l_orderkey") % 89 === 0 && col("l_orderkey") % 97 =!= 0)
+    val changed = cnt(col("l_orderkey") % 97 =!= 0 && col("l_orderkey") % 89 =!= 0 &&
+      col("l_partkey") % 101 === 0)
+    assert(byClass("added") === added)
+    assert(byClass("removed") === removed)
+    assert(byClass("changed") === changed)
+    // every key in at least one snapshot is classified exactly once
+    val inEither = cnt(col("l_orderkey") % 97 =!= 0 || col("l_orderkey") % 89 =!= 0)
+    assert(byClass.values.sum === inEither)
+  }
+
   test("q_incremental_agg: detect and apply halves agree; unchanged months carried verbatim") {
     import org.apache.spark.sql.functions._
     val diff = run("q_partition_diff").collect()
