@@ -669,6 +669,45 @@ object Shapes {
         .orderBy(col("p_month"))
     }),
 
+    // Declarative data-quality gate — the constraint checker a pipeline
+    // runs before promoting a snapshot: completeness (no null keys),
+    // range bounds, enum domain, key uniqueness, and referential
+    // integrity, each reported as (constraint, metric, ok). Scale shape:
+    // all lineitem-local constraints fold into ONE map-side-combined
+    // aggregate over one scan; uniqueness is a two-level distinct on the
+    // orders key; the FK check is a LEFT ANTI count against the
+    // broadcast-ineligible orders key set (key-partitioned shuffle, the
+    // same cost class as the join the FK protects). One violated
+    // constraint anywhere flips exactly its own row — the gate never
+    // aborts the scan that feeds it.
+    "q_constraint_check" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      val liAgg = li.agg(
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nulls"),
+        min(col("l_quantity")).as("qmin"), max(col("l_quantity")).as("qmax"),
+        sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L))
+          .as("bad_enum")).head()
+      val uniq = ord.agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("nd")).head()
+      val orphans = li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+      import s.implicits._
+      Seq(
+        ("completeness_l_orderkey", liAgg.getLong(0).toDouble,
+          liAgg.getLong(0) == 0L),
+        ("enum_l_returnflag", liAgg.getLong(3).toDouble,
+          liAgg.getLong(3) == 0L),
+        ("fk_lineitem_orders", orphans.toDouble, orphans == 0L),
+        ("range_l_quantity_max", liAgg.getDouble(2), liAgg.getDouble(2) <= 50.0),
+        ("range_l_quantity_min", liAgg.getDouble(1), liAgg.getDouble(1) >= 1.0),
+        ("unique_o_orderkey", uniq.getLong(1).toDouble,
+          uniq.getLong(0) == uniq.getLong(1)))
+        .toDF("check_name", "metric", "ok")
+        .orderBy(col("check_name"))
+    }),
+
     // Row-level change-data capture — the row-grain companion to the
     // partition-grain q_partition_diff: a FULL OUTER join of two
     // snapshots on the primary key classifies every row as added /
@@ -1080,6 +1119,34 @@ object Shapes {
          |     AS BIGINT) <> COUNT(*)) AS changed
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q_constraint_check" ->
+      """SELECT 'completeness_l_orderkey' AS check_name,
+        |  CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+        |    AS DOUBLE) AS metric,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) = 0 AS ok
+        |UNION ALL SELECT 'enum_l_returnflag',
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |        WHERE l_returnflag NOT IN ('A','N','R')) AS DOUBLE),
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_returnflag NOT IN ('A','N','R')) = 0
+        |UNION ALL SELECT 'fk_lineitem_orders',
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    AS DOUBLE),
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+        |UNION ALL SELECT 'range_l_quantity_max',
+        |  (SELECT MAX(l_quantity) FROM lineitem),
+        |  (SELECT MAX(l_quantity) FROM lineitem) <= 50.0
+        |UNION ALL SELECT 'range_l_quantity_min',
+        |  (SELECT MIN(l_quantity) FROM lineitem),
+        |  (SELECT MIN(l_quantity) FROM lineitem) >= 1.0
+        |UNION ALL SELECT 'unique_o_orderkey',
+        |  CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS DOUBLE),
+        |  (SELECT COUNT(*) FROM orders) =
+        |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+        |ORDER BY check_name""".stripMargin,
 
     "q_cdc_rows" ->
       """WITH old AS (

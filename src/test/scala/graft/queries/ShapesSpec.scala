@@ -413,6 +413,35 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_constraint_check: clean data passes all six; seeded violations flip exactly their rows") {
+    import org.apache.spark.sql.functions._
+    val clean = run("q_constraint_check").collect()
+    assert(clean.length === 6)
+    assert(clean.forall(_.getBoolean(2)), "driver testdata must satisfy the gate")
+    // stage a corrupted snapshot: a null key, a bad enum, an out-of-range
+    // quantity, an orphaned FK row, and a duplicated orders key
+    val dir = tmpDir("constraints")
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    val corrupt = li.limit(1)
+      .withColumn("l_orderkey", lit(null).cast("long"))
+      .unionByName(li.limit(1).withColumn("l_returnflag", lit("X")))
+      .unionByName(li.limit(1).withColumn("l_quantity", lit(99.0)))
+      .unionByName(li.limit(1).withColumn("l_orderkey", lit(999999999L)))
+    li.unionByName(corrupt).write.parquet(s"$dir/lineitem.parquet")
+    val ord = graft.Tables.load(spark, sf, "orders")
+    ord.unionByName(ord.limit(1)).write.parquet(s"$dir/orders.parquet")
+    val dirty = SparkEntry.queries("q_constraint_check")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(!dirty("completeness_l_orderkey")._2)
+    assert(dirty("completeness_l_orderkey")._1 === 1.0)
+    assert(!dirty("enum_l_returnflag")._2)
+    assert(!dirty("range_l_quantity_max")._2)
+    assert(dirty("range_l_quantity_max")._1 === 99.0)
+    assert(!dirty("fk_lineitem_orders")._2)
+    assert(!dirty("unique_o_orderkey")._2)
+    assert(dirty("range_l_quantity_min")._2, "min bound must stay green")
+  }
+
   test("q_cdc_rows: class totals partition the key universe correctly") {
     import org.apache.spark.sql.functions._
     val byClass = run("q_cdc_rows").collect()
