@@ -669,6 +669,33 @@ object Shapes {
         .orderBy(col("p_month"))
     }),
 
+    // 2-D skyline (Pareto frontier): parts no other part beats on BOTH
+    // price and size. The O(N²) NOT-EXISTS self-join collapses to sort
+    // algebra: per price group take the min size, then a prefix-min over
+    // price-ascending groups — a row survives iff no strictly-cheaper
+    // group reaches its size (minStrict ≤ sz kills it) and nothing in
+    // its own group is strictly smaller (gmin < sz kills it). Equal
+    // (price, size) pairs are mutually non-dominating and both survive,
+    // matching the oracle's strict-dominance NOT EXISTS. The prefix-min
+    // window here is dimension-sized; at fact scale, range-partition by
+    // price, take per-partition minima, and broadcast the prefix minima
+    // of partition boundaries — the same algebra, one narrow pass.
+    "q_skyline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, d, "part").select(col("p_partkey"),
+        col("p_retailprice").as("price"), col("p_size").cast("long").as("sz"))
+      val byPrice = p.groupBy(col("price").as("gp"))
+        .agg(min(col("sz")).as("gmin"))
+      val wg = Window.orderBy(col("gp"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val strict = byPrice.withColumn("min_strict", min(col("gmin")).over(wg))
+      p.join(strict, col("price") === col("gp"))
+        .filter(!(coalesce(col("min_strict") <= col("sz"), lit(false)) ||
+          col("gmin") < col("sz")))
+        .select(col("p_partkey"), col("price"), col("sz"))
+        .orderBy(col("price"), col("sz"), col("p_partkey"))
+    }),
+
     // Declarative data-quality gate — the constraint checker a pipeline
     // runs before promoting a snapshot: completeness (no null keys),
     // range bounds, enum domain, key uniqueness, and referential
@@ -1119,6 +1146,19 @@ object Shapes {
          |     AS BIGINT) <> COUNT(*)) AS changed
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // Strict-dominance NOT EXISTS — the quadratic reference semantics
+    // the sort-algebra plan must reproduce exactly.
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice AS price, CAST(p_size AS BIGINT) AS sz
+        |FROM part p1
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part p2
+        |  WHERE p2.p_retailprice <= p1.p_retailprice
+        |    AND p2.p_size <= p1.p_size
+        |    AND (p2.p_retailprice < p1.p_retailprice
+        |         OR p2.p_size < p1.p_size))
+        |ORDER BY price, sz, p_partkey""".stripMargin,
 
     "q_constraint_check" ->
       """SELECT 'completeness_l_orderkey' AS check_name,

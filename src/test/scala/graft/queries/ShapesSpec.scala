@@ -413,6 +413,24 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_skyline: sort-algebra frontier equals brute-force strict dominance; no quadratic join") {
+    import org.apache.spark.sql.functions._
+    val p = plan("q_skyline")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "skyline must not run the O(N²) join:\n" + p)
+    val got = run("q_skyline").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val all = graft.Tables.load(spark, sf, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expect = all.filter { case (_, pr, sz) =>
+      !all.exists { case (_, pr2, sz2) =>
+        pr2 <= pr && sz2 <= sz && (pr2 < pr || sz2 < sz)
+      }
+    }.toSet
+    assert(got === expect)
+  }
+
   test("q_constraint_check: clean data passes all six; seeded violations flip exactly their rows") {
     import org.apache.spark.sql.functions._
     val clean = run("q_constraint_check").collect()
