@@ -334,6 +334,31 @@ object Sources {
     // the per-row z and the boundary verdict are identical in any engine
     // and any partition order. The tiny per-type stats broadcast back
     // against the scan: no corpus shuffle for the scoring pass.
+    // Robust-statistics twin of q_outlier_zscore: median / MAD instead
+    // of mean / stddev, so a handful of extreme values cannot drag the
+    // threshold toward themselves (the z-score's classic failure — the
+    // outliers mask each other). Two exact interpolated percentiles per
+    // group (tiny, broadcast back) and per-row absolute deviations in
+    // between; flagged rows carry adev and mad, not their ratio, so a
+    // zero-MAD group cannot produce cross-engine Inf artifacts. At
+    // 100 TB swap the exact percentile for approx_percentile (mergeable
+    // sketch) — the plan shape is identical.
+    "q_mad_outlier" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5d)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type").as("et2"))
+        .agg(expr("percentile(adev, 0.5d)").as("mad"))
+      dev.join(broadcast(mad), col("event_type") === col("et2"))
+        .filter(col("adev") > lit(3.0) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("adev"), col("mad"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_outlier_zscore" -> ((s, d) => {
       val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
       val e = t(s, d, "events")
@@ -631,6 +656,22 @@ object Sources {
          |FROM grid ORDER BY 1, 2""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
+    "q_mad_outlier" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, med.med,
+        |    abs(e.value - med.med) AS adev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT event_id, dev.event_type, value, med, adev, mad
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE adev > 3.0 * mad
+        |ORDER BY event_id""".stripMargin,
+
     "q_outlier_zscore" ->
       """WITH m AS (SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,

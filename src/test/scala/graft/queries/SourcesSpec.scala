@@ -7,6 +7,27 @@ import graft.{SparkEntry, SparkSpec}
   * verify invariants against independent in-memory recomputations. */
 class SourcesSpec extends SparkSpec {
 
+  test("q_mad_outlier flags exactly the >3·MAD deviations per type") {
+    import org.apache.spark.sql.functions._
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      // linear-interpolated median, the percentile/quantile_cont rule
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = ev.toSeq.groupBy(_._2).values.flatMap { rows =>
+      val med = medianOf(rows.map(_._3))
+      val mad = medianOf(rows.map(r => math.abs(r._3 - med)))
+      rows.filter(r => math.abs(r._3 - med) > 3.0 * mad).map(_._1)
+    }.toSet
+    val got = SparkEntry.queries("q_mad_outlier")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
   test("q_asof_nearest picks the true minimum |Δt| click, ties backward") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, sf, "events")
