@@ -334,6 +334,53 @@ object Sources {
     // the per-row z and the boundary verdict are identical in any engine
     // and any partition order. The tiny per-type stats broadcast back
     // against the scan: no corpus shuffle for the scoring pass.
+    // Winsorized aggregates — the robust-sum companion to the outlier
+    // detectors: instead of DROPPING extreme rows, clip them to the
+    // per-group [p05, p95] band so totals stay defined over every row
+    // (the standard treatment for fat-tailed value columns before
+    // training-weight computation). One percentile pass per group
+    // (tiny, broadcast back), then the clipped sum is the usual exact
+    // decimal aggregate over one more pass — the clip itself is
+    // GREATEST/LEAST map work, bit-identical across engines because
+    // both operands are doubles both engines computed the same way.
+    "q_winsorize" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_type"), col("value"))
+      val b = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05d)").as("lo"),
+          expr("percentile(value, 0.95d)").as("hi"))
+      e.join(broadcast(b), "event_type")
+        .groupBy(col("event_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          Num.dsum(col("value")).as("raw_sum"),
+          Num.dsum(greatest(col("lo"), least(col("hi"), col("value"))))
+            .as("wins_sum"))
+        .select(col("event_type"), col("n"), col("raw_sum"),
+          col("wins_sum"), col("lo"), col("hi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Inter-arrival statistics — the event-cadence profile: per-user
+    // gaps from ONE user_id-partitioned sort window (lag), then
+    // model-sized percentile aggregates per event type. Integer
+    // microsecond gaps, so the interpolated median/p95 are identical
+    // across engines; the first event per user has no gap and is
+    // excluded by definition.
+    "q_interarrival" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("gap"))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap, 0.5d)").as("med_gap_us"),
+          expr("percentile(gap, 0.95d)").as("p95_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // Robust-statistics twin of q_outlier_zscore: median / MAD instead
     // of mean / stddev, so a handful of extreme values cannot drag the
     // threshold toward themselves (the z-score's classic failure — the
@@ -656,6 +703,31 @@ object Sources {
          |FROM grid ORDER BY 1, 2""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
+    "q_winsorize" ->
+      s"""WITH b AS (
+         |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+         |         quantile_cont(value, 0.95) AS hi
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type, COUNT(*) AS n,
+         |  ${graft.Num.sqlDsum("value")} AS raw_sum,
+         |  ${graft.Num.sqlDsum("GREATEST(lo, LEAST(hi, value))")} AS wins_sum,
+         |  lo, hi
+         |FROM events e JOIN b USING (event_type)
+         |GROUP BY 1, lo, hi ORDER BY 1""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  quantile_cont(gap, 0.5) AS med_gap_us,
+        |  quantile_cont(gap, 0.95) AS p95_gap_us,
+        |  MAX(gap) AS max_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_mad_outlier" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -28,6 +28,32 @@ class SourcesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_winsorize: clipped sums stay inside the per-type [n·lo, n·hi] band") {
+    val rows = SparkEntry.queries("q_winsorize")(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val (n, wins, lo, hi) =
+        (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= hi)
+      assert(wins >= n * lo - 1e-6 && wins <= n * hi + 1e-6,
+        s"${r.getString(0)}: winsorized sum escaped the clip band")
+    }
+  }
+
+  test("q_interarrival: every non-first event contributes exactly one gap") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_interarrival")(spark, sf).collect()
+    val gapTotal = rows.map(_.getLong(1)).sum
+    val ev = graft.Tables.load(spark, sf, "events")
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(gapTotal === expected)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3), "median must not exceed p95")
+      assert(r.getDouble(3) <= r.getLong(4).toDouble, "p95 must not exceed max")
+      assert(r.getDouble(2) > 0.0, "timestamps are distinct ⇒ positive gaps")
+    }
+  }
+
   test("q_asof_nearest picks the true minimum |Δt| click, ties backward") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.load(spark, sf, "events")
