@@ -54,6 +54,23 @@ object EventsStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming trailing-window distinct users via HLL sketches — the
+    * streaming twin of the batch q_sliding_distinct: `window(ts, 7d, 1d)`
+    * fans each event into its ≤7 trailing windows and the per-window
+    * state is ONE mergeable sketch (a few KB), not a distinct-user set —
+    * the only way windowed distincts stay bounded on an unbounded
+    * stream. Estimates carry the same ±rsd contract the batch twin
+    * pins; exactness is impossible here by design (exact distinct would
+    * hold every user id in state forever). */
+  def slidingDistinct(events: DataFrame, width: String = "7 days",
+                      slide: String = "1 day",
+                      watermark: String = "14 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("apx_users"))
+      .select(col("window.end").as("win_end"), col("apx_users"))
+
   /** Streaming upsert sink: every micro-batch merges into a catalog table
     * by key via foreachBatch + [[graft.tables.TableOps.upsertTable]] — the
     * streaming twin of the reference's MERGE ingestion (bq.py:450-554).

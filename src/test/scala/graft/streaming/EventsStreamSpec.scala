@@ -103,6 +103,28 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding distinct: every window's sketch estimate tracks the exact batch count") {
+    val dir = stageEventsChronological()
+    val q = EventsStream.slidingDistinct(EventsStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("sliding_nd")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_nd")
+        .as[(java.sql.Timestamp, Double)].collect()
+      assert(streamed.nonEmpty)
+      val ev = Tables.load(spark, sf, "events")
+      streamed.foreach { case (winEnd, apx) =>
+        val lo = new java.sql.Timestamp(
+          winEnd.getTime - 7L * 24 * 3600 * 1000)
+        val exact = ev.filter(col("ts") >= lit(lo) && col("ts") < lit(winEnd))
+          .select("user_id").distinct().count()
+        assert(math.abs(apx - exact) <= math.max(1.0, exact * 0.05),
+          s"window ending $winEnd: estimate $apx vs exact $exact")
+      }
+    } finally q.stop()
+  }
+
   test("streaming upsert sink converges replayed batches to one row per key") {
     val dir = tmpDir("upsert-in")
     val ev = Tables.load(spark, sf, "events").limit(300)
