@@ -38,6 +38,21 @@ object PageRank {
     run(edges, iters, convergeStop = false)._1
   }
 
+  /** PERSONALIZED ranks: teleport mass lands only on `seeds` (one `node`
+    * column) and the start mass is 1e6 on seeds, 0 elsewhere — authority
+    * RELATIVE to a trusted set (the curation question "which nodes do my
+    * vetted sources endorse", vs the global variant's "which nodes does
+    * the whole graph endorse"). Same loop, same integer fixed-point
+    * arithmetic: the standard variant IS this one with every node a
+    * seed, so the seed flag is carried through the rank state and costs
+    * one boolean per node. Non-seed nodes unreachable from any seed
+    * settle at exactly 0. */
+  def ranksPersonalized(edges: DataFrame, seeds: DataFrame,
+                        iters: Int): DataFrame = {
+    require(iters >= 1, "at least one PageRank round")
+    run(edges, iters, convergeStop = false, seeds = Some(seeds))._1
+  }
+
   /** Iterate to the EXACT integer fixed point (ranks stop changing).
     * Returns (ranks, roundsRun) — roundsRun includes the final no-change
     * round that proved convergence. Hitting `maxIters` THROWS: silently
@@ -53,7 +68,8 @@ object PageRank {
     run(edges, maxIters, convergeStop = true, checkpointDir)
 
   private def run(edges0: DataFrame, maxIters: Int, convergeStop: Boolean,
-                  checkpointDir: Option[String] = None): (DataFrame, Int) = {
+                  checkpointDir: Option[String] = None,
+                  seeds: Option[DataFrame] = None): (DataFrame, Int) = {
     val s = edges0.sparkSession
     val pairs = edges0.toDF("src", "dst").persist(StorageLevel.DISK_ONLY)
     val loopS = s.newSession()
@@ -105,10 +121,22 @@ object PageRank {
       edges.count() // edges-with-deg materialized; feeder handles are dead weight
       bare.unpersist(blocking = false)
       pairs.unpersist(blocking = false)
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      // seed flag rides in the rank state: standard PageRank is the
+      // all-seeds special case, so one code path serves both
+      val flagged = seeds match {
+        case None => nodes.select(col("node"), lit(true).as("is_seed"))
+        case Some(sd) =>
+          val sdf = loopS.createDataFrame(
+            sd.select(col("node")).distinct().rdd, sd.select(col("node")).schema)
+          nodes.join(sdf.withColumn("s_flag", lit(true)), Seq("node"), "left")
+            .select(col("node"), coalesce(col("s_flag"), lit(false)).as("is_seed"))
+      }
       val (ranks0, rdd0) = truncate(
-        edges.select(col("src").as("node"))
-          .union(edges.select(col("dst").as("node"))).distinct()
-          .select(col("node"), lit(1000000L).as("rank_fp")))
+        flagged.select(col("node"),
+          when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)).as("rank_fp"),
+          col("is_seed")))
       var ranks = ranks0
       lastRdd = rdd0
       lastSchema = ranks0.schema
@@ -120,13 +148,13 @@ object PageRank {
           .select(col("dst"), expr("rank_fp div deg").as("w"))
           .groupBy(col("dst")).agg(sum(col("w")).as("inflow"))
         val (next, nextRdd) = truncate(
-          ranks.select(col("node"), col("rank_fp").as("old_rank"))
+          ranks.select(col("node"), col("rank_fp").as("old_rank"), col("is_seed"))
             .join(contrib, col("node") === col("dst"), "left")
             .select(col("node"),
-              (lit(150000L) +
+              (when(col("is_seed"), lit(150000L)).otherwise(lit(0L)) +
                 expr("(85 * coalesce(inflow, cast(0 as bigint))) div 100"))
                 .as("rank_fp"),
-              col("old_rank")))
+              col("old_rank"), col("is_seed")))
         iter += 1
         // Exact integer fixed point — reads the just-checkpointed blocks.
         converged = convergeStop &&
@@ -134,7 +162,7 @@ object PageRank {
         free(lastRdd)
         lastRdd = nextRdd
         lastSchema = next.schema
-        ranks = next.select(col("node"), col("rank_fp"))
+        ranks = next.select(col("node"), col("rank_fp"), col("is_seed"))
       }
       if (convergeStop && !converged) throw new IllegalStateException(
         s"PageRank: integer ranks did not reach a fixed point within $iter rounds")

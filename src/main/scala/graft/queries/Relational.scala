@@ -700,6 +700,23 @@ object Relational {
         .orderBy(col("rank_fp").desc, col("node"))
         .limit(25)),
 
+    // PERSONALIZED PageRank — authority relative to a trusted seed set
+    // (high-balance customers): teleport mass lands only on seeds and
+    // start mass is seeds-only, so the ranking answers "which suppliers
+    // do my vetted customers endorse" instead of the global variant's
+    // whole-graph endorsement. Same loop, same integer arithmetic, same
+    // EAGER build semantics as q_pagerank_k; the chained-CTE oracle
+    // carries the seed flag through every round.
+    "q_pagerank_personal" -> ((s, d) => {
+      val seeds = t(s, d, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      graft.operators.PageRank
+        .ranksPersonalized(purchaseEdges(s, d), seeds, PrRounds)
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(25)
+    }),
+
     // TPC-H Q3 shape: two-fact join through a filtered dimension, grouped
     // revenue, top-10. Catalyst pushes all three filters to the scans
     // (date predicates into parquet min/max pruning), the customer side is
@@ -1224,6 +1241,32 @@ object Relational {
          |od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM n),
+         |$rounds
+         |SELECT node, rank_fp FROM r$PrRounds
+         |ORDER BY rank_fp DESC, node LIMIT 25""".stripMargin
+    },
+
+    "q_pagerank_personal" -> {
+      val rounds = (1 to PrRounds).map { i =>
+        s"""i$i AS (SELECT dst, CAST(SUM(rank_fp // deg) AS BIGINT) AS inflow
+           |        FROM e JOIN od USING (src) JOIN r${i - 1} ON src = r${i - 1}.node
+           |        GROUP BY 1),
+           |r$i AS (SELECT n.node, n.is_seed,
+           |          CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+           |               + (85 * COALESCE(inflow, 0)) // 100 AS BIGINT) AS rank_fp
+           |        FROM n LEFT JOIN i$i ON n.node = i$i.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+         |sd AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+         |       WHERE c_acctbal > 9000),
+         |n AS (SELECT nn.node, sd.node IS NOT NULL AS is_seed FROM
+         |        (SELECT src AS node FROM e UNION SELECT dst FROM e) nn
+         |      LEFT JOIN sd ON nn.node = sd.node),
+         |r0 AS (SELECT node, is_seed,
+         |         CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT)
+         |           AS rank_fp FROM n),
          |$rounds
          |SELECT node, rank_fp FROM r$PrRounds
          |ORDER BY rank_fp DESC, node LIMIT 25""".stripMargin

@@ -86,6 +86,34 @@ class PageRankSpec extends SparkSpec {
     assert(e.getMessage.contains("fixed point"))
   }
 
+  test("personalized: all-seeds equals standard; seed-restricted matches the simulation") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+      .filter { case (a, b) => a != b }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    // all nodes as seeds reduces exactly to the standard variant
+    val allSeeds = nodes.toDF("node")
+    assert(collect(PageRank.ranksPersonalized(edges.toDF("src", "dst"), allSeeds, 2))
+      == collect(PageRank.ranks(edges.toDF("src", "dst"), 2)))
+    // a seed subset matches the seeded driver-side simulation
+    val seedSet = nodes.filter(_.stripPrefix("n").toInt % 3 == 0).toSet
+    def simSeeded(iters: Int): Map[String, Long] = {
+      val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      var rank = nodes.map(n => n -> (if (seedSet(n)) 1000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val inflow = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        edges.foreach { case (s, t) => inflow(t) += rank(s) / deg(s) }
+        rank = nodes.map(n =>
+          n -> ((if (seedSet(n)) 150000L else 0L) + 85L * inflow(n) / 100L)).toMap
+      }
+      rank
+    }
+    for (k <- 1 to 3)
+      assert(collect(PageRank.ranksPersonalized(
+        edges.toDF("src", "dst"), seedSet.toSeq.toDF("node"), k)) == simSeeded(k),
+        s"k=$k")
+  }
+
   test("checkpointDir mode reaches the same fixed point (reliable-checkpoint path)") {
     val star = (1 to 5).map(i => ("hub", s"leaf$i"))
     val dir = tmpDir("graft-pr-ckpt")
