@@ -669,6 +669,65 @@ object Shapes {
         .orderBy(col("p_month"))
     }),
 
+    // Equi-DEPTH histogram — the optimizer-statistics shape (ANALYZE's
+    // height-balanced histogram): band boundaries are exact interpolated
+    // quintiles, so each band holds ~20% of rows no matter how skewed
+    // the values — where the equi-WIDTH q_histogram starves on skew.
+    // One percentile pass (1 row, broadcast back) + one banded count
+    // pass; band assignment is CASE comparisons on doubles both engines
+    // computed identically. At 100 TB swap the exact percentile for
+    // approx_percentile and the plan shape is unchanged.
+    "q_histogram_eqdepth" -> ((s, d) => {
+      val e = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+      val b = e.agg(
+        expr("percentile(v, 0.2d)").as("b1"), expr("percentile(v, 0.4d)").as("b2"),
+        expr("percentile(v, 0.6d)").as("b3"), expr("percentile(v, 0.8d)").as("b4"))
+      e.crossJoin(broadcast(b))
+        .select(when(col("v") <= col("b1"), 0)
+          .when(col("v") <= col("b2"), 1)
+          .when(col("v") <= col("b3"), 2)
+          .when(col("v") <= col("b4"), 3)
+          .otherwise(4).as("band"), col("v"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("v")).as("band_sum"))
+        .orderBy(col("band"))
+    }),
+
+    // Hash-split A/B analysis — the experiment-analysis shape: variant
+    // assignment is the deterministic md5 bucket (reproducible across
+    // rebuilds, the q_hash_split discipline), and per event type the
+    // two variants' counts/means/variances fold into ONE conditional
+    // aggregate pass; the Welch t statistic is then driver-free row
+    // arithmetic on the 5-row result. Exact decimal sums make the means
+    // engine-identical; groups need n≥2 per arm for the variance.
+    "q_ab_test" -> ((s, d) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val arm = (conv(substring(md5(encode(col("user_id").cast("string"),
+        "UTF-8")), 1, 8), 16, 10).cast("long") % 2).cast("int")
+      val e = t(s, d, "events").select(col("event_type"), col("value"),
+        arm.as("arm"))
+      def armAgg(a: Int, f: org.apache.spark.sql.Column) =
+        sum(when(col("arm") === a, f).otherwise(lit(0).cast(d38)))
+          .cast("double")
+      val m = e.groupBy(col("event_type")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        armAgg(0, col("value").cast(d38)).as("s0"),
+        armAgg(1, col("value").cast(d38)).as("s1"),
+        armAgg(0, (col("value") * col("value")).cast(d38)).as("ss0"),
+        armAgg(1, (col("value") * col("value")).cast(d38)).as("ss1"))
+      val (n0d, n1d) = (col("n0").cast("double"), col("n1").cast("double"))
+      val m0 = col("s0") / n0d
+      val m1 = col("s1") / n1d
+      val v0 = (col("ss0") - col("s0") * col("s0") / n0d) / (n0d - 1)
+      val v1 = (col("ss1") - col("s1") * col("s1") / n1d) / (n1d - 1)
+      m.filter(col("n0") >= 2 && col("n1") >= 2)
+        .select(col("event_type"), col("n0"), col("n1"),
+          (m0 - m1).as("mean_diff"),
+          ((m0 - m1) / sqrt(v0 / n0d + v1 / n1d)).as("t_welch"))
+        .orderBy(col("event_type"))
+    }),
+
     // 2-D skyline (Pareto frontier): parts no other part beats on BOTH
     // price and size. The O(N²) NOT-EXISTS self-join collapses to sort
     // algebra: per price group take the min size, then a prefix-min over
@@ -1145,6 +1204,52 @@ object Shapes {
          |   OR CAST(SUM(CASE WHEN l_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
          |     AS BIGINT) <> COUNT(*)) AS changed
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_histogram_eqdepth" ->
+      s"""WITH b AS (
+         |  SELECT quantile_cont(l_extendedprice, 0.2) AS b1,
+         |         quantile_cont(l_extendedprice, 0.4) AS b2,
+         |         quantile_cont(l_extendedprice, 0.6) AS b3,
+         |         quantile_cont(l_extendedprice, 0.8) AS b4
+         |  FROM lineitem)
+         |SELECT CASE WHEN l_extendedprice <= b1 THEN 0
+         |            WHEN l_extendedprice <= b2 THEN 1
+         |            WHEN l_extendedprice <= b3 THEN 2
+         |            WHEN l_extendedprice <= b4 THEN 3
+         |            ELSE 4 END AS band,
+         |  COUNT(*) AS n, ${Num.sqlDsum("l_extendedprice")} AS band_sum
+         |FROM lineitem, b
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ab_test" -> {
+      val bucket = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"((strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult)"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (
+         |  SELECT event_type, value, CAST($bucket % 2 AS INT) AS arm
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(38,6))
+         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS s0,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(38,6))
+         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS s1,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(value * value AS DECIMAL(38,6))
+         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS ss0,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(value * value AS DECIMAL(38,6))
+         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS ss1
+         |  FROM e GROUP BY 1)
+         |SELECT event_type, n0, n1,
+         |  (s0 / n0 - s1 / n1) AS mean_diff,
+         |  ((s0 / n0 - s1 / n1) /
+         |   sqrt(((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0
+         |      + ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)) AS t_welch
+         |FROM m WHERE n0 >= 2 AND n1 >= 2
+         |ORDER BY event_type""".stripMargin
     },
 
     // Strict-dominance NOT EXISTS — the quadratic reference semantics

@@ -413,6 +413,34 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_histogram_eqdepth: every band holds ~20% of rows (height-balanced)") {
+    val rows = run("q_histogram_eqdepth").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3, 4))
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - total / 5.0) <= math.max(2.0, total * 0.01),
+        s"band ${r.getInt(0)} holds ${r.getLong(1)} of $total — not height-balanced")
+    }
+  }
+
+  test("q_ab_test: arms partition each type; t statistic is finite") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_ab_test").collect()
+    assert(rows.nonEmpty)
+    val perType = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === perType(r.getString(0)),
+        "arms must partition the type's rows")
+      assert(r.getLong(1) >= 2 && r.getLong(2) >= 2)
+      assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+      // a hash split of a homogeneous population should not be wildly
+      // significant: |t| under 5 on this synthetic data
+      assert(math.abs(r.getDouble(4)) < 5.0, s"suspicious t=${r.getDouble(4)}")
+    }
+  }
+
   test("q_skyline: sort-algebra frontier equals brute-force strict dominance; no quadratic join") {
     import org.apache.spark.sql.functions._
     val p = plan("q_skyline")
