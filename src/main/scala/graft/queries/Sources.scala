@@ -334,6 +334,29 @@ object Sources {
     // the per-row z and the boundary verdict are identical in any engine
     // and any partition order. The tiny per-type stats broadcast back
     // against the scan: no corpus shuffle for the scoring pass.
+    // Event-type transition matrix — the Markov view of user journeys
+    // (which step follows which): one user_id-partitioned sort window
+    // produces (current, next) pairs via lead, then two model-sized
+    // aggregates give counts and row-conditional probabilities. The
+    // funnel asks "did the canonical path happen"; this asks what ALL
+    // the paths are. The per-row probability is a long/long double
+    // division — engine-identical; last events have no successor and
+    // drop by definition.
+    "q_markov_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, d, "events")
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("cur").as("c2")).agg(sum(col("n")).as("tot"))
+      pairs.join(broadcast(totals), col("cur") === col("c2"))
+        .select(col("cur"), col("nxt"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("p"))
+        .orderBy(col("cur"), col("nxt"))
+    }),
+
     // Winsorized aggregates — the robust-sum companion to the outlier
     // detectors: instead of DROPPING extreme rows, clip them to the
     // per-group [p05, p95] band so totals stay defined over every row
@@ -703,6 +726,20 @@ object Sources {
          |FROM grid ORDER BY 1, 2""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
+    "q_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, COUNT(*) AS n FROM p
+        |      WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur AS c2, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT cur, nxt, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |FROM c JOIN t ON cur = c2
+        |ORDER BY cur, nxt""".stripMargin,
+
     "q_winsorize" ->
       s"""WITH b AS (
          |  SELECT event_type, quantile_cont(value, 0.05) AS lo,

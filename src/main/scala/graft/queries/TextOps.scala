@@ -619,6 +619,40 @@ object TextOps {
         .orderBy(col("df").desc, col("token"))
         .limit(100)),
 
+    // Token co-occurrence PMI — word-association mining: which token
+    // pairs appear in the same document far more often than their
+    // individual frequencies predict (pmi = ln(df_ab·N / (df_a·df_b))).
+    // Scale shape: the corpus first collapses to the DISTINCT
+    // (doc, token) table, so the within-doc pair join fans out by the
+    // per-doc VOCABULARY (bounded, ~tens) not by token positions; the
+    // canonical a<b orientation counts each pair once, document
+    // frequencies broadcast back, and the df_ab ≥ 5 support cut bounds
+    // the result the way association miners always do. ln on identical
+    // doubles is engine-exact.
+    "q_cooccur_pmi" -> ((s, d) => {
+      val td = t(s, d, "documents")
+        .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+"), lit(0))).as("tk"))
+        .distinct()
+      val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val pairs = td.as("x").join(td.as("y"),
+          col("x.doc_id") === col("y.doc_id") && col("x.tk") < col("y.tk"))
+        .groupBy(col("x.tk").as("a"), col("y.tk").as("b"))
+        .agg(count(lit(1)).as("df_ab"))
+        .filter(col("df_ab") >= 5)
+      val dfT = td.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      pairs
+        .join(broadcast(dfT.select(col("tk").as("a"), col("df").as("df_a"))), "a")
+        .join(broadcast(dfT.select(col("tk").as("b"), col("df").as("df_b"))), "b")
+        .crossJoin(broadcast(nDocs))
+        .select(col("a"), col("b"), col("df_ab"),
+          log(col("df_ab").cast("double") * col("n_docs").cast("double") /
+            (col("df_a").cast("double") * col("df_b").cast("double")))
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
     // Quantile-gated quality filter — the dynamic-threshold corpus cut:
     // keep documents at or above the corpus 75th percentile of word
     // count. Unlike the fixed-bound gates (q_text_quality), the
@@ -988,6 +1022,26 @@ object TextOps {
         |FROM td GROUP BY 1
         |HAVING COUNT(*) >= 5
         |ORDER BY df DESC, token LIMIT 100""".stripMargin,
+
+    "q_cooccur_pmi" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, tk FROM (
+        |    SELECT doc_id,
+        |      UNNEST(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS tk
+        |    FROM documents) z),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT x.tk AS a, y.tk AS b, COUNT(*) AS df_ab
+        |  FROM td x JOIN td y ON x.doc_id = y.doc_id AND x.tk < y.tk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |dft AS (SELECT tk, COUNT(*) AS df FROM td GROUP BY 1)
+        |SELECT a, b, df_ab,
+        |  ln(CAST(df_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |     / (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE))) AS pmi
+        |FROM pairs
+        |JOIN dft da ON a = da.tk
+        |JOIN dft db ON b = db.tk, nd
+        |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin,
 
     "q_quality_quantile" ->
       """WITH scored AS (

@@ -28,6 +28,21 @@ class SourcesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_markov_transitions: rows are probabilities that sum to 1 per current state") {
+    val rows = SparkEntry.queries("q_markov_transitions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // conditional probabilities per current state must sum to 1
+    rows.groupBy(_.getString(0)).foreach { case (cur, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"P(·|$cur) sums to $total")
+    }
+    // every non-last event of each user is one transition
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, sf, "events")
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+  }
+
   test("q_winsorize: clipped sums stay inside the per-type [n·lo, n·hi] band") {
     val rows = SparkEntry.queries("q_winsorize")(spark, sf).collect()
     assert(rows.length >= 2)

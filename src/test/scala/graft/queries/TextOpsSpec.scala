@@ -146,6 +146,26 @@ class TextOpsSpec extends SparkSpec {
     assert(fact == naive)
   }
 
+  test("q_cooccur_pmi: every reported pair's pmi matches brute-force counts") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        "[a-z]+|[0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSet)
+    val n = docs.length.toDouble
+    val dfT = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val rows = SparkEntry.queries("q_cooccur_pmi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // columns are (a, b, df_ab, pmi) — read positionally
+      val (ca, cb, dfAb) = (r.getString(0), r.getString(1), r.getLong(2))
+      val expectedDfAb = docs.count { case (_, tks) => tks(ca) && tks(cb) }
+      assert(dfAb === expectedDfAb.toLong, s"df_ab($ca,$cb)")
+      val pmi = math.log(dfAb * n / (dfT(ca).toDouble * dfT(cb).toDouble))
+      assert(math.abs(r.getDouble(3) - pmi) < 1e-9, s"pmi($ca,$cb)")
+      assert(ca < cb, "canonical orientation")
+    }
+  }
+
   test("q_inverted_index: postings are sorted, truncated at 20, consistent with df") {
     val rows = SparkEntry.queries("q_inverted_index")(spark, sf).collect()
     assert(rows.nonEmpty)
