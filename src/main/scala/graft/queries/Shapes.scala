@@ -696,6 +696,43 @@ object Shapes {
         .orderBy(col("band"))
     }),
 
+    // RFM segmentation — the customer-analytics composite: recency /
+    // frequency / monetary per customer, each quintile-binned, rolled up
+    // to segment counts. Binning is PERCENTILE boundaries + CASE (the
+    // q_histogram_eqdepth discipline), NOT a global ntile window — the
+    // window needs a single-partition sort of every customer, the
+    // boundary route needs one 1-row aggregate broadcast back, which is
+    // the difference between scaling and not at 100 TB. All three
+    // boundary arrays come from ONE aggregate; the reference date is the
+    // table's own max order date, so the query is reproducible on any
+    // snapshot without a wall clock.
+    "q_rfm" -> ((s, d) => {
+      val cust = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          Num.dsum(col("o_totalprice")).as("monetary"))
+      val ref = cust.agg(max(col("last_order")).as("ref"))
+      val w = cust.crossJoin(broadcast(ref))
+        .withColumn("rec", datediff(col("ref"), col("last_order")).cast("long"))
+      val qs = "array(0.2d, 0.4d, 0.6d, 0.8d)"
+      val b = w.agg(expr(s"percentile(rec, $qs)").as("rb"),
+        expr(s"percentile(freq, $qs)").as("fb"),
+        expr(s"percentile(monetary, $qs)").as("mb"))
+      def band(v: org.apache.spark.sql.Column, arr: String) =
+        when(v <= element_at(col(arr), 1), 1)
+          .when(v <= element_at(col(arr), 2), 2)
+          .when(v <= element_at(col(arr), 3), 3)
+          .when(v <= element_at(col(arr), 4), 4)
+          .otherwise(5)
+      w.crossJoin(broadcast(b))
+        .select((band(col("rec"), "rb") * 100 + band(col("freq"), "fb") * 10 +
+          band(col("monetary"), "mb")).as("segment"), col("monetary"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          Num.dsum(col("monetary")).as("total_value"))
+        .orderBy(col("segment"))
+    }),
+
     // Hash-split A/B analysis — the experiment-analysis shape: variant
     // assignment is the deterministic md5 bucket (reproducible across
     // rebuilds, the q_hash_split discipline), and per event type the
@@ -1224,6 +1261,31 @@ object Shapes {
          |  COUNT(*) AS n, ${Num.sqlDsum("l_extendedprice")} AS band_sum
          |FROM lineitem, b
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order, COUNT(*) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |ref AS (SELECT MAX(last_order) AS ref FROM cust),
+        |w AS (SELECT cust.*,
+        |        CAST(date_diff('day', CAST(last_order AS DATE), CAST(ref AS DATE))
+        |          AS BIGINT) AS rec
+        |      FROM cust, ref),
+        |b AS (SELECT quantile_cont(rec, [0.2,0.4,0.6,0.8]) AS rb,
+        |             quantile_cont(freq, [0.2,0.4,0.6,0.8]) AS fb,
+        |             quantile_cont(monetary, [0.2,0.4,0.6,0.8]) AS mb FROM w)
+        |SELECT
+        |  (CASE WHEN rec <= rb[1] THEN 1 WHEN rec <= rb[2] THEN 2
+        |        WHEN rec <= rb[3] THEN 3 WHEN rec <= rb[4] THEN 4 ELSE 5 END) * 100
+        |  + (CASE WHEN freq <= fb[1] THEN 1 WHEN freq <= fb[2] THEN 2
+        |          WHEN freq <= fb[3] THEN 3 WHEN freq <= fb[4] THEN 4 ELSE 5 END) * 10
+        |  + (CASE WHEN monetary <= mb[1] THEN 1 WHEN monetary <= mb[2] THEN 2
+        |          WHEN monetary <= mb[3] THEN 3 WHEN monetary <= mb[4] THEN 4
+        |          ELSE 5 END) AS segment,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w, b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ab_test" -> {
       val bucket = (0 until 8).map { i =>

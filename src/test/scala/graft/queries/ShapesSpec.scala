@@ -423,6 +423,23 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_rfm: segments partition all customers; scores stay in the 1..5 cube") {
+    val rows = run("q_rfm").collect()
+    val total = rows.map(_.getLong(1)).sum
+    val customers = graft.Tables.load(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(total === customers, "every ordering customer lands in one segment")
+    rows.foreach { r =>
+      val seg = r.getInt(0)
+      val (rb, fb, mb) = (seg / 100, seg / 10 % 10, seg % 10)
+      assert(rb >= 1 && rb <= 5 && fb >= 1 && fb <= 5 && mb >= 1 && mb <= 5, seg)
+      assert(r.getLong(1) > 0)
+    }
+    // binning is a real quintile cut: no single band of any metric holds
+    // everything (the distributions here are non-degenerate)
+    assert(rows.map(_.getInt(0) / 100).distinct.length > 1)
+  }
+
   test("q_ab_test: arms partition each type; t statistic is finite") {
     import org.apache.spark.sql.functions._
     val rows = run("q_ab_test").collect()
