@@ -334,6 +334,47 @@ object Sources {
     // the per-row z and the boundary verdict are identical in any engine
     // and any partition order. The tiny per-type stats broadcast back
     // against the scan: no corpus shuffle for the scoring pass.
+    // Lag/rolling feature engineering — the feature-store shape: per
+    // user, previous values and a trailing mean from ONE partitioned
+    // sort window (lag-1, lag-2, rolling mean over the last 3 rows).
+    // Every feature shares the single user_id shuffle+sort; the rolling
+    // mean sums exactly 3 doubles in frame order, so it is
+    // engine-identical without the decimal detour. Restricted to a
+    // deterministic user slice to keep the materialized sample bounded —
+    // the full-corpus variant is the same plan.
+    "q_lag_features" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val roll = w.rowsBetween(-2, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("user_id") % 50 === 0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("value_lag1"),
+          lag(col("value"), 2).over(w).as("value_lag2"),
+          (sum(col("value")).over(roll) /
+            count(lit(1)).over(roll).cast("double")).as("value_roll3"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Leave-one-out target encoding — the categorical-encoding shape ML
+    // pipelines run before training: each row's category score is the
+    // mean target of every OTHER row in its category, (sum - value) /
+    // (n - 1), so the row never sees its own label (the leakage the
+    // naive mean encoding has). One broadcast stats aggregate + pure map
+    // work; the exact decimal sum makes (sum - value) engine-identical.
+    "q_target_encode" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_id"), col("event_type"),
+        col("value"))
+      val stats = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("s"))
+        .filter(col("n") >= 2)
+      e.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          ((col("s") - col("value")) / (col("n") - 1).cast("double"))
+            .as("loo_mean"))
+        .orderBy(col("event_id"))
+    }),
+
     // Event-type transition matrix — the Markov view of user journeys
     // (which step follows which): one user_id-partitioned sort window
     // produces (current, next) pairs via lead, then two model-sized
@@ -726,6 +767,26 @@ object Sources {
          |FROM grid ORDER BY 1, 2""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
+    "q_lag_features" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS value_lag1,
+        |  lag(value, 2) OVER w AS value_lag2,
+        |  SUM(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |    / CAST(COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |           AS DOUBLE) AS value_roll3
+        |FROM events WHERE user_id % 50 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_target_encode" ->
+      s"""WITH stats AS (
+         |  SELECT event_type, COUNT(*) AS n, ${graft.Num.sqlDsum("value")} AS s
+         |  FROM events GROUP BY 1 HAVING COUNT(*) >= 2)
+         |SELECT event_id, e.event_type,
+         |  (s - value) / CAST(n - 1 AS DOUBLE) AS loo_mean
+         |FROM events e JOIN stats USING (event_type)
+         |ORDER BY event_id""".stripMargin,
+
     "q_markov_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS cur,

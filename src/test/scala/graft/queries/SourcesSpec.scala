@@ -28,6 +28,49 @@ class SourcesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_lag_features: lags and rolling mean match the per-user sequence") {
+    import org.apache.spark.sql.functions._
+    val seq = graft.Tables.load(spark, sf, "events")
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._4, e._2)).map(e => e._2 -> e._3).toIndexedSeq)
+      .toMap
+    val rows = SparkEntry.queries("q_lag_features")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ordered = seq(r.getLong(0))
+      val i = ordered.indexWhere(_._1 == r.getLong(1))
+      if (i >= 1) assert(r.getDouble(3) === ordered(i - 1)._2, "lag1")
+      else assert(r.isNullAt(3))
+      if (i >= 2) assert(r.getDouble(4) === ordered(i - 2)._2, "lag2")
+      else assert(r.isNullAt(4))
+      val wnd = ordered.slice(math.max(0, i - 2), i + 1).map(_._2)
+      assert(math.abs(r.getDouble(5) - wnd.sum / wnd.length) < 1e-9, "roll3")
+    }
+  }
+
+  test("q_target_encode: each row's encoding excludes its own value") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = ev.groupBy(_._2).view
+      .mapValues(rs => (rs.length, rs.map(_._3).map(BigDecimal(_)).sum)).toMap
+    val vals = ev.map(e => e._1 -> e).toMap
+    val rows = SparkEntry.queries("q_target_encode")(spark, sf).collect()
+    assert(rows.length === ev.count(e => byType(e._2)._1 >= 2))
+    rows.foreach { r =>
+      val (_, tpe, v) = vals(r.getLong(0))
+      val (n, s) = byType(tpe)
+      val loo = ((s - BigDecimal(v)) / (n - 1)).toDouble
+      assert(math.abs(r.getDouble(2) - loo) < 1e-6,
+        s"event ${r.getLong(0)}: ${r.getDouble(2)} vs $loo")
+    }
+  }
+
   test("q_markov_transitions: rows are probabilities that sum to 1 per current state") {
     val rows = SparkEntry.queries("q_markov_transitions")(spark, sf).collect()
     assert(rows.nonEmpty)
