@@ -334,6 +334,28 @@ object Sources {
     // the per-row z and the boundary verdict are identical in any engine
     // and any partition order. The tiny per-type stats broadcast back
     // against the scan: no corpus shuffle for the scoring pass.
+    // Exponentially time-decayed engagement score — the recency-weighted
+    // ranking primitive (recommendation freshness, user activity
+    // scoring): score = Σ value·e^(−λ·age_days), λ = 0.05 ⇒ two-week
+    // half-life ≈ events older than a month barely count. The reference
+    // instant is the table's own max timestamp (snapshot-reproducible,
+    // no wall clock); each term is decimal-cast BEFORE the sum so the
+    // result is order-independent despite the float exp. Pure map work
+    // plus one user-keyed aggregate.
+    "q_decay_score" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"), col("value"))
+      val ref = ev.agg(max(col("ts")).as("ref"))
+      val age = (unix_micros(col("ref")) - unix_micros(col("ts")))
+        .cast("double") / lit(86400.0e6)
+      ev.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          (col("value") * exp(lit(-0.05) * age)).cast(dec).as("term"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("term")).cast("double").as("score"))
+        .orderBy(col("user_id"))
+    }),
+
     // Lag/rolling feature engineering — the feature-store shape: per
     // user, previous values and a trailing mean from ONE partitioned
     // sort window (lag-1, lag-2, rolling mean over the last 3 rows).
@@ -767,6 +789,15 @@ object Sources {
          |FROM grid ORDER BY 1, 2""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
+    "q_decay_score" ->
+      """WITH ref AS (SELECT MAX(ts) AS ref FROM events)
+        |SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value * exp(-0.05 *
+        |    (CAST(epoch_us(ref) - epoch_us(ts) AS DOUBLE) / 86400000000.0))
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |FROM events, ref
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_lag_features" ->
       """SELECT user_id, event_id, value,
         |  lag(value, 1) OVER w AS value_lag1,

@@ -28,6 +28,24 @@ class SourcesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_decay_score: every user scored once, strictly below the undecayed sum") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_decay_score")(spark, sf).collect()
+    val ev = graft.Tables.load(spark, sf, "events")
+    assert(rows.length.toLong ===
+      ev.select(col("user_id")).distinct().count())
+    // every score is positive and strictly below the undecayed sum
+    val raw = ev.groupBy(col("user_id"))
+      .agg(graft.Num.dsum(col("value")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val score = r.getDouble(2)
+      assert(score > 0.0)
+      assert(score < raw(r.getLong(0)),
+        "decay must strictly discount a month-long history")
+    }
+  }
+
   test("q_lag_features: lags and rolling mean match the per-user sequence") {
     import org.apache.spark.sql.functions._
     val seq = graft.Tables.load(spark, sf, "events")
