@@ -334,6 +334,68 @@ object Sources {
     // the per-row z and the boundary verdict are identical in any engine
     // and any partition order. The tiny per-type stats broadcast back
     // against the scan: no corpus shuffle for the scoring pass.
+    // PSI distribution drift — the standard population-stability check a
+    // pipeline runs between snapshots before trusting a model: bin the
+    // REFERENCE window's value distribution into its own deciles, count
+    // both windows into those fixed bins, PSI term = (p−q)·ln(p/q) with
+    // Laplace smoothing so an empty current bin cannot emit ±Inf. The
+    // reference/current split is the month's own midpoint (snapshot-
+    // reproducible); boundaries are ONE array-percentile over the
+    // reference slice broadcast back, the rest is two conditional
+    // count aggregates. PSI > 0.2 is the conventional alarm.
+    "q_psi_drift" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("ts"), col("value"))
+      val mid = ev.agg(((min(unix_micros(col("ts"))) +
+        max(unix_micros(col("ts")))) / 2).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+        .select(col("value"), (unix_micros(col("ts")) < col("mid")).as("is_ref"))
+      val qs = (1 to 9).map(i => s"0.${i}d").mkString("array(", ", ", ")")
+      val bounds = tagged.filter(col("is_ref"))
+        .agg(expr(s"percentile(value, $qs)").as("bs"))
+      val bin = (1 to 9).foldLeft(when(lit(false), 0)) { (acc, i) =>
+        acc.when(col("value") <= element_at(col("bs"), i), i - 1)
+      }.otherwise(9)
+      val counts = tagged.crossJoin(broadcast(bounds))
+        .select(bin.as("bin"), col("is_ref"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+      val tot = counts.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+      val p = (col("n_ref") + 1).cast("double") / (col("tr") + 10).cast("double")
+      val q = (col("n_cur") + 1).cast("double") / (col("tc") + 10).cast("double")
+      counts.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          ((p - q) * log(p / q)).as("psi_term"))
+        .orderBy(col("bin"))
+    }),
+
+    // Gini concentration — how unequal is revenue across suppliers (the
+    // Lorenz-curve scalar): G = Σ(2i−n−1)·x_i / (n·Σx) over ascending
+    // per-supplier revenue. Ranks come from a supplier-sized sort window
+    // (dimension-scale; at fact scale pre-bucket by revenue range and
+    // rank within buckets off broadcast prefix counts); both sums are
+    // exact decimals so G is order-independent, and the rank order is
+    // totalized by (revenue, suppkey) for engine-identical ties.
+    "q_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val rev = t(s, d, "lineitem").groupBy(col("l_suppkey"))
+        .agg(Num.dsum(col("l_extendedprice")).as("x"))
+      val w = Window.orderBy(col("x"), col("l_suppkey"))
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+      // x is a dsum output (≤6dp, exact in DECIMAL(18,6)); multiplying
+      // the NARROW decimal by the integer rank keeps the product inside
+      // DECIMAL(38,6) with no precision cap in either engine
+      rev.select(col("x"), row_number().over(w).cast("long").as("i"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d18)).cast("double").as("sx"),
+          sum((col("x").cast(d18) * (lit(2) * col("i"))).cast(dec))
+            .cast("double").as("s2ix"))
+        .select(col("n"),
+          ((col("s2ix") - (col("n") + 1).cast("double") * col("sx")) /
+            (col("n").cast("double") * col("sx"))).as("gini"))
+    }),
+
     // Exponentially time-decayed engagement score — the recency-weighted
     // ranking primitive (recommendation freshness, user activity
     // scoring): score = Σ value·e^(−λ·age_days), λ = 0.05 ⇒ two-week
@@ -789,6 +851,50 @@ object Sources {
          |FROM grid ORDER BY 1, 2""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
+    "q_psi_drift" -> {
+      val binCase = (1 to 9).map(i =>
+        s"WHEN value <= bs[$i] THEN ${i - 1}").mkString(
+        "CASE ", " ", "ELSE 9 END")
+      s"""WITH mid AS (
+         |  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2 AS mid FROM events),
+         |tagged AS (
+         |  SELECT value, epoch_us(ts) < mid AS is_ref FROM events, mid),
+         |b AS (
+         |  SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+         |  FROM tagged WHERE is_ref),
+         |counts AS (
+         |  SELECT $binCase AS bin,
+         |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+         |  FROM tagged, b GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+         |               CAST(SUM(n_cur) AS BIGINT) AS tc FROM counts)
+         |SELECT bin, n_ref, n_cur,
+         |  ((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+         |    - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+         |   * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+         |        / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))))
+         |    AS psi_term
+         |FROM counts, tot ORDER BY bin""".stripMargin
+    },
+
+    "q_gini" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS x
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT x,
+        |        CAST(row_number() OVER (ORDER BY x, l_suppkey) AS BIGINT) AS i
+        |      FROM rev),
+        |a AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(CAST(x AS DECIMAL(18,6)) * (2 * i)
+        |                 AS DECIMAL(38,6))) AS DOUBLE) AS s2ix
+        |      FROM r)
+        |SELECT n, (s2ix - CAST(n + 1 AS DOUBLE) * sx)
+        |          / (CAST(n AS DOUBLE) * sx) AS gini
+        |FROM a""".stripMargin,
+
     "q_decay_score" ->
       """WITH ref AS (SELECT MAX(ts) AS ref FROM events)
         |SELECT user_id, COUNT(*) AS n,

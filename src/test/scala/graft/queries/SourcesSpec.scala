@@ -28,6 +28,38 @@ class SourcesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_psi_drift: reference deciles are height-balanced; stationary data stays calm") {
+    val rows = SparkEntry.queries("q_psi_drift")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 9))
+    val refTotal = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - refTotal / 10.0) <= math.max(2.0, refTotal * 0.02),
+        s"bin ${r.getInt(0)}: reference deciles must be height-balanced")
+    }
+    // synthetic events are stationary across the month: PSI far below the
+    // 0.2 alarm and every term finite
+    val psi = rows.map(_.getDouble(3)).sum
+    assert(rows.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    assert(psi >= 0.0 && psi < 0.1, s"PSI $psi on stationary data")
+  }
+
+  test("q_gini matches the brute-force Lorenz computation, inside [0, 1)") {
+    import org.apache.spark.sql.functions._
+    val Array(row) = SparkEntry.queries("q_gini")(spark, sf).collect()
+    val xs = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_suppkey")).agg(graft.Num.dsum(col("l_extendedprice")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(e => (e._2, e._1)).map(_._2)
+    val n = xs.length
+    val sx = xs.map(BigDecimal(_)).sum
+    val s2ix = xs.zipWithIndex.map { case (x, i0) =>
+      BigDecimal(x) * (2 * (i0 + 1)) }.sum
+    val gini = ((s2ix - (n + 1) * sx) / (n * sx)).toDouble
+    assert(row.getLong(0) === n.toLong)
+    assert(math.abs(row.getDouble(1) - gini) < 1e-9)
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) < 1.0)
+  }
+
   test("q_decay_score: every user scored once, strictly below the undecayed sum") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_decay_score")(spark, sf).collect()
