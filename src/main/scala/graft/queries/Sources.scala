@@ -334,6 +334,64 @@ object Sources {
     // the per-row z and the boundary verdict are identical in any engine
     // and any partition order. The tiny per-type stats broadcast back
     // against the scan: no corpus shuffle for the scoring pass.
+    // Conversion lag with censoring — the time-to-event profile funnels
+    // don't give you: per user, the first signup and the first purchase
+    // AT OR AFTER it; users who never convert are counted as censored
+    // instead of silently dropped (the survival-analysis discipline).
+    // Shape: two conditional min-aggregates, one user-keyed equi-join
+    // (the ts ≥ signup condition is a residual predicate inside a
+    // fanout-bounded join, never a time-band self-join), then one 1-row
+    // summary with integer-µs percentiles over converters only.
+    "q_conversion_lag" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("su_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu_user"), col("ts").as("pu_ts"))
+      val lag = su.join(pu,
+          col("user_id") === col("pu_user") && col("pu_ts") >= col("su_ts"),
+          "left")
+        .groupBy(col("user_id"))
+        .agg((min(unix_micros(col("pu_ts"))) -
+          min(unix_micros(col("su_ts")))).as("lag_us"))
+      lag.agg(count(lit(1)).as("n_users"),
+        count(col("lag_us")).as("n_converted"),
+        sum(when(col("lag_us").isNull, 1L).otherwise(0L)).as("n_censored"),
+        expr("percentile(lag_us, 0.5d)").as("med_lag_us"),
+        expr("percentile(lag_us, 0.9d)").as("p90_lag_us"))
+    }),
+
+    // Cohort LTV curve — cumulative revenue per customer by cohort age:
+    // customers grouped by first-order month, revenue accumulated over
+    // integer month offsets, normalized by cohort size. The cumulative
+    // sum is a window over the (cohort, age) AGGREGATE (cohort-count ×
+    // age rows, model-sized), never over raw orders; month arithmetic is
+    // integer (y·12+m), so ages are engine-exact. Restricted to cohorts
+    // from 2000 onward to keep the reported curve family bounded.
+    "q_cohort_ltv" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val om = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      val o = t(s, d, "orders").select(col("o_custkey"), col("o_totalprice"),
+        om.as("om"))
+      val cohort = o.groupBy(col("o_custkey").as("ck"))
+        .agg(min(col("om")).as("cm"))
+        .filter(col("cm") <= 1995 * 12 + 12)
+      val sized = cohort.groupBy(col("cm")).agg(count(lit(1)).as("cohort_n"))
+      val byAge = o.join(cohort, col("o_custkey") === col("ck"))
+        .groupBy(col("cm"), (col("om") - col("cm")).as("age"))
+        .agg(Num.dsum(col("o_totalprice")).as("rev"),
+          count(lit(1)).as("n_orders"))
+        .filter(col("age") <= 24)
+      val w = Window.partitionBy(col("cm")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byAge.join(broadcast(sized), "cm")
+        .select(col("cm").as("cohort_month"), col("age"), col("n_orders"),
+          (sum(col("rev").cast(dec)).over(w).cast("double") /
+            col("cohort_n").cast("double")).as("ltv_per_customer"))
+        .orderBy(col("cohort_month"), col("age"))
+    }),
+
     // PSI distribution drift — the standard population-stability check a
     // pipeline runs between snapshots before trusting a model: bin the
     // REFERENCE window's value distribution into its own deciles, count
@@ -851,6 +909,48 @@ object Sources {
          |FROM grid ORDER BY 1, 2""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
+    "q_conversion_lag" ->
+      """WITH su AS (
+        |  SELECT user_id, MIN(ts) AS su_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |lag AS (
+        |  SELECT su.user_id,
+        |    MIN(epoch_us(p.ts)) - MIN(epoch_us(su.su_ts)) AS lag_us
+        |  FROM su LEFT JOIN events p
+        |    ON p.user_id = su.user_id AND p.event_type = 'purchase'
+        |   AND p.ts >= su.su_ts
+        |  GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |  COUNT(lag_us) AS n_converted,
+        |  CAST(SUM(CASE WHEN lag_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_censored,
+        |  quantile_cont(lag_us, 0.5) AS med_lag_us,
+        |  quantile_cont(lag_us, 0.9) AS p90_lag_us
+        |FROM lag""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS om
+        |  FROM orders),
+        |cohort AS (
+        |  SELECT o_custkey AS ck, MIN(om) AS cm FROM o GROUP BY 1
+        |  HAVING MIN(om) <= 1995 * 12 + 12),
+        |sized AS (SELECT cm, COUNT(*) AS cohort_n FROM cohort GROUP BY 1),
+        |byage AS (
+        |  SELECT cm, om - cm AS age,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev,
+        |    COUNT(*) AS n_orders
+        |  FROM o JOIN cohort ON o_custkey = ck GROUP BY 1, 2
+        |  HAVING om - cm <= 24)
+        |SELECT byage.cm AS cohort_month, age, n_orders,
+        |  CAST(SUM(CAST(rev AS DECIMAL(38,6)))
+        |       OVER (PARTITION BY byage.cm ORDER BY age
+        |             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(cohort_n AS DOUBLE) AS ltv_per_customer
+        |FROM byage JOIN sized ON byage.cm = sized.cm
+        |ORDER BY cohort_month, age""".stripMargin,
+
     "q_psi_drift" -> {
       val binCase = (1 to 9).map(i =>
         s"WHEN value <= bs[$i] THEN ${i - 1}").mkString(

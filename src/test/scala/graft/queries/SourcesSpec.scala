@@ -28,6 +28,31 @@ class SourcesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_conversion_lag: converted + censored = signup users; lags ordered") {
+    import org.apache.spark.sql.functions._
+    val Array(r) = SparkEntry.queries("q_conversion_lag")(spark, sf).collect()
+    val signups = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) === signups)
+    assert(r.getLong(1) + r.getLong(2) === r.getLong(0))
+    assert(r.getLong(1) > 0, "some users must convert in this data")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= r.getDouble(4),
+      "median lag must be within [0, p90]")
+  }
+
+  test("q_cohort_ltv: curves are cumulative (non-decreasing per cohort)") {
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getInt(0)).foreach { case (cohort, rs) =>
+      assert(cohort >= 1995 * 12 + 1 && cohort <= 1995 * 12 + 12)
+      val curve = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+        s"cohort $cohort LTV curve must be non-decreasing")
+      rs.foreach(r => assert(r.getInt(1) >= 0 && r.getInt(1) <= 24))
+    }
+  }
+
   test("q_psi_drift: reference deciles are height-balanced; stationary data stays calm") {
     val rows = SparkEntry.queries("q_psi_drift")(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq === (0 to 9))
