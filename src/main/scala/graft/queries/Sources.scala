@@ -334,6 +334,31 @@ object Sources {
     // the per-row z and the boundary verdict are identical in any engine
     // and any partition order. The tiny per-type stats broadcast back
     // against the scan: no corpus shuffle for the scoring pass.
+    // Audience overlap — Jaccard similarity between event types' USER
+    // sets (which behaviors share an audience): the corpus collapses to
+    // the distinct (type, user) table first, the pair intersection is
+    // one user-keyed self-join over that narrow table (fanout = types
+    // per user, ≤5), and |A∪B| = |A|+|B|−|A∩B| comes from broadcast
+    // set sizes — union is never materialized. Canonical a<b
+    // orientation, each pair once.
+    "q_audience_overlap" -> ((s, d) => {
+      val tu = t(s, d, "events")
+        .select(col("event_type").as("et"), col("user_id")).distinct()
+      val sizes = tu.groupBy(col("et")).agg(count(lit(1)).as("sz"))
+      val inter = tu.as("x").join(tu.as("y"),
+          col("x.user_id") === col("y.user_id") && col("x.et") < col("y.et"))
+        .groupBy(col("x.et").as("a"), col("y.et").as("b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.select(col("et").as("a"), col("sz").as("sz_a"))), "a")
+        .join(broadcast(sizes.select(col("et").as("b"), col("sz").as("sz_b"))), "b")
+        .select(col("a"), col("b"), col("n_both"),
+          (col("n_both").cast("double") /
+            (col("sz_a") + col("sz_b") - col("n_both")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Conversion lag with censoring — the time-to-event profile funnels
     // don't give you: per user, the first signup and the first purchase
     // AT OR AFTER it; users who never convert are counted as censored
@@ -909,6 +934,20 @@ object Sources {
          |FROM grid ORDER BY 1, 2""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
+    "q_audience_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type AS et, user_id FROM events),
+        |sz AS (SELECT et, COUNT(*) AS sz FROM tu GROUP BY 1),
+        |inter AS (
+        |  SELECT x.et AS a, y.et AS b, COUNT(*) AS n_both
+        |  FROM tu x JOIN tu y ON x.user_id = y.user_id AND x.et < y.et
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_both,
+        |  CAST(n_both AS DOUBLE) / CAST(sa.sz + sb.sz - n_both AS DOUBLE)
+        |    AS jaccard
+        |FROM inter JOIN sz sa ON a = sa.et JOIN sz sb ON b = sb.et
+        |ORDER BY a, b""".stripMargin,
+
     "q_conversion_lag" ->
       """WITH su AS (
         |  SELECT user_id, MIN(ts) AS su_ts FROM events

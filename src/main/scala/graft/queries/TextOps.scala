@@ -619,6 +619,31 @@ object TextOps {
         .orderBy(col("df").desc, col("token"))
         .limit(100)),
 
+    // Chi-square independence — is document language independent of its
+    // source? The contingency table is one (lang, source) aggregate;
+    // row/column margins are two model-sized re-aggregates broadcast
+    // back; expected = row·col/N and the χ² term per cell are pure map
+    // arithmetic on exact integer counts, so the statistic is
+    // engine-identical without any decimal detour. The per-cell terms
+    // ship (not just the scalar) so the analyst sees WHICH cells drive
+    // the dependence.
+    "q_chi2_independence" -> ((s, d) => {
+      val cells = t(s, d, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      val rowM = cells.groupBy(col("lang").as("l2")).agg(sum(col("n")).as("rn"))
+      val colM = cells.groupBy(col("source").as("s2")).agg(sum(col("n")).as("cn"))
+      val tot = cells.agg(sum(col("n")).as("tn"))
+      val expected = col("rn").cast("double") * col("cn").cast("double") /
+        col("tn").cast("double")
+      cells.join(broadcast(rowM), col("lang") === col("l2"))
+        .join(broadcast(colM), col("source") === col("s2"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n"), expected.as("expected"),
+          ((col("n").cast("double") - expected) *
+            (col("n").cast("double") - expected) / expected).as("chi2_term"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Token co-occurrence PMI — word-association mining: which token
     // pairs appear in the same document far more often than their
     // individual frequencies predict (pmi = ln(df_ab·N / (df_a·df_b))).
@@ -1022,6 +1047,20 @@ object TextOps {
         |FROM td GROUP BY 1
         |HAVING COUNT(*) >= 5
         |ORDER BY df DESC, token LIMIT 100""".stripMargin,
+
+    "q_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT lang AS l2, CAST(SUM(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+        |cm AS (SELECT source AS s2, CAST(SUM(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM cells)
+        |SELECT lang, source, n,
+        |  CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE) AS expected,
+        |  (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE))
+        |  * (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE))
+        |  / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE)) AS chi2_term
+        |FROM cells JOIN rm ON lang = l2 JOIN cm ON source = s2, tot
+        |ORDER BY lang, source""".stripMargin,
 
     "q_cooccur_pmi" ->
       """WITH td AS (

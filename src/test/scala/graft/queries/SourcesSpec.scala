@@ -28,6 +28,24 @@ class SourcesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_audience_overlap matches brute-force set overlap per type pair") {
+    import org.apache.spark.sql.functions._
+    val tu = graft.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val sets = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = SparkEntry.queries("q_audience_overlap")(spark, sf).collect()
+    assert(rows.length === sets.size * (sets.size - 1) / 2,
+      "every type pair with a shared user must appear (dense data)")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val inter = (sets(a) & sets(b)).size.toLong
+      val union = (sets(a) | sets(b)).size.toDouble
+      assert(r.getLong(2) === inter, s"($a,$b) intersection")
+      assert(math.abs(r.getDouble(3) - inter / union) < 1e-12, s"($a,$b) jaccard")
+    }
+  }
+
   test("q_conversion_lag: converted + censored = signup users; lags ordered") {
     import org.apache.spark.sql.functions._
     val Array(r) = SparkEntry.queries("q_conversion_lag")(spark, sf).collect()

