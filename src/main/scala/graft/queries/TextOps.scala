@@ -619,6 +619,42 @@ object TextOps {
         .orderBy(col("df").desc, col("token"))
         .limit(100)),
 
+    // Zipf-law fit + corpus diagnostics — the one-row health panel a
+    // tokenizer build starts from: type/token counts, hapax ratio (one-
+    // occurrence words — high hapax = noisy corpus), and the Zipf
+    // exponent from the closed-form OLS slope of log freq on log rank.
+    // Ranks come from a vocabulary-sized sort window (the corpus already
+    // collapsed to word counts); the regression sums are per-term
+    // decimal-cast so the slope is order-independent despite the float
+    // logs. A natural corpus fits slope ≈ −1.
+    "q_zipf_fit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val wc = t(s, d, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ranked = wc.select(col("c"),
+        row_number().over(Window.orderBy(col("c").desc, col("w")))
+          .cast("long").as("r"))
+      val x = log(col("r").cast("double"))
+      val y = log(col("c").cast("double"))
+      val m = ranked.agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(x.cast(dec)).cast("double").as("sx"),
+        sum(y.cast(dec)).cast("double").as("sy"),
+        sum((x * y).cast(dec)).cast("double").as("sxy"),
+        sum((x * x).cast(dec)).cast("double").as("sxx"))
+      val nd = col("n_types").cast("double")
+      m.select(col("n_types"), col("n_tokens"), col("n_hapax"),
+        (col("n_hapax").cast("double") / nd).as("hapax_ratio"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        ((col("sxy") - col("sx") * col("sy") / nd) /
+          (col("sxx") - col("sx") * col("sx") / nd)).as("zipf_slope"))
+    }),
+
     // Chi-square independence — is document language independent of its
     // source? The contingency table is one (lang, source) aggregate;
     // row/column margins are two model-sized re-aggregates broadcast
@@ -1047,6 +1083,31 @@ object TextOps {
         |FROM td GROUP BY 1
         |HAVING COUNT(*) >= 5
         |ORDER BY df DESC, token LIMIT 100""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH wc AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS w
+        |    FROM documents) z GROUP BY 1),
+        |r AS (SELECT c,
+        |        CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+        |      FROM wc),
+        |m AS (SELECT COUNT(*) AS n_types,
+        |        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |        CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+        |                 AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |        CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+        |                 AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |      FROM r)
+        |SELECT n_types, n_tokens, n_hapax,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+        |  (sxy - sx * sy / CAST(n_types AS DOUBLE))
+        |    / (sxx - sx * sx / CAST(n_types AS DOUBLE)) AS zipf_slope
+        |FROM m""".stripMargin,
 
     "q_chi2_independence" ->
       """WITH cells AS (

@@ -146,6 +146,28 @@ class TextOpsSpec extends SparkSpec {
     assert(fact == naive)
   }
 
+  test("q_zipf_fit matches a brute-force log-log regression over word counts") {
+    val Array(r) = SparkEntry.queries("q_zipf_fit")(spark, sf).collect()
+    val counts = graft.Tables.load(spark, sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(row => "[a-z]+|[0-9]+".r.findAllIn(row.getString(0).toLowerCase))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val ranked = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .zipWithIndex.map { case ((_, c), i0) => ((i0 + 1).toLong, c) }
+    val n = ranked.length.toDouble
+    val xs = ranked.map(e => math.log(e._1.toDouble))
+    val ys = ranked.map(e => math.log(e._2.toDouble))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert(r.getLong(0) === ranked.length.toLong)
+    assert(r.getLong(1) === counts.values.sum)
+    assert(r.getLong(2) === counts.values.count(_ == 1L).toLong)
+    assert(math.abs(r.getDouble(5) - slope) < 1e-9)
+    assert(r.getDouble(5) < 0.0, "frequency must fall with rank")
+  }
+
   test("q_chi2_independence: observed and expected masses both sum to N; terms non-negative") {
     val rows = SparkEntry.queries("q_chi2_independence")(spark, sf).collect()
     assert(rows.nonEmpty)
