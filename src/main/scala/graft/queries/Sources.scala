@@ -334,6 +334,71 @@ object Sources {
     // the per-row z and the boundary verdict are identical in any engine
     // and any partition order. The tiny per-type stats broadcast back
     // against the scan: no corpus shuffle for the scoring pass.
+    // DAU/WAU stickiness — the product-analytics ratio: per day, the
+    // day's distinct users over the trailing week's distinct users.
+    // Exact twin of the sliding-HLL machinery: the distinct (day, user)
+    // table explodes each row into the ≤7 trailing windows it feeds
+    // (equi-joins only, like q_sliding_distinct), daily and weekly
+    // distincts are two aggregates over that narrow table, stickiness is
+    // a per-row ratio. DAU ≤ WAU by construction — spec-pinned.
+    "q_stickiness" -> ((s, d) => {
+      val du = t(s, d, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day")).distinct().select(col("day").as("w"))
+      val dau = du.groupBy(col("day").as("w"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = du
+        .select(col("user_id"), explode(expr(
+          "sequence(day, day + interval 6 days, interval 1 day)")).as("w"))
+        .join(broadcast(days), Seq("w"), "left_semi")
+        .groupBy(col("w")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "w")
+        .select(col("w").as("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
+    // Benford first-digit audit — the fraud/synthetic-data screen:
+    // leading digits of order totals against Benford's log10(1+1/d)
+    // expectation, with the per-digit χ² term. One map + one 9-bucket
+    // aggregate; the leading digit comes from string truncation (exact
+    // for positive decimals in both engines), expectations are
+    // closed-form doubles.
+    "q_benford" -> ((s, d) => {
+      val digit = substring(col("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+      val counts = t(s, d, "orders")
+        .select(digit.as("d")).filter(col("d").between(1, 9))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("tn"))
+      val expP = log(lit(1.0) + lit(1.0) / col("d").cast("double")) / log(lit(10.0))
+      val expN = expP * col("tn").cast("double")
+      counts.crossJoin(broadcast(tot))
+        .select(col("d"), col("n"), expN.as("expected"),
+          ((col("n").cast("double") - expN) * (col("n").cast("double") - expN)
+            / expN).as("chi2_term"))
+        .orderBy(col("d"))
+    }),
+
+    // Hour-of-day × day-of-week seasonality — the load-shape profile:
+    // counts per (dow, hour) cell against the uniform expectation, the
+    // ratio being the seasonal factor a capacity planner reads. One
+    // map-side-combined aggregate; dow/hour extraction is integer and
+    // engine-aligned (ISO dow).
+    "q_seasonal_profile" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      val cells = ev.groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("tn"), count(lit(1)).as("ncells"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hod"), col("n"),
+          (col("n").cast("double") * col("ncells").cast("double") /
+            col("tn").cast("double")).as("seasonal_factor"))
+        .orderBy(col("dow"), col("hod"))
+    }),
+
     // Audience overlap — Jaccard similarity between event types' USER
     // sets (which behaviors share an audience): the corpus collapses to
     // the distinct (type, user) table first, the pair intersection is
@@ -934,6 +999,53 @@ object Sources {
          |FROM grid ORDER BY 1, 2""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
+    "q_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day AS w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM du GROUP BY 1),
+        |wau AS (
+        |  SELECT d.day AS w, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+        |  FROM days d JOIN du
+        |    ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |  GROUP BY 1)
+        |SELECT dau.w AS day, dau, wau,
+        |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON dau.w = wau.w
+        |ORDER BY day""".stripMargin,
+
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS d,
+        |         COUNT(*) AS n
+        |  FROM orders
+        |  WHERE CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT)
+        |        BETWEEN 1 AND 9
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM c)
+        |SELECT d, n,
+        |  ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * CAST(tn AS DOUBLE)
+        |    AS expected,
+        |  (CAST(n AS DOUBLE)
+        |     - ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * CAST(tn AS DOUBLE))
+        |  * (CAST(n AS DOUBLE)
+        |     - ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * CAST(tn AS DOUBLE))
+        |  / (ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * CAST(tn AS DOUBLE))
+        |    AS chi2_term
+        |FROM c, tot ORDER BY d""".stripMargin,
+
+    "q_seasonal_profile" ->
+      """WITH cells AS (
+        |  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |         CAST(hour(ts) AS INT) AS hod, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, COUNT(*) AS ncells FROM cells)
+        |SELECT dow, hod, n,
+        |  CAST(n AS DOUBLE) * CAST(ncells AS DOUBLE) / CAST(tn AS DOUBLE)
+        |    AS seasonal_factor
+        |FROM cells, tot ORDER BY dow, hod""".stripMargin,
+
     "q_audience_overlap" ->
       """WITH tu AS (
         |  SELECT DISTINCT event_type AS et, user_id FROM events),

@@ -28,6 +28,39 @@ class SourcesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_stickiness: DAU never exceeds WAU; the first day's ratio is exactly 1") {
+    val rows = SparkEntry.queries("q_stickiness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "DAU must be ≤ trailing WAU")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val first = rows.minBy(_.getTimestamp(0).getTime)
+    assert(first.getDouble(3) === 1.0,
+      "day one has no history: its week IS the day")
+  }
+
+  test("q_benford: digit counts cover all orders; chi-square terms finite") {
+    val rows = SparkEntry.queries("q_benford")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 9))
+    val orders = graft.Tables.load(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(1)).sum === orders)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0)
+      assert(r.getDouble(3) >= 0.0 && !r.getDouble(3).isInfinite)
+    }
+  }
+
+  test("q_seasonal_profile: cell counts conserve mass; factors average to 1") {
+    val rows = SparkEntry.queries("q_seasonal_profile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    // the unweighted mean of n·ncells/tn over cells is exactly 1
+    val meanFactor = rows.map(_.getDouble(3)).sum / rows.length
+    assert(math.abs(meanFactor - 1.0) < 1e-9)
+  }
+
   test("q_audience_overlap matches brute-force set overlap per type pair") {
     import org.apache.spark.sql.functions._
     val tu = graft.Tables.load(spark, sf, "events")
