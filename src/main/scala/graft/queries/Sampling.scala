@@ -75,6 +75,29 @@ object Sampling {
         .orderBy(col("doc_id"))
     }),
 
+    // Effective sample size of the importance weights — the sampling-QA
+    // scalar run BEFORE trusting a weighted corpus: ESS = (Σw)²/Σw²
+    // collapses to n when weights are uniform and to 1 when one document
+    // dominates; ESS/n far below 1 means the weighted sample is mostly
+    // noise. One aggregate over the same weight column
+    // q_importance_sample draws from; exact decimal sums keep the ratio
+    // engine-identical.
+    "q_ess_weights" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val docs = Tables.load(s, d, "documents")
+      val mx = docs.agg(max(col("n_chars")).as("mx"))
+      docs.crossJoin(broadcast(mx))
+        .select((col("n_chars").cast("double") / col("mx").cast("double"))
+          .as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("w").cast(dec)).cast("double").as("sw"),
+          sum((col("w") * col("w")).cast(dec)).cast("double").as("sww"))
+        .select(col("n"),
+          (col("sw") * col("sw") / col("sww")).as("ess"),
+          (col("sw") * col("sw") / col("sww") / col("n").cast("double"))
+            .as("ess_ratio"))
+    }),
+
     // Train/test CONTAMINATION check: for every test-split document, the
     // fraction of its distinct 5-gram shingles that also occur anywhere in
     // the train split — the eval-set leakage audit run before any
@@ -226,6 +249,19 @@ object Sampling {
          |FROM documents)
          |SELECT doc_id, n_chars, w, u FROM b
          |WHERE u < w ORDER BY doc_id""".stripMargin,
+
+    "q_ess_weights" ->
+      """WITH w AS (
+        |  SELECT CAST(n_chars AS DOUBLE)
+        |    / CAST((SELECT MAX(n_chars) FROM documents) AS DOUBLE) AS w
+        |  FROM documents),
+        |m AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS sw,
+        |        CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE) AS sww
+        |      FROM w)
+        |SELECT n, sw * sw / sww AS ess,
+        |  sw * sw / sww / CAST(n AS DOUBLE) AS ess_ratio
+        |FROM m""".stripMargin,
 
     "q_domain_mix" ->
       s"""WITH cnts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),

@@ -334,6 +334,29 @@ object Sources {
     // the per-row z and the boundary verdict are identical in any engine
     // and any partition order. The tiny per-type stats broadcast back
     // against the scan: no corpus shuffle for the scoring pass.
+    // Ingestion completeness — the landing-zone audit a scheduler runs
+    // before kicking downstream jobs: generate the full calendar between
+    // the snapshot's first and last day (sequence, no external clock),
+    // LEFT JOIN observed daily counts, and flag days that are MISSING
+    // entirely or LOW (< half the median daily volume). A silent gap in
+    // an hourly-file convention (the reference's DateTimePartitions
+    // layout) shows up here as is_missing before any consumer reads
+    // wrong totals.
+    "q_ingest_completeness" -> ((s, d) => {
+      val ev = t(s, d, "events").select(date_trunc("day", col("ts")).as("day"))
+      val daily = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      val cal = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val med = daily.agg(expr("percentile(n, 0.5d)").as("med"))
+      cal.join(daily, Seq("day"), "left")
+        .crossJoin(broadcast(med))
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+          col("n").isNull.as("is_missing"),
+          (coalesce(col("n"), lit(0L)).cast("double") <
+            col("med") * 0.5).as("is_low"))
+        .orderBy(col("day"))
+    }),
+
     // DAU/WAU stickiness — the product-analytics ratio: per day, the
     // day's distinct users over the trailing week's distinct users.
     // Exact twin of the sliding-HLL machinery: the distinct (day, user)
@@ -999,6 +1022,21 @@ object Sources {
          |FROM grid ORDER BY 1, 2""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
+    "q_ingest_completeness" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |cal AS (
+        |  SELECT UNNEST(generate_series(
+        |    (SELECT MIN(day) FROM daily), (SELECT MAX(day) FROM daily),
+        |    INTERVAL 1 DAY)) AS day),
+        |med AS (SELECT quantile_cont(n, 0.5) AS med FROM daily)
+        |SELECT cal.day, COALESCE(n, 0) AS n,
+        |  n IS NULL AS is_missing,
+        |  CAST(COALESCE(n, 0) AS DOUBLE) < med * 0.5 AS is_low
+        |FROM cal LEFT JOIN daily ON cal.day = daily.day, med
+        |ORDER BY cal.day""".stripMargin,
+
     "q_stickiness" ->
       """WITH du AS (
         |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),

@@ -40,6 +40,19 @@ class SamplingSpec extends SparkSpec {
       sampled.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("q_ess_weights matches the brute-force (Σw)²/Σw², bounded by (1, n]") {
+    val Array(r) = graft.SparkEntry.queries("q_ess_weights")(spark, sf).collect()
+    val chars = Tables.load(spark, sf, "documents")
+      .select(col("n_chars")).as[Long].collect()
+    val mx = chars.max.toDouble
+    val ws = chars.map(_ / mx)
+    val ess = math.pow(ws.sum, 2) / ws.map(w => w * w).sum
+    assert(r.getLong(0) === chars.length.toLong)
+    assert(math.abs(r.getDouble(1) - ess) < 1e-6)
+    assert(r.getDouble(1) > 1.0 && r.getDouble(1) <= chars.length.toDouble)
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+  }
+
   test("temperature mix (α=0.5) keeps a superset of the equal-count mix (α=1)") {
     // same per-doc hash draw, larger rate (m/c ≤ 1 ⇒ (m/c)^0.5 ≥ m/c):
     // every α=1 pick must survive at α=0.5, and the smallest language is

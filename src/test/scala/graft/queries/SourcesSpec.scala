@@ -28,6 +28,27 @@ class SourcesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_ingest_completeness: full calendar on driver data; a staged gap is flagged") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_ingest_completeness")(spark, sf).collect()
+    assert(rows.length === 30, "the driver month must yield a 30-day calendar")
+    assert(rows.forall(!_.getBoolean(2)), "driver data has no missing days")
+    // stage the same events with one interior day removed: the calendar
+    // must still span the full range and flag the hole
+    val dir = tmpDir("ingest-gap")
+    val ev = graft.Tables.load(spark, sf, "events")
+    val hole = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    ev.filter(date_trunc("day", col("ts")) =!= lit(hole))
+      .write.parquet(s"$dir/events.parquet")
+    val gapped = SparkEntry.queries("q_ingest_completeness")(spark, dir).collect()
+    assert(gapped.length === 30, "a gap must not shrink the calendar")
+    val flagged = gapped.filter(_.getBoolean(2)).map(_.getTimestamp(0))
+    assert(flagged.toSeq === Seq(hole), "exactly the staged hole is missing")
+    val holeRow = gapped.find(_.getTimestamp(0) == hole).get
+    assert(holeRow.getLong(1) === 0L && holeRow.getBoolean(3),
+      "a missing day is also a low day")
+  }
+
   test("q_stickiness: DAU never exceeds WAU; the first day's ratio is exactly 1") {
     val rows = SparkEntry.queries("q_stickiness")(spark, sf).collect()
     assert(rows.nonEmpty)
