@@ -68,6 +68,30 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("analytics family plans: equi-joins only, no quadratic operator anywhere") {
+    // one sweep over the round-9 analytics additions whose scale story is
+    // "equi-joins + broadcast stats": none may plan a nested-loop or
+    // cartesian join (the explode-to-window and broadcast-bounds idioms
+    // exist precisely to avoid them)
+    Seq("q_stickiness", "q_audience_overlap", "q_cooccur_pmi",
+        "q_cohort_ltv", "q_psi_drift", "q_histogram_eqdepth",
+        "q_ingest_completeness", "q_conversion_lag").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // a BroadcastNestedLoopJoin is allowed ONLY as the 1-row scalar
+      // broadcast (Cross); a data-sized inner/outer NLJ is the bug
+      p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach {
+        l => assert(l.contains("Cross"), s"$q plans a non-scalar NLJ: $l")
+      }
+    }
+  }
+
+  test("q_rfm bins with broadcast percentile bounds, never a global sort window") {
+    val p = plan("q_rfm")
+    assert(!p.contains("Window"), "rfm must not pay a single-partition ntile:\n" + p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("q_asof_nearest is join-free: both directions from one user_id shuffle") {
     val p = plan("q_asof_nearest")
     assert(!p.contains("Join"), p)
