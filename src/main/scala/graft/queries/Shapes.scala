@@ -696,6 +696,60 @@ object Shapes {
         .orderBy(col("band"))
     }),
 
+    // Discount elasticity — does discounting move volume, per brand:
+    // Pearson correlation of (l_discount, l_quantity) from the five
+    // moment sums, all exact decimals, one map-side-combined aggregate
+    // per brand (the q_agg_stats discipline applied per dimension
+    // member). Groups with no discount variance are dropped — their
+    // correlation is undefined and NaN compares differently across
+    // engines.
+    "q_price_elasticity" -> ((s, d) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val x = col("l_discount")
+      val y = col("l_quantity")
+      val m = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(d38)).cast("double").as("sx"),
+          sum(y.cast(d38)).cast("double").as("sy"),
+          sum((x * y).cast(d38)).cast("double").as("sxy"),
+          sum((x * x).cast(d38)).cast("double").as("sxx"),
+          sum((y * y).cast(d38)).cast("double").as("syy"))
+      val nd = col("n").cast("double")
+      val cov = col("sxy") - col("sx") * col("sy") / nd
+      val vx = col("sxx") - col("sx") * col("sx") / nd
+      val vy = col("syy") - col("sy") * col("sy") / nd
+      m.filter(col("n") >= 2 && vx > 0.0 && vy > 0.0)
+        .select(col("p_brand"), col("n"),
+          (cov / sqrt(vx * vy)).as("corr_disc_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Herfindahl–Hirschman concentration per part type — the
+    // market-structure scalar regulators compute: HHI = Σ share² over
+    // suppliers' revenue within each type (1/n_suppliers when even, →1
+    // when one supplier owns the type). Two type-keyed aggregates (per-
+    // (type, supplier) revenue, then the share-square sum against the
+    // broadcast type total); shares are exact-decimal revenue ratios.
+    "q_supplier_hhi" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("l_suppkey"))
+        .agg(Num.dsum(col("l_extendedprice")).as("r"))
+      val tot = rev.groupBy(col("p_type").as("t2"))
+        .agg(Num.dsum(col("r")).as("tr"), count(lit(1)).as("n_suppliers"))
+      val share = col("r") / col("tr")
+      rev.join(broadcast(tot), col("p_type") === col("t2"))
+        .groupBy(col("p_type"), col("n_suppliers"))
+        .agg(sum((share * share).cast(
+          org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double").as("hhi"))
+        .orderBy(col("p_type"))
+    }),
+
     // RFM segmentation — the customer-analytics composite: recency /
     // frequency / monetary per customer, each quintile-binned, rolled up
     // to segment counts. Binning is PERCENTILE boundaries + CASE (the
@@ -1261,6 +1315,41 @@ object Shapes {
          |  COUNT(*) AS n, ${Num.sqlDsum("l_extendedprice")} AS band_sum
          |FROM lineitem, b
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_price_elasticity" ->
+      """WITH m AS (
+        |  SELECT p_brand, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, n,
+        |  (sxy - sx * sy / CAST(n AS DOUBLE))
+        |    / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+        |         * (syy - sy * sy / CAST(n AS DOUBLE))) AS corr_disc_qty
+        |FROM m
+        |WHERE n >= 2 AND (sxx - sx * sx / CAST(n AS DOUBLE)) > 0.0
+        |  AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0.0
+        |ORDER BY p_brand""".stripMargin,
+
+    "q_supplier_hhi" ->
+      """WITH rev AS (
+        |  SELECT p_type, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT p_type AS t2,
+        |    CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS tr,
+        |    COUNT(*) AS n_suppliers
+        |  FROM rev GROUP BY 1)
+        |SELECT p_type, n_suppliers,
+        |  CAST(SUM(CAST((r / tr) * (r / tr) AS DECIMAL(28,12))) AS DOUBLE) AS hhi
+        |FROM rev JOIN tot ON p_type = t2
+        |GROUP BY 1, 2 ORDER BY p_type""".stripMargin,
 
     "q_rfm" ->
       """WITH cust AS (

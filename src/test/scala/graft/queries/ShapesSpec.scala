@@ -423,6 +423,29 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_price_elasticity: correlations bounded in [-1, 1], all brands covered") {
+    val rows = run("q_price_elasticity").collect()
+    val brands = graft.Tables.load(spark, sf, "part")
+      .select("p_brand").distinct().count()
+    assert(rows.length.toLong === brands,
+      "every brand has discount and quantity variance in this data")
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"${r.getString(0)}: $c")
+      assert(!c.isNaN)
+    }
+  }
+
+  test("q_supplier_hhi: every index inside [1/n, 1]") {
+    val rows = run("q_supplier_hhi").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi) = (r.getLong(1), r.getDouble(2))
+      assert(hhi >= 1.0 / n - 1e-9, s"${r.getString(0)}: HHI below the even floor")
+      assert(hhi <= 1.0 + 1e-9)
+    }
+  }
+
   test("q_rfm: segments partition all customers; scores stay in the 1..5 cube") {
     val rows = run("q_rfm").collect()
     val total = rows.map(_.getLong(1)).sum
