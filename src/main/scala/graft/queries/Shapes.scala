@@ -696,6 +696,52 @@ object Shapes {
         .orderBy(col("band"))
     }),
 
+    // Pareto 80/20 — the smallest customer set covering 80% of revenue:
+    // rank customers by revenue descending (customer-sized sort window,
+    // the q_gini discipline), running decimal-exact share, count ranks
+    // needed to cross 0.8. Output is one row: population, heavy-set
+    // size, and the heavy fraction — the "how concentrated is my
+    // business" scalar next to q_gini's full-curve integral.
+    "q_pareto_8020" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val rev = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(Num.dsum(col("o_totalprice")).as("x"))
+      val w = Window.orderBy(col("x").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.agg(Num.dsum(col("x")).as("tx"))
+      rev.crossJoin(broadcast(tot))
+        .select((sum(col("x").cast(dec)).over(w).cast("double") /
+          col("tx")).as("cum_share"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("cum_share") < 0.8, 1L).otherwise(0L)).as("below"))
+        .select(col("n_customers"),
+          (col("below") + 1).as("top_n_for_80pct"),
+          ((col("below") + 1).cast("double") /
+            col("n_customers").cast("double")).as("heavy_fraction"))
+    }),
+
+    // Growth accounting — each day's active users split into NEW (first
+    // ever seen that day) vs RETURNING: the min-day per user is one
+    // user-keyed aggregate joined back to the distinct (day, user)
+    // table, then a conditional daily count. The standard DAU
+    // decomposition a growth dashboard draws; new + returning = DAU by
+    // construction (spec-pinned).
+    "q_growth_accounting" -> ((s, d) => {
+      val du = t(s, d, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val firstDay = du.groupBy(col("user_id").as("u2"))
+        .agg(min(col("day")).as("first_day"))
+      du.join(firstDay, col("user_id") === col("u2"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"),
+          sum(when(col("day") === col("first_day"), 0L).otherwise(1L))
+            .as("n_returning"))
+        .orderBy(col("day"))
+    }),
+
     // Discount elasticity — does discounting move volume, per brand:
     // Pearson correlation of (l_discount, l_quantity) from the five
     // moment sums, all exact decimals, one map-side-combined aggregate
@@ -1315,6 +1361,36 @@ object Shapes {
          |  COUNT(*) AS n, ${Num.sqlDsum("l_extendedprice")} AS band_sum
          |FROM lineitem, b
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pareto_8020" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS tx FROM rev),
+        |c AS (
+        |  SELECT CAST(SUM(CAST(x AS DECIMAL(38,6)))
+        |           OVER (ORDER BY x DESC, o_custkey
+        |                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tx AS cum_share
+        |  FROM rev, tot)
+        |SELECT COUNT(*) AS n_customers,
+        |  CAST(SUM(CASE WHEN cum_share < 0.8 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |    AS top_n_for_80pct,
+        |  CAST(SUM(CASE WHEN cum_share < 0.8 THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS heavy_fraction
+        |FROM c""".stripMargin,
+
+    "q_growth_accounting" ->
+      """WITH du AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |fd AS (SELECT user_id AS u2, MIN(day) AS first_day FROM du GROUP BY 1)
+        |SELECT day,
+        |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN day = first_day THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_returning
+        |FROM du JOIN fd ON user_id = u2
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_price_elasticity" ->
       """WITH m AS (

@@ -423,6 +423,39 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_pareto_8020: the heavy set is the minimal prefix crossing 80%") {
+    import org.apache.spark.sql.functions._
+    val Array(r) = run("q_pareto_8020").collect()
+    val xs = graft.Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey")).agg(graft.Num.dsum(col("o_totalprice")).as("x"))
+      .collect().map(row => (row.getLong(0), row.getDouble(1)))
+      .sortBy(e => (-e._2, e._1)).map(_._2)
+    val total = xs.map(BigDecimal(_)).sum
+    val cum = xs.map(BigDecimal(_)).scanLeft(BigDecimal(0))(_ + _).tail
+    val k = cum.indexWhere(_ / total >= BigDecimal("0.8")) + 1
+    assert(r.getLong(0) === xs.length.toLong)
+    assert(r.getLong(1) === k.toLong, "minimal 80% prefix size")
+    assert(r.getDouble(2) < 1.0 && r.getDouble(2) > 0.0)
+  }
+
+  test("q_growth_accounting: new + returning = daily actives; first day all new") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_growth_accounting").collect()
+    val dau = graft.Tables.load(spark, sf, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).count()
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === dau(r.getTimestamp(0)))
+    }
+    val first = rows.minBy(_.getTimestamp(0).getTime)
+    assert(first.getLong(2) === 0L, "nobody can return on day one")
+    // total new users across all days = the user population
+    val users = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === users)
+  }
+
   test("q_price_elasticity: correlations bounded in [-1, 1], all brands covered") {
     val rows = run("q_price_elasticity").collect()
     val brands = graft.Tables.load(spark, sf, "part")
