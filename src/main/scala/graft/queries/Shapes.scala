@@ -696,6 +696,44 @@ object Shapes {
         .orderBy(col("band"))
     }),
 
+    // Catalog coverage — assortment health: per part type, how much of
+    // the catalog has EVER sold. The never-sold set is a LEFT ANTI from
+    // the part dim against the distinct sold-part keys (fact collapsed
+    // to its key set first — the anti join probes |parts| rows, never
+    // the fact); coverage is a per-type ratio over the broadcast-sized
+    // dim aggregate.
+    "q_catalog_coverage" -> ((s, d) => {
+      val sold = t(s, d, "lineitem").select(col("l_partkey")).distinct()
+      val parts = t(s, d, "part").select(col("p_partkey"), col("p_type"))
+      val unsold = parts.join(sold, col("p_partkey") === col("l_partkey"),
+        "left_anti").groupBy(col("p_type").as("t2"))
+        .agg(count(lit(1)).as("n_unsold"))
+      parts.groupBy(col("p_type")).agg(count(lit(1)).as("n_parts"))
+        .join(broadcast(unsold), col("p_type") === col("t2"), "left")
+        .select(col("p_type"), col("n_parts"),
+          (col("n_parts") - coalesce(col("n_unsold"), lit(0L))).as("n_sold"),
+          ((col("n_parts") - coalesce(col("n_unsold"), lit(0L))).cast("double") /
+            col("n_parts").cast("double")).as("coverage"))
+        .orderBy(col("p_type"))
+    }),
+
+    // User lifespan summary — the retention scalar panel: per user the
+    // span from first to last activity (integer days), then one row of
+    // percentiles plus the one-day share (users who never came back
+    // after their first day). Two aggregates: user-keyed min/max, then
+    // the model-sized summary.
+    "q_lifespan" -> ((s, d) => {
+      val span = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .groupBy(col("user_id"))
+        .agg(datediff(max(col("day")), min(col("day"))).cast("long").as("span_d"))
+      span.agg(count(lit(1)).as("n_users"),
+        expr("percentile(span_d, 0.5d)").as("med_span_d"),
+        expr("percentile(span_d, 0.9d)").as("p90_span_d"),
+        (sum(when(col("span_d") === 0L, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("one_day_share"))
+    }),
+
     // Pareto 80/20 — the smallest customer set covering 80% of revenue:
     // rank customers by revenue descending (customer-sized sort window,
     // the q_gini discipline), running decimal-exact share, count ranks
@@ -1361,6 +1399,30 @@ object Shapes {
          |  COUNT(*) AS n, ${Num.sqlDsum("l_extendedprice")} AS band_sum
          |FROM lineitem, b
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_catalog_coverage" ->
+      """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem)
+        |SELECT p_type, COUNT(*) AS n_parts,
+        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_sold,
+        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS coverage
+        |FROM part LEFT JOIN sold ON p_partkey = l_partkey
+        |GROUP BY 1 ORDER BY p_type""".stripMargin,
+
+    "q_lifespan" ->
+      """WITH span AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day',
+        |      CAST(MIN(date_trunc('day', ts)) AS DATE),
+        |      CAST(MAX(date_trunc('day', ts)) AS DATE)) AS BIGINT) AS span_d
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |  quantile_cont(span_d, 0.5) AS med_span_d,
+        |  quantile_cont(span_d, 0.9) AS p90_span_d,
+        |  CAST(SUM(CASE WHEN span_d = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS one_day_share
+        |FROM span""".stripMargin,
 
     "q_pareto_8020" ->
       """WITH rev AS (

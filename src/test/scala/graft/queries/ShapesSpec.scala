@@ -423,6 +423,31 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_catalog_coverage: anti join against the distinct sold keys; ratios consistent") {
+    val p = plan("q_catalog_coverage")
+    assert(p.contains("LeftAnti"), p)
+    val rows = run("q_catalog_coverage").collect()
+    val parts = graft.Tables.load(spark, sf, "part").count()
+    assert(rows.map(_.getLong(1)).sum === parts)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-12)
+    }
+  }
+
+  test("q_lifespan: percentiles ordered inside the observable month") {
+    val Array(r) = run("q_lifespan").collect()
+    import org.apache.spark.sql.functions._
+    val users = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) === users)
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= r.getDouble(2))
+    assert(r.getDouble(2) <= 29.0, "events span a single month")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("q_pareto_8020: the heavy set is the minimal prefix crossing 80%") {
     import org.apache.spark.sql.functions._
     val Array(r) = run("q_pareto_8020").collect()
