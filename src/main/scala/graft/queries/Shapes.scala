@@ -20,6 +20,28 @@ import graft.{Num, Tables}
 object Shapes {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** ONE SQL text, TWO engines: this exact string is executed by Spark
+    * (via temp views over the parquet tables) in q_sql_passthrough AND
+    * runs verbatim as its DuckDB oracle — the literal restatement of the
+    * reference's delegated-SQL contract (reference: bq.py:149-163, the
+    * query() gateway), proven by the hash-exact comparison. Stays inside
+    * the dialect intersection: CTEs, joins, grouped decimal-exact sums,
+    * a rank window; the decimal sum is cast to DOUBLE because the two
+    * engines widen decimal sums differently. */
+  val PassthroughSql: String =
+    """WITH cust_rev AS (
+      |  SELECT o_custkey AS ck,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      |  FROM orders GROUP BY o_custkey),
+      |seg AS (
+      |  SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+      |         CAST(SUM(rev) AS DOUBLE) AS segment_rev
+      |  FROM customer JOIN cust_rev ON c_custkey = ck
+      |  GROUP BY c_mktsegment)
+      |SELECT segment, n_customers, segment_rev,
+      |  CAST(RANK() OVER (ORDER BY segment_rev DESC) AS BIGINT) AS rev_rank
+      |FROM seg ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q13 shape: how many customers placed 0, 1, 2, … orders. The
     // naive plan joins raw orders to customer and counts after the join;
@@ -694,6 +716,17 @@ object Shapes {
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"), Num.dsum(col("v")).as("band_sum"))
         .orderBy(col("band"))
+    }),
+
+    // The delegated-SQL gateway made literal: register the tables as
+    // views and run [[PassthroughSql]] through spark.sql — the SAME text
+    // the DuckDB oracle executes. This is the reference's core contract
+    // (arbitrary SQL in, table out) expressed as a queries() entry, and
+    // the hash-exact gate is the cross-engine parity proof.
+    "q_sql_passthrough" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(PassthroughSql)
     }),
 
     // Catalog coverage — assortment health: per part type, how much of
@@ -1399,6 +1432,9 @@ object Shapes {
          |  COUNT(*) AS n, ${Num.sqlDsum("l_extendedprice")} AS band_sum
          |FROM lineitem, b
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The SAME text Spark executes — cross-engine parity by construction.
+    "q_sql_passthrough" -> PassthroughSql,
 
     "q_catalog_coverage" ->
       """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem)

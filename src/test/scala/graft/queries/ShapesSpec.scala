@@ -423,6 +423,19 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_sql_passthrough: Spark executes the ORACLE's own text, ranks consistent") {
+    // the parity claim is literal: the queries() entry and the oracle are
+    // the same string
+    assert(SparkEntry.oracleSql("q_sql_passthrough") eq Shapes.PassthroughSql)
+    val rows = run("q_sql_passthrough").collect()
+    assert(rows.nonEmpty)
+    // rank column is a real dense ranking of the revenue order
+    val byRank = rows.sortBy(_.getLong(3))
+    assert(byRank.map(_.getLong(3)).toSeq === (1L to rows.length))
+    assert(byRank.map(_.getDouble(2)).toSeq.reverse.sorted.reverse ===
+      byRank.map(_.getDouble(2)).toSeq, "rank must follow revenue descending")
+  }
+
   test("q_catalog_coverage: anti join against the distinct sold keys; ratios consistent") {
     val p = plan("q_catalog_coverage")
     assert(p.contains("LeftAnti"), p)
