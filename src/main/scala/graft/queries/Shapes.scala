@@ -718,6 +718,37 @@ object Shapes {
         .orderBy(col("band"))
     }),
 
+    // Order-width distribution — how many orders carry 1, 2, … line
+    // items: the fanout histogram that underpins every per-order
+    // quadratic bound in this repo (the co-purchase pair join and
+    // triangle count are O(width²) per order — THIS query is the
+    // evidence the width is bounded). Two stacked aggregates, both
+    // map-side combined.
+    "q_order_width" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("width"))
+        .groupBy(col("width")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("width"))),
+
+    // Per-user behavioral entropy — how diverse is each user's event
+    // mix (0 = single-behavior bot-like, high = broad engagement): the
+    // q_entropy shape applied to (user, event_type) counts, with the
+    // same DECIMAL(28,12) per-term cast making the float p·ln p sum
+    // order-independent. One narrow aggregate + fanout-1 join of the
+    // per-user totals.
+    "q_user_entropy" -> ((s, d) => {
+      val uc = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+      val tot = uc.groupBy(col("user_id").as("u2")).agg(sum(col("c")).as("n"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      val h = (-sum((p * log(p)).cast(
+        org.apache.spark.sql.types.DecimalType(28, 12)))).cast("double")
+      uc.join(tot, col("user_id") === col("u2"))
+        .groupBy(col("user_id"), col("n"))
+        .agg(h.as("entropy"))
+        .orderBy(col("user_id"))
+    }),
+
     // The delegated-SQL gateway made literal: register the tables as
     // views and run [[PassthroughSql]] through spark.sql — the SAME text
     // the DuckDB oracle executes. This is the reference's core contract
@@ -1435,6 +1466,26 @@ object Shapes {
 
     // The SAME text Spark executes — cross-engine parity by construction.
     "q_sql_passthrough" -> PassthroughSql,
+
+    "q_order_width" ->
+      """SELECT width, COUNT(*) AS n_orders FROM (
+        |  SELECT l_orderkey, COUNT(*) AS width FROM lineitem GROUP BY 1) w
+        |GROUP BY 1 ORDER BY width""".stripMargin,
+
+    "q_user_entropy" ->
+      """WITH uc AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT user_id AS u2, CAST(SUM(c) AS BIGINT) AS n
+        |        FROM uc GROUP BY 1),
+        |terms AS (
+        |  SELECT uc.user_id, n,
+        |    CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS t
+        |  FROM uc JOIN tot ON uc.user_id = u2)
+        |SELECT user_id, n, CAST(-SUM(t) AS DOUBLE) AS entropy
+        |FROM terms GROUP BY 1, 2 ORDER BY user_id""".stripMargin,
 
     "q_catalog_coverage" ->
       """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem)

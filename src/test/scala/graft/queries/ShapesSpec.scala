@@ -423,6 +423,38 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_order_width: widths conserve rows and stay bounded (the fanout evidence)") {
+    val rows = run("q_order_width").collect()
+    val lineitems = graft.Tables.load(spark, sf, "lineitem").count()
+    val orders = rows.map(_.getLong(1)).sum
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === lineitems,
+      "Σ width·n_orders must reconstruct the fact row count")
+    val maxWidth = rows.map(_.getLong(0)).max
+    assert(maxWidth <= 64,
+      s"order width $maxWidth would break the per-order quadratic bound story")
+    assert(orders === graft.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey").distinct().count())
+  }
+
+  test("q_user_entropy: bounded by ln(#types); single-type users at exactly 0") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_user_entropy").collect()
+    val nTypes = graft.Tables.load(spark, sf, "events")
+      .select("event_type").distinct().count()
+    val cap = math.log(nTypes.toDouble) + 1e-9
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1e-12 && r.getDouble(2) <= cap,
+        s"user ${r.getLong(0)}: entropy ${r.getDouble(2)} outside [0, ln($nTypes)]")
+    }
+    // spot-check: a user seen with only one type must score exactly 0
+    val single = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id")).agg(countDistinct(col("event_type")).as("k"))
+      .filter(col("k") === 1).select("user_id").collect()
+      .map(_.getLong(0)).toSet
+    rows.filter(r => single(r.getLong(0)))
+      .foreach(r => assert(r.getDouble(2) === 0.0))
+  }
+
   test("q_sql_passthrough: Spark executes the ORACLE's own text, ranks consistent") {
     // the parity claim is literal: the queries() entry and the oracle are
     // the same string
