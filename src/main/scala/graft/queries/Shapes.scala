@@ -718,6 +718,43 @@ object Shapes {
         .orderBy(col("band"))
     }),
 
+    // Reorder cadence — the repeat-purchase rhythm: per customer, gaps
+    // between consecutive orders from one custkey-partitioned sort
+    // window (integer days), then a one-row percentile panel over all
+    // gaps. Customers with a single order contribute no gap — the
+    // n_customers/n_with_gaps pair makes that visible instead of
+    // silent.
+    "q_reorder_cadence" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = t(s, d, "orders")
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).cast("long").as("gap_d"))
+      gaps.agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(col("gap_d")).as("n_gaps"),
+        expr("percentile(gap_d, 0.5d)").as("med_gap_d"),
+        expr("percentile(gap_d, 0.9d)").as("p90_gap_d"))
+    }),
+
+    // Latency SLO panel — treat the event value as a latency sample:
+    // p50/p95/p99 per event type from ONE array-percentile aggregate
+    // (shared sort buffer — the q_histogram_eqdepth lesson), plus the
+    // in-row SLO verdict against a fixed p99 budget. The ops dashboard
+    // shape: exact here, approx_percentile at 100 TB with the same plan.
+    "q_latency_slo" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, array(0.5d, 0.95d, 0.99d))").as("ps"))
+        .select(col("event_type"), col("n"),
+          element_at(col("ps"), 1).as("p50"),
+          element_at(col("ps"), 2).as("p95"),
+          element_at(col("ps"), 3).as("p99"),
+          (element_at(col("ps"), 3) <= lit(150.0)).as("slo_ok"))
+        .orderBy(col("event_type"))),
+
     // Order-width distribution — how many orders carry 1, 2, … line
     // items: the fanout histogram that underpins every per-order
     // quadratic bound in this repo (the co-purchase pair join and
@@ -1466,6 +1503,28 @@ object Shapes {
 
     // The SAME text Spark executes — cross-engine parity by construction.
     "q_sql_passthrough" -> PassthroughSql,
+
+    "q_reorder_cadence" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day',
+        |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                  ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_d
+        |  FROM orders)
+        |SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  COUNT(gap_d) AS n_gaps,
+        |  quantile_cont(gap_d, 0.5) AS med_gap_d,
+        |  quantile_cont(gap_d, 0.9) AS p90_gap_d
+        |FROM g""".stripMargin,
+
+    "q_latency_slo" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  quantile_cont(value, 0.99) <= 150.0 AS slo_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_order_width" ->
       """SELECT width, COUNT(*) AS n_orders FROM (

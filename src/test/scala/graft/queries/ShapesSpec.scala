@@ -423,6 +423,27 @@ class ShapesSpec extends SparkSpec {
     }
   }
 
+  test("q_reorder_cadence: every non-first order is one gap; percentiles ordered") {
+    import org.apache.spark.sql.functions._
+    val Array(r) = run("q_reorder_cadence").collect()
+    val o = graft.Tables.load(spark, sf, "orders")
+    val customers = o.select(col("o_custkey")).distinct().count()
+    assert(r.getLong(0) === customers)
+    assert(r.getLong(1) === o.count() - customers,
+      "each customer's order count minus one gap apiece")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= r.getDouble(3))
+  }
+
+  test("q_latency_slo: percentile ladder ordered per type") {
+    val rows = run("q_latency_slo").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4),
+        s"${r.getString(0)}: p50 ≤ p95 ≤ p99 must hold")
+      assert(r.getBoolean(5) === (r.getDouble(4) <= 150.0))
+    }
+  }
+
   test("q_order_width: widths conserve rows and stay bounded (the fanout evidence)") {
     val rows = run("q_order_width").collect()
     val lineitems = graft.Tables.load(spark, sf, "lineitem").count()
