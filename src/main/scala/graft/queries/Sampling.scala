@@ -218,6 +218,53 @@ object Sampling {
           (log(u) / col("n_chars").cast("double")).as("es_key"))
         .orderBy(col("es_key").desc, col("doc_id"))
         .limit(100)
+    }),
+
+    // EXACT stratified split: every stratum (language) is split 80/10/10
+    // to the row — unlike q_hash_split, whose per-stratum proportions only
+    // hold in expectation (a 50-doc language can land 40/7/3 or 45/2/3 by
+    // hash luck, starving its dev set). Docs are ranked within their
+    // stratum by md5(doc_id) (a deterministic shuffle, so the assignment
+    // is backfill-stable like every split here) and cut at exact integer
+    // thresholds 10·(r−1) < 8·n / 9·n. The rank is computed with the
+    // repo's two-pass distributed prefix idiom (q_seq_pack): a row_number
+    // inside (stratum, hash-prefix bucket) partitions plus a broadcast of
+    // cumulative per-bucket counts — the bucket is a PREFIX of the sort
+    // key, so bucket-major order equals global hash order. At 100 TB no
+    // task ever sorts a whole stratum (a web corpus is half one language):
+    // each of the 256 buckets holds ~1/256 of the stratum, and the bucket
+    // width is one constant (widen the substring) when strata outgrow it.
+    "q_stratified_split" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("h", md5(encode(col("doc_id").cast("string"), "UTF-8")))
+        .withColumn("hb", substring(col("h"), 1, 2))
+      val wIn = Window.partitionBy(col("lang"), col("hb"))
+        .orderBy(col("h"), col("doc_id"))
+      val local = docs.withColumn("lr", row_number().over(wIn).cast("long"))
+      val wB = Window.partitionBy(col("lang")).orderBy(col("hb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // model-sized (≤ 256·|strata| rows) and feeding two consumers, so
+      // persist instead of rescanning the corpus per branch (the
+      // q_resample cached-aggregate idiom; narrow residue is deliberate)
+      val bcounts = docs.groupBy(col("lang"), col("hb"))
+        .agg(count(lit(1)).as("btot"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bpre = bcounts
+        .withColumn("bprev", coalesce(sum(col("btot")).over(wB), lit(0L)))
+        .select(col("lang"), col("hb"), col("bprev"))
+      val nlang = bcounts.groupBy(col("lang")).agg(sum(col("btot")).as("n"))
+      local.join(broadcast(bpre), Seq("lang", "hb"))
+        .join(broadcast(nlang), Seq("lang"))
+        .withColumn("r", col("bprev") + col("lr"))
+        .withColumn("split",
+          when((col("r") - 1) * 10 < col("n") * 8, "train")
+            .when((col("r") - 1) * 10 < col("n") * 9, "dev")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split"))
     })
   )
 
@@ -323,6 +370,22 @@ object Sampling {
          |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rnk
          |      FROM b)
          |SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
-         |FROM r WHERE rnk <= $CapK ORDER BY lang, rnk""".stripMargin
+         |FROM r WHERE rnk <= $CapK ORDER BY lang, rnk""".stripMargin,
+
+    // Oracle states the SPEC (rank within stratum by md5, exact integer
+    // cuts); the Spark side implements the same function with the
+    // distributed two-pass rank — identical assignment, different plan.
+    "q_stratified_split" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |FROM documents)
+        |SELECT lang,
+        |  CASE WHEN (r - 1) * 10 < n * 8 THEN 'train'
+        |       WHEN (r - 1) * 10 < n * 9 THEN 'dev'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
   )
 }

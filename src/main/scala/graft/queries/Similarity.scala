@@ -505,6 +505,44 @@ object Similarity {
       kept.join(qv, "vec_id")
         .select(col("vec_id"), col("cluster"), col("scale"), col("qvec_csv"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Embedding-space drift: per-label centroid agreement between two
+    // deterministic halves of the corpus (vec_id parity standing in for
+    // the before/after snapshots of a recurring ingest). q_psi_drift
+    // watches scalar distributions; this is its embedding twin — the QA
+    // gate that catches an encoder swap or a poisoned shard, which shift
+    // centroid DIRECTION long before any scalar histogram moves. Exact
+    // end-to-end: ×1e6 bigint vectors, per-(label,half,dim) component
+    // sums, and DECIMAL(18,0)-promoted sums of component products, so
+    // cos(Σa, Σb) — scale-invariant, so sums need no 1/n — takes doubles
+    // only in the final divide and the oracle matches bit-for-bit. One
+    // posexplode + one map-side-combined shuffle on (label, dim): the
+    // reduced state is |labels|·64·2 cells regardless of corpus size, and
+    // at 100 TB the same plan runs with DECIMAL(38,0) component sums.
+    "q_embed_drift" -> ((s, d) => {
+      val iv = t(s, d, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          intVec("embedding").as("v"))
+      val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+      val sums = iv
+        .select(col("label"), col("half"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(when(col("half") === 0, col("x")).otherwise(0L)).as("s0"),
+          sum(when(col("half") === 1, col("x")).otherwise(0L)).as("s1"))
+      val geom = sums.groupBy(col("label"))
+        .agg(sum(col("s0").cast(dec) * col("s1").cast(dec)).as("dot"),
+          sum(col("s0").cast(dec) * col("s0").cast(dec)).as("q0"),
+          sum(col("s1").cast(dec) * col("s1").cast(dec)).as("q1"))
+      val ns = iv.groupBy(col("label"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+      geom.join(broadcast(ns), Seq("label"))
+        .select(col("label"), col("n0"), col("n1"),
+          (col("dot").cast("double") /
+            (sqrt(col("q0").cast("double")) * sqrt(col("q1").cast("double"))))
+            .as("centroid_cos"))
+        .orderBy(col("label"))
     })
   )
 
@@ -905,6 +943,30 @@ object Similarity {
          |  CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cos
          |FROM sc
          |WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // HUGEINT products mirror Spark's DECIMAL(18,0) promotion: both are
+    // exact, and the single double division at the end sees identical
+    // integers on both engines.
+    "q_embed_drift" ->
+      s"""WITH iv AS (SELECT label, vec_id % 2 AS half,
+         |             ${sqlIntVec("embedding")} AS v FROM embeddings),
+         |idx AS (SELECT UNNEST(range(1, 65)) AS i),
+         |sums AS (SELECT label, i AS pos,
+         |           SUM(CASE WHEN half = 0 THEN v[i] ELSE 0 END) AS s0,
+         |           SUM(CASE WHEN half = 1 THEN v[i] ELSE 0 END) AS s1
+         |         FROM iv, idx GROUP BY 1, 2),
+         |geom AS (SELECT label,
+         |           SUM(CAST(s0 AS HUGEINT) * CAST(s1 AS HUGEINT)) AS dot,
+         |           SUM(CAST(s0 AS HUGEINT) * CAST(s0 AS HUGEINT)) AS q0,
+         |           SUM(CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)) AS q1
+         |         FROM sums GROUP BY 1),
+         |ns AS (SELECT label,
+         |         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |       FROM embeddings GROUP BY 1)
+         |SELECT g.label, ns.n0, ns.n1,
+         |  CAST(dot AS DOUBLE) / (SQRT(CAST(q0 AS DOUBLE)) * SQRT(CAST(q1 AS DOUBLE))) AS centroid_cos
+         |FROM geom g JOIN ns USING (label) ORDER BY label""".stripMargin
   )
 }

@@ -302,4 +302,34 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum ==
       Tables.load(spark, sf, "events").count())
   }
+
+  test("q_embed_drift matches the brute-force exact centroid cosine per label") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("label"), col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val expect = vecs.groupBy(_._1).map { case (label, vs) =>
+      val halves = vs.groupBy(v => v._2 % 2)
+      def csum(h: Long): Array[BigInt] = halves.getOrElse(h, Array.empty)
+        .map(_._3).foldLeft(Array.fill(64)(BigInt(0))) { (acc, v) =>
+          acc.zip(v).map { case (a, x) => a + x }
+        }
+      val (s0, s1) = (csum(0), csum(1))
+      val dot = s0.zip(s1).map { case (a, b) => a * b }.sum
+      val q0 = s0.map(a => a * a).sum
+      val q1 = s1.map(a => a * a).sum
+      val cos = dot.toDouble / (math.sqrt(q0.toDouble) * math.sqrt(q1.toDouble))
+      label -> (halves.getOrElse(0L, Array.empty).length.toLong,
+        halves.getOrElse(1L, Array.empty).length.toLong, cos)
+    }
+    val got = SparkEntry.queries("q_embed_drift")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((label, (n0, n1, cos)) <- expect) {
+      assert(got(label)._1 == n0 && got(label)._2 == n1, s"label $label halves")
+      assert(math.abs(got(label)._3 - cos) < 1e-12, s"label $label cos")
+      assert(got(label)._3 <= 1.0 + 1e-12 && got(label)._3 >= -1.0 - 1e-12)
+    }
+  }
 }

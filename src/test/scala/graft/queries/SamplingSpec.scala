@@ -72,4 +72,43 @@ class SamplingSpec extends SparkSpec {
     val smallest = base.minBy(_._2)._1
     assert(byLang(smallest) == base(smallest), "smallest language must be kept whole")
   }
+
+  test("q_stratified_split: exact ceil(0.8n)/ceil(0.9n) cuts per stratum") {
+    val rows = graft.SparkEntry.queries("q_stratified_split")(spark, sf)
+      .select("lang", "split", "n_docs").as[(String, String, Long)]
+      .collect().groupBy(_._1)
+      .view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val base = Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(rows.keySet == base.keySet)
+    for ((lang, n) <- base) {
+      val m = rows(lang)
+      val train = (8 * n + 9) / 10 // = ceil(0.8n): #{k in [0,n): 10k < 8n}
+      val dev = (9 * n + 9) / 10 - train
+      assert(m.getOrElse("train", 0L) == train, s"$lang train")
+      assert(m.getOrElse("dev", 0L) == dev, s"$lang dev")
+      assert(m.values.sum == n, s"$lang must be partitioned exactly")
+    }
+  }
+
+  test("stratified split's two-pass rank equals the single-window oracle rank") {
+    // the distributed bucket-prefix rank must reproduce the plain
+    // row_number-over-stratum semantics the oracle states
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h"))
+      .as[(Long, String, String)].collect()
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val n = ds.length
+      ds.sortBy(d => (d._3, d._1)).zipWithIndex.map { case (_, i) =>
+        val split = if (10L * i < 8L * n) "train"
+        else if (10L * i < 9L * n) "dev" else "test"
+        (lang, split)
+      }
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val got = graft.SparkEntry.queries("q_stratified_split")(spark, sf)
+      .select("lang", "split", "n_docs").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expect)
+  }
 }
