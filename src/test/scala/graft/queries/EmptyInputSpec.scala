@@ -21,7 +21,8 @@ class EmptyInputSpec extends SparkSpec {
         "q_bpe_train", "q_bpe_encode", "q_unicode_clean",
         "q_incremental_dedup", "q_oov_rate", "q_group_cap",
         "q_entropy", "q_containment", "q_weighted_sample",
-        "q_inverted_index", "q_quality_quantile").foreach { q =>
+        "q_inverted_index", "q_quality_quantile",
+        "q_stratified_split").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
@@ -40,6 +41,7 @@ class EmptyInputSpec extends SparkSpec {
     Tables.load(spark, sf, "embeddings").limit(0)
       .write.parquet(s"$dir/embeddings.parquet")
     assert(SparkEntry.queries("q_embed_quantize")(spark, dir).collect().isEmpty)
+    assert(SparkEntry.queries("q_embed_drift")(spark, dir).collect().isEmpty)
   }
 
   test("k-means refuses to train without seed vectors (loud, not empty)") {
