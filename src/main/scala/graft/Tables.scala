@@ -58,6 +58,14 @@ object Tables {
 object Num {
   val Dec: DecimalType = DecimalType(18, 6)
 
+  /** Modulus for order-independent table checksums: 2^61. Per-row 40-bit
+    * hash slices accumulate exactly in DECIMAL(38,0) (no overflow at any
+    * scale); reducing the group sum modulo 2^61 yields a non-negative
+    * value that fits int64 in every engine's result path — wide DECIMAL /
+    * HUGEINT results round-trip through client layers differently (e.g.
+    * float64 vs java.math.BigDecimal), BIGINT is bit-identical. */
+  val ChecksumMod: Long = 1L << 61
+
   /** Order-independent sum of a double expression. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
@@ -71,4 +79,20 @@ object Num {
   /** DuckDB spelling of [[davg]]. */
   def sqlDavg(e: String): String =
     s"(${sqlDsum(e)} / CAST(COUNT(*) AS DOUBLE))"
+
+  /** Monotone range-bucket of a NON-NEGATIVE numeric column, for the
+    * two-pass distributed rank idiom (q_seq_pack / q_stratified_split):
+    * the pair (#integer digits, first two integer digits) encoded as one
+    * string, so lexicographic bucket order equals numeric order — the
+    * bucket is a PREFIX of any sort key that starts with the column, and
+    * bucket-major traversal equals the global sort order. Unlike
+    * quantile-derived boundaries this needs NO extra data pass and is
+    * trivially deterministic across re-executions of a multi-consumer
+    * plan. Bucket count is value-distribution-bounded (≤ ~90 per decade
+    * crossed); exact ties always share a bucket, so tie-breaking by a
+    * second sort column stays within one partition's sort. */
+  def rangeBucket(c: Column): Column = {
+    val istr = floor(c).cast(DecimalType(38, 0)).cast("string")
+    concat(lpad(length(istr).cast("string"), 2, "0"), substring(istr, 1, 2))
+  }
 }

@@ -215,7 +215,12 @@ object Shapes {
     // exchanging one row per group instead of the data. Each row
     // contributes a 40-bit integer slice of md5 over its canonical key
     // string; the per-group SUM is commutative (partition-order-free) and
-    // accumulates in DECIMAL(38,0) so it cannot overflow at any scale.
+    // accumulates in DECIMAL(38,0) so it cannot overflow at any scale
+    // (~1e26 rows/group of 40-bit slices fit in 38 digits), then the
+    // result is reduced modulo 2^61 and emitted as BIGINT: every operand
+    // is non-negative so the modulus is representation-stable across
+    // engines (DECIMAL/HUGEINT wide sums round-trip differently through
+    // different client result paths; int64 is bit-identical everywhere).
     // Pure map work + one map-side-combined aggregate; md5 (not
     // xxhash64) so any engine can reproduce it.
     "q_table_checksum" -> ((s, d) =>
@@ -226,7 +231,8 @@ object Shapes {
             1, 10), 16, 10)
             .cast("decimal(38,0)").as("h"))
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("h")).as("checksum"), count(lit(1)).as("n_rows"))
+        .agg((sum(col("h")) % lit(Num.ChecksumMod)).cast("long").as("checksum"),
+          count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))),
 
     // TPC-H Q8 shape: one nation's share of a market, by year — the
@@ -681,8 +687,11 @@ object Shapes {
         .select(date_trunc("month", col("l_shipdate")).as("p_month"),
           h.as("h"), inOld.as("in_old"))
         .groupBy(col("p_month"))
-        .agg(sum(when(col("in_old"), col("h")).otherwise(lit(0))).as("checksum_old"),
-          sum(col("h")).as("checksum_new"),
+        // same mod-2^61 BIGINT emission discipline as q_table_checksum:
+        // exact DECIMAL(38,0) accumulation, representation-stable output
+        .agg((sum(when(col("in_old"), col("h")).otherwise(lit(0)))
+            % lit(Num.ChecksumMod)).cast("long").as("checksum_old"),
+          (sum(col("h")) % lit(Num.ChecksumMod)).cast("long").as("checksum_new"),
           sum(when(col("in_old"), 1L).otherwise(0L)).as("rows_old"),
           count(lit(1)).as("rows_new"))
         .withColumn("changed",
@@ -715,6 +724,37 @@ object Shapes {
           .otherwise(4).as("band"), col("v"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"), Num.dsum(col("v")).as("band_sum"))
+        .orderBy(col("band"))
+    }),
+
+    // Approx twin of q_histogram_eqdepth — DEMONSTRATES the claimed
+    // 100 TB swap instead of promising it: the plan shape is identical
+    // (one boundary aggregate broadcast back + one banded count pass),
+    // with the exact percentile's full-value-set buffer replaced by
+    // approx_percentile's bounded GK-sketch state (accuracy 10000 →
+    // ≤ 1/10000 rank error, constant memory per partial). The sketch
+    // boundaries are engine-specific, so the cross-engine contract is
+    // the q_approx_distinct discipline: each band must hold 20% ± 5% of
+    // rows, verified IN-ROW and pinned TRUE in the oracle.
+    "q_histogram_eqdepth_approx" -> ((s, d) => {
+      val e = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+      val b = e.agg(expr(
+          "approx_percentile(v, array(0.2d, 0.4d, 0.6d, 0.8d), 10000)").as("bs"),
+          count(lit(1)).as("total"))
+        .select(element_at(col("bs"), 1).as("b1"), element_at(col("bs"), 2).as("b2"),
+          element_at(col("bs"), 3).as("b3"), element_at(col("bs"), 4).as("b4"),
+          col("total"))
+      e.crossJoin(broadcast(b))
+        .select(when(col("v") <= col("b1"), 0)
+          .when(col("v") <= col("b2"), 1)
+          .when(col("v") <= col("b3"), 2)
+          .when(col("v") <= col("b4"), 3)
+          .otherwise(4).as("band"), col("total"))
+        .groupBy(col("band"), col("total"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("band"),
+          (abs(col("n").cast("double") / col("total").cast("double") - 0.2)
+            <= 0.05).as("depth_ok"))
         .orderBy(col("band"))
     }),
 
@@ -836,21 +876,41 @@ object Shapes {
     }),
 
     // Pareto 80/20 — the smallest customer set covering 80% of revenue:
-    // rank customers by revenue descending (customer-sized sort window,
-    // the q_gini discipline), running decimal-exact share, count ranks
-    // needed to cross 0.8. Output is one row: population, heavy-set
-    // size, and the heavy fraction — the "how concentrated is my
-    // business" scalar next to q_gini's full-curve integral.
+    // rank customers by revenue descending, running decimal-exact share,
+    // count ranks needed to cross 0.8. The running sum is DISTRIBUTED
+    // (q_seq_pack idiom, descending flavor): customers bucket by
+    // [[Num.rangeBucket]] of revenue (monotone → bucket-major DESC =
+    // global revenue-desc order), the intra-bucket running decimal sum
+    // is a bucket-partitioned window, and each bucket's offset is the
+    // broadcast exclusive prefix of per-bucket sums over buckets of
+    // LARGER revenue — only the tiny bucket table crosses a
+    // one-partition window, so no task sorts the customer dimension.
+    // Decimal addition is exact/associative, so the two-level sum equals
+    // the single-window sum bit for bit. Output is one row: population,
+    // heavy-set size, and the heavy fraction — the "how concentrated is
+    // my business" scalar next to q_gini's full-curve integral.
     "q_pareto_8020" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      // dimension-sized, two consumers (running sums + bucket sums + total)
       val rev = t(s, d, "orders").groupBy(col("o_custkey"))
         .agg(Num.dsum(col("o_totalprice")).as("x"))
-      val w = Window.orderBy(col("x").desc, col("o_custkey"))
+        .withColumn("rb", Num.rangeBucket(col("x")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wIn = Window.partitionBy(col("rb"))
+        .orderBy(col("x").desc, col("o_custkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wB = Window.orderBy(col("rb").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = rev.groupBy(col("rb")).agg(sum(col("x").cast(dec)).as("bsum"))
+        .withColumn("bprev",
+          coalesce(sum(col("bsum")).over(wB), lit(0).cast(dec)))
+        .select(col("rb"), col("bprev"))
       val tot = rev.agg(Num.dsum(col("x")).as("tx"))
-      rev.crossJoin(broadcast(tot))
-        .select((sum(col("x").cast(dec)).over(w).cast("double") /
+      rev.withColumn("lcum", sum(col("x").cast(dec)).over(wIn))
+        .join(broadcast(bpre), "rb")
+        .crossJoin(broadcast(tot))
+        .select(((col("bprev") + col("lcum")).cast("double") /
           col("tx")).as("cum_share"))
         .agg(count(lit(1)).as("n_customers"),
           sum(when(col("cum_share") < 0.8, 1L).otherwise(0L)).as("below"))
@@ -1015,18 +1075,36 @@ object Shapes {
     // its own group is strictly smaller (gmin < sz kills it). Equal
     // (price, size) pairs are mutually non-dominating and both survive,
     // matching the oracle's strict-dominance NOT EXISTS. The prefix-min
-    // window here is dimension-sized; at fact scale, range-partition by
-    // price, take per-partition minima, and broadcast the prefix minima
-    // of partition boundaries — the same algebra, one narrow pass.
+    // is DISTRIBUTED (q_seq_pack idiom, min flavor): price groups bucket
+    // by [[Num.rangeBucket]] of price (monotone → bucket-major = price
+    // order), the intra-bucket exclusive prefix-min is a
+    // bucket-partitioned window, and each bucket inherits the broadcast
+    // prefix-min of all strictly-earlier buckets' minima — min is
+    // associative so least(bprev_min, local_min) equals the global
+    // exclusive prefix-min, and only the tiny bucket table crosses a
+    // one-partition window; no task ever sorts the whole price
+    // dimension. least() skips nulls, and both-null (the very first
+    // group) stays null exactly like the empty window frame did.
     "q_skyline" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val p = t(s, d, "part").select(col("p_partkey"),
         col("p_retailprice").as("price"), col("p_size").cast("long").as("sz"))
+      // price-group table, two consumers (local prefix + bucket minima)
       val byPrice = p.groupBy(col("price").as("gp"))
         .agg(min(col("sz")).as("gmin"))
-      val wg = Window.orderBy(col("gp"))
+        .withColumn("rb", Num.rangeBucket(col("gp")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wIn = Window.partitionBy(col("rb")).orderBy(col("gp"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val strict = byPrice.withColumn("min_strict", min(col("gmin")).over(wg))
+      val wB = Window.orderBy(col("rb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = byPrice.groupBy(col("rb")).agg(min(col("gmin")).as("bmin"))
+        .withColumn("bprev_min", min(col("bmin")).over(wB))
+        .select(col("rb"), col("bprev_min"))
+      val strict = byPrice
+        .withColumn("local_min", min(col("gmin")).over(wIn))
+        .join(broadcast(bpre), "rb")
+        .withColumn("min_strict", least(col("local_min"), col("bprev_min")))
       p.join(strict, col("price") === col("gp"))
         .filter(!(coalesce(col("min_strict") <= col("sz"), lit(false)) ||
           col("gmin") < col("sz")))
@@ -1218,7 +1296,7 @@ object Shapes {
       s"""SELECT l_returnflag,
          |  CAST(SUM(${sqlMd5Slice10(
               "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")})
-         |    AS DECIMAL(38,0)) AS checksum,
+         |    % ${Num.ChecksumMod} AS BIGINT) AS checksum,
          |  COUNT(*) AS n_rows
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -1473,13 +1551,14 @@ object Shapes {
         "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
       s"""SELECT date_trunc('month', l_shipdate) AS p_month,
          |  CAST(SUM(CASE WHEN l_orderkey % 97 <> 0 THEN $h ELSE 0 END)
-         |    AS DECIMAL(38,0)) AS checksum_old,
-         |  CAST(SUM($h) AS DECIMAL(38,0)) AS checksum_new,
+         |    % ${Num.ChecksumMod} AS BIGINT) AS checksum_old,
+         |  CAST(SUM($h) % ${Num.ChecksumMod} AS BIGINT) AS checksum_new,
          |  CAST(SUM(CASE WHEN l_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
          |    AS BIGINT) AS rows_old,
          |  COUNT(*) AS rows_new,
          |  (CAST(SUM(CASE WHEN l_orderkey % 97 <> 0 THEN $h ELSE 0 END)
-         |     AS DECIMAL(38,0)) <> CAST(SUM($h) AS DECIMAL(38,0))
+         |     % ${Num.ChecksumMod} AS BIGINT)
+         |     <> CAST(SUM($h) % ${Num.ChecksumMod} AS BIGINT)
          |   OR CAST(SUM(CASE WHEN l_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
          |     AS BIGINT) <> COUNT(*)) AS changed
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
@@ -1500,6 +1579,13 @@ object Shapes {
          |  COUNT(*) AS n, ${Num.sqlDsum("l_extendedprice")} AS band_sum
          |FROM lineitem, b
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Sketch boundaries are engine-specific; the contract is the in-row
+    // depth verdict (each band 20% ± 5% of rows), pinned TRUE.
+    "q_histogram_eqdepth_approx" ->
+      """SELECT CAST(band AS INT) AS band, TRUE AS depth_ok
+        |FROM (VALUES (0), (1), (2), (3), (4)) t(band)
+        |ORDER BY band""".stripMargin,
 
     // The SAME text Spark executes — cross-engine parity by construction.
     "q_sql_passthrough" -> PassthroughSql,

@@ -427,9 +427,12 @@ object Similarity {
     // (a.bucket = b.probe) — each qualifying pair matches exactly one probe
     // mask, so no dedup pass is needed. The candidate set is
     // deterministic, so the DuckDB oracle reproduces it exactly; recall vs
-    // the exact query is measured in SimilaritySpec (~54% at cos≥0.4 on
-    // this isotropic data — at-scale users pair it with a tighter
-    // threshold or more planes).
+    // the exact query is measured in QueriesSpec (~54% at cos≥0.4 on
+    // this isotropic data, asserted ≥ 0.5). TEACHING BASELINE — like the
+    // guarded q_knn_join, this single-table variant exists to make the
+    // recall/cost trade measurable; the query to RUN at scale is
+    // q_embed_neardup_lsh_multi (L=4 independent tables, same shape,
+    // recall ≥ 0.8 asserted on the clustered fixture).
     "q_embed_neardup_lsh" -> ((s, d) => {
       val iv = intVecs(s, d).withColumn("bucket", bucketExpr("v"))
       val a = iv.select(col("vec_id").as("vec_a"), col("v").as("va"),
@@ -524,7 +527,11 @@ object Similarity {
       val iv = t(s, d, "embeddings")
         .select(col("label"), (col("vec_id") % 2).as("half"),
           intVec("embedding").as("v"))
-      val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+      // DECIMAL(38,0) component-sum casts: the cast itself can never
+      // overflow (a 38-digit sum needs ~1e31 rows), and the (38,0)
+      // product keeps the silent non-ANSI overflow point at |s| ~ 1e19
+      // per operand instead of the 1e18 a narrower cast would impose
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val sums = iv
         .select(col("label"), col("half"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos"))
@@ -538,9 +545,14 @@ object Similarity {
         .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
           sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
       geom.join(broadcast(ns), Seq("label"))
+        // a half with a zero centroid (or no rows) has no direction:
+        // emit an explicit NULL, never 0/0 → NaN (whose cross-engine
+        // comparison semantics are undefined); NULLIF mirrors this in
+        // the oracle
         .select(col("label"), col("n0"), col("n1"),
-          (col("dot").cast("double") /
-            (sqrt(col("q0").cast("double")) * sqrt(col("q1").cast("double"))))
+          when(col("q0") === 0 || col("q1") === 0, lit(null).cast("double"))
+            .otherwise(col("dot").cast("double") /
+              (sqrt(col("q0").cast("double")) * sqrt(col("q1").cast("double"))))
             .as("centroid_cos"))
         .orderBy(col("label"))
     })
@@ -966,7 +978,10 @@ object Similarity {
          |         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
          |       FROM embeddings GROUP BY 1)
          |SELECT g.label, ns.n0, ns.n1,
-         |  CAST(dot AS DOUBLE) / (SQRT(CAST(q0 AS DOUBLE)) * SQRT(CAST(q1 AS DOUBLE))) AS centroid_cos
+         |  CASE WHEN q0 = 0 OR q1 = 0 THEN NULL
+         |       ELSE CAST(dot AS DOUBLE)
+         |         / (SQRT(CAST(q0 AS DOUBLE)) * SQRT(CAST(q1 AS DOUBLE)))
+         |  END AS centroid_cos
          |FROM geom g JOIN ns USING (label) ORDER BY label""".stripMargin
   )
 }

@@ -542,22 +542,37 @@ object Sources {
 
     // Gini concentration — how unequal is revenue across suppliers (the
     // Lorenz-curve scalar): G = Σ(2i−n−1)·x_i / (n·Σx) over ascending
-    // per-supplier revenue. Ranks come from a supplier-sized sort window
-    // (dimension-scale; at fact scale pre-bucket by revenue range and
-    // rank within buckets off broadcast prefix counts); both sums are
-    // exact decimals so G is order-independent, and the rank order is
-    // totalized by (revenue, suppkey) for engine-identical ties.
+    // per-supplier revenue. The global rank is computed DISTRIBUTED with
+    // the two-pass prefix idiom (q_seq_pack / q_stratified_split):
+    // suppliers bucket by [[Num.rangeBucket]] of revenue (monotone, so
+    // bucket-major = global (x, suppkey) order — exact ties share a
+    // bucket), row_number runs inside each bucket in parallel, and the
+    // cross-bucket offsets arrive as a broadcast exclusive prefix of the
+    // bucket-count table — only THAT tiny table ever crosses a
+    // one-partition window, so no task sorts the whole supplier
+    // dimension at any scale. Both sums are exact decimals so G is
+    // order-independent, ties totalized by (revenue, suppkey).
     "q_gini" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+      // dimension-sized and feeding two consumers (local ranks + bucket
+      // counts) — persist so the lineitem aggregate runs once
       val rev = t(s, d, "lineitem").groupBy(col("l_suppkey"))
         .agg(Num.dsum(col("l_extendedprice")).as("x"))
-      val w = Window.orderBy(col("x"), col("l_suppkey"))
-      val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+        .withColumn("rb", Num.rangeBucket(col("x")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wIn = Window.partitionBy(col("rb")).orderBy(col("x"), col("l_suppkey"))
+      val wB = Window.orderBy(col("rb")).rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = rev.groupBy(col("rb")).agg(count(lit(1)).as("btot"))
+        .withColumn("bprev", coalesce(sum(col("btot")).over(wB), lit(0L)))
+        .select(col("rb"), col("bprev"))
       // x is a dsum output (≤6dp, exact in DECIMAL(18,6)); multiplying
       // the NARROW decimal by the integer rank keeps the product inside
       // DECIMAL(38,6) with no precision cap in either engine
-      rev.select(col("x"), row_number().over(w).cast("long").as("i"))
+      rev.withColumn("lr", row_number().over(wIn).cast("long"))
+        .join(broadcast(bpre), "rb")
+        .select(col("x"), (col("bprev") + col("lr")).as("i"))
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast(d18)).cast("double").as("sx"),
           sum((col("x").cast(d18) * (lit(2) * col("i"))).cast(dec))

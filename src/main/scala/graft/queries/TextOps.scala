@@ -623,20 +623,48 @@ object TextOps {
     // tokenizer build starts from: type/token counts, hapax ratio (one-
     // occurrence words — high hapax = noisy corpus), and the Zipf
     // exponent from the closed-form OLS slope of log freq on log rank.
-    // Ranks come from a vocabulary-sized sort window (the corpus already
-    // collapsed to word counts); the regression sums are per-term
-    // decimal-cast so the slope is order-independent despite the float
-    // logs. A natural corpus fits slope ≈ −1.
+    // The vocabulary rank over (count desc, word) is DISTRIBUTED with a
+    // TWO-LEVEL prefix decomposition (the q_stratified_split idiom with
+    // stratum = count): rank = (#types with larger count: exclusive
+    // prefix over the Heaps-tiny distinct-count histogram — the only
+    // one-partition window) + (#same-count types in smaller word-prefix
+    // buckets: per-count exclusive prefix over substring(w,1,2) buckets)
+    // + row_number inside the (count, word-prefix) bucket. The word
+    // prefix is a PREFIX of the tie-break key, so bucket-major order
+    // equals (c desc, w) exactly — and the hapax stratum (half the
+    // vocabulary at c=1) fans out over ~1.3k prefix buckets instead of
+    // one task's sort. Regression sums are per-term decimal-cast so the
+    // slope is order-independent despite the float logs. A natural
+    // corpus fits slope ≈ −1.
     "q_zipf_fit" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      // vocabulary-sized, narrow, three consumers — persist
       val wc = t(s, d, "documents")
         .select(explode(regexp_extract_all(lower(col("text")),
           lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val ranked = wc.select(col("c"),
-        row_number().over(Window.orderBy(col("c").desc, col("w")))
-          .cast("long").as("r"))
+        .withColumn("wb", substring(col("w"), 1, 2))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wIn = Window.partitionBy(col("c"), col("wb")).orderBy(col("w"))
+      // (count, word-prefix) bucket counts — vocabulary collapsed ~1000×
+      val bc = wc.groupBy(col("c"), col("wb")).agg(count(lit(1)).as("btot"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wWb = Window.partitionBy(col("c")).orderBy(col("wb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bc
+        .withColumn("bprev", coalesce(sum(col("btot")).over(wWb), lit(0L)))
+        .select(col("c"), col("wb"), col("bprev"))
+      val wC = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r0 = bc.groupBy(col("c")).agg(sum(col("btot")).as("k"))
+        .withColumn("r0", coalesce(sum(col("k")).over(wC), lit(0L)))
+        .select(col("c"), col("r0"))
+      val ranked = wc
+        .withColumn("lr", row_number().over(wIn).cast("long"))
+        .join(broadcast(bpre), Seq("c", "wb"))
+        .join(broadcast(r0), Seq("c"))
+        .select(col("c"), (col("r0") + col("bprev") + col("lr")).as("r"))
       val x = log(col("r").cast("double"))
       val y = log(col("c").cast("double"))
       val m = ranked.agg(count(lit(1)).as("n_types"),

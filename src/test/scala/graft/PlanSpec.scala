@@ -86,6 +86,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("distributed-rank analytics never put row-scale data through a single-partition window") {
+    // q_gini / q_pareto_8020 / q_skyline / q_zipf_fit use the two-pass
+    // bucket-prefix rank (q_seq_pack idiom): the row-scale window must
+    // partition by the range bucket, and every GLOBAL (empty
+    // partitionSpec) window may consume only the bucket-level aggregate
+    // — the tiny table — never the dimension/vocabulary rows themselves.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    Seq("q_gini" -> "rb", "q_pareto_8020" -> "rb",
+        "q_skyline" -> "rb", "q_zipf_fit" -> "c").foreach { case (q, bucket) =>
+      val sp = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val wins = sp.collect { case w: WindowExec => w }
+      assert(wins.exists(_.partitionSpec.nonEmpty),
+        s"$q: no bucket-partitioned rank window found:\n$sp")
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val bucketAggBelow = w.collectFirst {
+          case a: BaseAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains(bucket)) => a
+        }
+        assert(bucketAggBelow.isDefined,
+          s"$q: global window not fed by the bucket aggregate:\n$w")
+      }
+    }
+  }
+
   test("q_rfm bins with broadcast percentile bounds, never a global sort window") {
     val p = plan("q_rfm")
     assert(!p.contains("Window"), "rfm must not pay a single-partition ntile:\n" + p)

@@ -62,7 +62,10 @@ class QueriesSpec extends SparkSpec {
     assert(approx.subsetOf(exact), s"LSH rerank emitted non-pairs: ${approx.diff(exact)}")
     val recall = if (exact.isEmpty) 1.0 else approx.size.toDouble / exact.size
     info(f"LSH candidate recall at cos>=0.4 (isotropic data, 4 planes, Hamming<=1): $recall%.2f")
-    assert(recall >= 0.3) // documented floor: low threshold on isotropic data
+    // honest floor just under the measured 0.54: the single-table query
+    // is the TEACHING baseline — the scale path users actually run is
+    // q_embed_neardup_lsh_multi, asserted >= 0.8 on the clustered fixture
+    assert(recall >= 0.5, f"single-table LSH recall $recall%.2f fell below the measured 0.54 baseline")
   }
 
   test("q_knn_join_ann recall vs exact q_knn_join is measured") {

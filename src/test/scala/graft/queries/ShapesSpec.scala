@@ -209,7 +209,8 @@ class ShapesSpec extends SparkSpec {
           concat_ws(":", col("l_orderkey"), col("l_linenumber")), "UTF-8")),
           1, 10), 16, 10).cast("decimal(38,0)").as("h"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(col("h")).as("checksum"), count(lit(1)).as("n_rows"))
+      .agg((sum(col("h")) % lit(graft.Num.ChecksumMod)).cast("long").as("checksum"),
+        count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag")).collect()
     assert(base.map(_.toString).toSeq === re.map(_.toString).toSeq)
   }
