@@ -21,6 +21,30 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run for local iteration.
   */
 object Bench {
+  /** The 64 queries of the recorded round-1 baseline (BENCH_r01.json).
+    * The artifact reports their summed time as `common64_s` so the
+    * baseline ratio is readable off one file instead of derivable only
+    * by joining two artifacts by hand. Baseline total: 40.06 s. */
+  private val Common64: Set[String] = Set(
+    "q_agg_cube", "q_agg_distinct", "q_agg_hash", "q_agg_rollup",
+    "q_ann_ivf", "q_ann_lsh", "q_approx_distinct", "q_array_hof",
+    "q_array_ops", "q_collect_agg", "q_cross_join", "q_ctas_scan",
+    "q_dataset_roundtrip", "q_date_arith", "q_dedup", "q_dedup_minhash",
+    "q_dedup_ngram", "q_dedup_ngram_capped", "q_dedup_simhash",
+    "q_embed_neardup", "q_except", "q_except_all", "q_exists_correlated",
+    "q_filter_pred", "q_fingerprint", "q_grouping_sets", "q_hash_split",
+    "q_intersect", "q_intersect_all", "q_join_anti", "q_join_broadcast",
+    "q_join_inner", "q_join_left", "q_join_nullsafe", "q_join_salted",
+    "q_join_semi", "q_join_theta", "q_json_extract", "q_json_struct",
+    "q_lang_id", "q_latest_partition", "q_minhash_estimate",
+    "q_pagination", "q_percentile", "q_pivot", "q_posexplode",
+    "q_regexp_extract", "q_scalar_date", "q_scalar_math",
+    "q_scalar_string", "q_scan_project", "q_str_coerce",
+    "q_text_quality", "q_time_filter", "q_token_count", "q_topk",
+    "q_topk_similarity", "q_tumbling_window", "q_union",
+    "q_upsert_antijoin", "q_window_firstlast", "q_window_frame",
+    "q_window_ntile", "q_window_rank")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,7 +112,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
+    val common64 = results.collect { case (k, v) if Common64(k) => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","common64_s":$common64}"""
     println(line)
     // sbt wraps stdout in [info] tags, which breaks machine parsing of the
     // metric line — mirror it to a plain file the driver can read directly.

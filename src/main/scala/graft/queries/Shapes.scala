@@ -42,7 +42,81 @@ object Shapes {
       |  CAST(RANK() OVER (ORDER BY segment_rev DESC) AS BIGINT) AS rev_rank
       |FROM seg ORDER BY segment""".stripMargin
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The gateway exercised beyond one text: three more dialect-
+    * intersection statements spanning the SQL surface a delegated-SQL
+    * user actually sends — set operators, window frames over a grouped
+    * series, and correlated EXISTS / NOT EXISTS with an outer join.
+    * Same contract as [[PassthroughSql]]: each string runs verbatim in
+    * BOTH engines and the hash-exact gate is the parity proof. */
+  val PassthroughSetopsSql: String =
+    """WITH cust_n AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS k FROM customer),
+      |supp_n AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS k FROM supplier),
+      |asia_n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation
+      |           JOIN region ON n_regionkey = r_regionkey
+      |           WHERE r_name = 'ASIA')
+      |SELECT 'asia_cust' AS side, COUNT(*) AS n
+      |FROM (SELECT k FROM asia_n INTERSECT SELECT k FROM cust_n) t
+      |UNION ALL
+      |SELECT 'cust_only' AS side, COUNT(*) AS n
+      |FROM (SELECT k FROM cust_n EXCEPT SELECT k FROM supp_n) t
+      |UNION ALL
+      |SELECT 'either' AS side, COUNT(*) AS n
+      |FROM (SELECT k FROM cust_n UNION SELECT k FROM supp_n) t
+      |ORDER BY side""".stripMargin
+
+  // The rolling sum re-enters DECIMAL(18,6) inside the frame: a float
+  // window aggregate would expose the engines' different summation
+  // orders; exact decimal is order-free (the Num.dsum discipline).
+  val PassthroughWindowSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS d, COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY o_orderdate)
+      |SELECT d, n_orders, rev,
+      |  CAST(SUM(n_orders) OVER (ORDER BY d
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7row,
+      |  LAG(n_orders, 1) OVER (ORDER BY d) AS prev_n,
+      |  CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER (ORDER BY d
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_3row
+      |FROM daily ORDER BY d""".stripMargin
+
+  val PassthroughSemijoinSql: String =
+    """SELECT c_mktsegment AS segment, COUNT(*) AS n_active,
+      |  CAST(SUM(CASE WHEN b.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+      |FROM customer
+      |LEFT JOIN (SELECT DISTINCT o_custkey AS ck FROM orders
+      |           WHERE o_totalprice > 400000) b ON c_custkey = b.ck
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c_custkey
+      |                    AND o2.o_orderstatus = 'F'
+      |                    AND o2.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY segment""".stripMargin
+
+  /** name → (tables to expose as views, the SQL text both engines run). */
+  val PassthroughTexts: Map[String, (Seq[String], String)] = Map(
+    "q_sql_passthrough" -> (Seq("orders", "customer"), PassthroughSql),
+    "q_sql_passthrough_setops" ->
+      (Seq("customer", "supplier", "nation", "region"), PassthroughSetopsSql),
+    "q_sql_passthrough_window" -> (Seq("orders"), PassthroughWindowSql),
+    "q_sql_passthrough_semijoin" ->
+      (Seq("customer", "orders"), PassthroughSemijoinSql))
+
+  // The delegated-SQL gateway made literal: register the tables as
+  // views and run each [[PassthroughTexts]] statement through
+  // spark.sql — the SAME text the DuckDB oracle executes. This is the
+  // reference's core contract (arbitrary SQL in, table out) expressed
+  // as queries() entries, and the hash-exact gate is the cross-engine
+  // parity proof — over joins, windows, and set ops, not one toy text.
+  private val passthroughQueries: Map[String, (SparkSession, String) => DataFrame] =
+    PassthroughTexts.map { case (name, (tables, sqlText)) =>
+      name -> ((s: SparkSession, d: String) => {
+        tables.foreach(tb => t(s, d, tb).createOrReplaceTempView(tb))
+        s.sql(sqlText)
+      })
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = passthroughQueries ++ Map[String, (SparkSession, String) => DataFrame](
     // TPC-H Q13 shape: how many customers placed 0, 1, 2, … orders. The
     // naive plan joins raw orders to customer and counts after the join;
     // here orders are pre-aggregated to one (custkey, n) row FIRST — the
@@ -826,17 +900,6 @@ object Shapes {
         .orderBy(col("user_id"))
     }),
 
-    // The delegated-SQL gateway made literal: register the tables as
-    // views and run [[PassthroughSql]] through spark.sql — the SAME text
-    // the DuckDB oracle executes. This is the reference's core contract
-    // (arbitrary SQL in, table out) expressed as a queries() entry, and
-    // the hash-exact gate is the cross-engine parity proof.
-    "q_sql_passthrough" -> ((s, d) => {
-      t(s, d, "orders").createOrReplaceTempView("orders")
-      t(s, d, "customer").createOrReplaceTempView("customer")
-      s.sql(PassthroughSql)
-    }),
-
     // Catalog coverage — assortment health: per part type, how much of
     // the catalog has EVER sold. The never-sold set is a LEFT ANTI from
     // the part dim against the distinct sold-part keys (fact collapsed
@@ -1587,8 +1650,11 @@ object Shapes {
         |FROM (VALUES (0), (1), (2), (3), (4)) t(band)
         |ORDER BY band""".stripMargin,
 
-    // The SAME text Spark executes — cross-engine parity by construction.
+    // The SAME texts Spark executes — cross-engine parity by construction.
     "q_sql_passthrough" -> PassthroughSql,
+    "q_sql_passthrough_setops" -> PassthroughSetopsSql,
+    "q_sql_passthrough_window" -> PassthroughWindowSql,
+    "q_sql_passthrough_semijoin" -> PassthroughSemijoinSql,
 
     "q_reorder_cadence" ->
       """WITH g AS (

@@ -38,6 +38,47 @@ class ZOrderSpec extends SparkSpec {
     spans / global
   }
 
+  test("zAddressK interleaves k=3 bits (known values) and matches zAddress at k=2") {
+    // a=0b11 → bits {0,1} → positions {0,3} = 9; b=0b101 → {0,2} →
+    // {1,7} = 130; c=1 → {0} → {2} = 4; z = 9|130|4 = 143
+    val z3 = Seq((3L, 5L, 1L)).toDF("a", "b", "c")
+      .select(ZOrder.zAddressK(Seq(col("a"), col("b"), col("c"))).as("z"))
+    assert(z3.as[Long].head() === 143L)
+    // at k=2 the generic tree agrees with the mask-ladder fast path
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (12345L, 67890L))
+    val both = pairs.toDF("a", "b").select(
+      ZOrder.zAddress(col("a"), col("b")).as("fast"),
+      ZOrder.zAddressK(Seq(col("a"), col("b"))).as("generic"))
+    both.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("3-dim Z-layout tightens per-file spans in ALL THREE dimensions") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+    // per-dim span scales as numFiles^(-1/k): 64 files over a 3-dim
+    // curve → 4 cuts per dimension, ~1/4 expected span per file
+    val zDir = tmpDir("zorder3-out")
+    ZOrder.layoutK(li, Seq("l_partkey", "l_suppkey", "l_orderkey"),
+        numFiles = 64)
+      .write.mode("overwrite").parquet(zDir)
+    // baseline: single-column range clustering is blind on dims 2 and 3
+    val rDir = tmpDir("range3-out")
+    li.repartitionByRange(64, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(rDir)
+    val spans = Seq("l_partkey", "l_suppkey", "l_orderkey")
+      .map(c => c -> meanSpanFraction(zDir, c)).toMap
+    // every dimension's per-file min/max rectangle is a minority span —
+    // parquet stats prune on ANY of the three filter columns
+    spans.foreach { case (c, s) => assert(s < 0.5, s"$c span fraction $s") }
+    // and dims 2/3 beat the single-column layout decisively
+    Seq("l_suppkey", "l_orderkey").foreach { c =>
+      val r = meanSpanFraction(rDir, c)
+      assert(spans(c) < r * 0.75, s"z $c span ${spans(c)} !<< range-layout $r")
+    }
+    assert(spark.read.parquet(zDir).count() === li.count())
+  }
+
   test("Z-layout tightens per-file spans in BOTH dimensions") {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))

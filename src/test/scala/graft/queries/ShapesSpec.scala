@@ -478,9 +478,11 @@ class ShapesSpec extends SparkSpec {
   }
 
   test("q_sql_passthrough: Spark executes the ORACLE's own text, ranks consistent") {
-    // the parity claim is literal: the queries() entry and the oracle are
-    // the same string
-    assert(SparkEntry.oracleSql("q_sql_passthrough") eq Shapes.PassthroughSql)
+    // the parity claim is literal: every gateway queries() entry and its
+    // oracle are the same string, for all four texts
+    Shapes.PassthroughTexts.foreach { case (name, (_, sqlText)) =>
+      assert(SparkEntry.oracleSql(name) eq sqlText, name)
+    }
     val rows = run("q_sql_passthrough").collect()
     assert(rows.nonEmpty)
     // rank column is a real dense ranking of the revenue order
@@ -488,6 +490,41 @@ class ShapesSpec extends SparkSpec {
     assert(byRank.map(_.getLong(3)).toSeq === (1L to rows.length))
     assert(byRank.map(_.getDouble(2)).toSeq.reverse.sorted.reverse ===
       byRank.map(_.getDouble(2)).toSeq, "rank must follow revenue descending")
+  }
+
+  test("passthrough set-ops / window / semijoin texts execute on Spark with consistent shapes") {
+    val so = run("q_sql_passthrough_setops").collect()
+    assert(so.map(_.getString(0)).toSeq === Seq("asia_cust", "cust_only", "either"))
+    val bySide = so.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // |cust ∪ supp| >= |cust \ supp|; every count non-negative
+    assert(bySide("either") >= bySide("cust_only"))
+    assert(bySide.values.forall(_ >= 0L))
+
+    val wi = run("q_sql_passthrough_window").collect()
+    assert(wi.nonEmpty)
+    // first row has no predecessor; 7-row sum always >= the day's own count
+    assert(wi.head.isNullAt(4))
+    wi.foreach(r => assert(r.getLong(3) >= r.getLong(1)))
+
+    val sj = run("q_sql_passthrough_semijoin").collect()
+    assert(sj.nonEmpty)
+    // big spenders are a subset of active customers, per segment
+    sj.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("q_histogram_eqdepth_approx: all five bands within the ±5% depth contract") {
+    val rows = run("q_histogram_eqdepth_approx").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3, 4))
+    assert(rows.forall(_.getBoolean(1)),
+      "approx quintile band depth drifted beyond ±5% of 20%")
+    // plan-shape identity with the exact twin: one boundary broadcast,
+    // no sort/window anywhere — the claimed 100 TB swap is structural
+    Seq("q_histogram_eqdepth", "q_histogram_eqdepth_approx").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: boundaries must broadcast\n$p")
+      assert(!p.contains("Window"), s"$q must not window\n$p")
+    }
   }
 
   test("q_catalog_coverage: anti join against the distinct sold keys; ratios consistent") {

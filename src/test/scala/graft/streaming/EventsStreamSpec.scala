@@ -103,6 +103,57 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nativeSessions survives kill/restart: checkpointed state round-trips, exactly-once output") {
+    // The recovery contract, not just semantics: run the session stream
+    // over the first two chronological chunks, STOP the query (a forced
+    // kill), deliver the third chunk, and restart a brand-new query on
+    // the SAME checkpoint + file sink. The state store must round-trip
+    // (sessions still open at the kill keep accumulating), the source
+    // must resume from its committed offsets (no reprocessing), and the
+    // transactional file sink must stay exactly-once across the restart.
+    val in = tmpDir("restart-in")
+    val out = tmpDir("restart-out")
+    val ckpt = tmpDir("restart-ckpt")
+    val ev = Tables.load(spark, sf, "events")
+    val cuts = ev.selectExpr("percentile(unix_micros(ts), array(0.33, 0.66)) as p")
+      .head.getSeq[Double](0)
+    val (t1, t2) = (cuts(0).toLong, cuts(1).toLong)
+    def deliver(chunk: org.apache.spark.sql.DataFrame): Unit = {
+      chunk.coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(20) // distinct mtimes → deterministic file order
+    }
+    deliver(ev.filter(unix_micros(col("ts")) <= t1))
+    deliver(ev.filter(unix_micros(col("ts")) > t1 && unix_micros(col("ts")) <= t2))
+    def start() = EventsStream.nativeSessions(EventsStream.readEvents(spark, in))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // the kill: open sessions live only in the checkpoint now
+    val before = spark.read.parquet(out).count()
+    deliver(ev.filter(unix_micros(col("ts")) > t2))
+    val q2 = start() // NEW query object, same checkpoint
+    try {
+      q2.processAllAvailable()
+      val res = spark.read.parquet(out)
+        .select("user_id", "win_start", "win_end", "n_events")
+      val rows = res.collect()
+      assert(rows.length > before,
+        "restart emitted nothing — state/offsets did not recover")
+      // exactly-once: no session double-emitted across the boundary
+      assert(res.groupBy("user_id", "win_start").count()
+        .filter(col("count") > 1).count() == 0,
+        "duplicate session emission across restart")
+      // every closed session still equals its batch twin byte-for-byte
+      val batch = graft.SparkEntry.queries("q_session_window")(spark, sf)
+        .select("user_id", "win_start", "win_end", "n_events")
+        .collect().map(_.toSeq).toSet
+      val streamed = rows.map(_.toSeq).toSet
+      assert(streamed.nonEmpty && streamed.subsetOf(batch),
+        s"${streamed.diff(batch).take(3)} not found in batch sessions")
+    } finally q2.stop()
+  }
+
   test("streaming sliding distinct: every window's sketch estimate tracks the exact batch count") {
     val dir = stageEventsChronological()
     val q = EventsStream.slidingDistinct(EventsStream.readEvents(spark, dir))
