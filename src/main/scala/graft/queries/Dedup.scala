@@ -146,7 +146,67 @@ object Dedup {
     edges
   }
 
+  /** (doc_id, n_chars, component) — every document labeled with its
+    * near-dup connected component (singletons keep their own id): the
+    * shared scaffold of the resolution family (q_dedup_resolve's labeling
+    * stage with the size column carried for downstream keep rules). */
+  private def labeledDocs(s: SparkSession, d: String): DataFrame = {
+    val sig = signature(shinglesRaw(s, d)).persist(StorageLevel.DISK_ONLY)
+    val edges = candidateEdges(sig)
+    val labels = graft.operators.Graph.connectedComponents(edges)
+    edges.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
+    t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      .join(labels, col("doc_id") === col("doc"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    // CANONICAL-document selection — the keep rule real pipelines run
+    // instead of min-id: inside each near-dup cluster keep the LARGEST
+    // document (ties to the lowest id), the "best-of-cluster"
+    // representative that preserves the most content. The argmax is two
+    // component-keyed aggregates (max size, then min id among the maxes)
+    // joined back — equi-shuffles on the component key only, no window,
+    // no per-cluster collect; at 100 TB every stage shares the component
+    // partitioning. Components come from the same CC machinery as
+    // q_dedup_resolve, so the two queries' cluster structures are
+    // identical (spec-pinned).
+    "q_dedup_canonical" -> ((s, d) => {
+      // three consumers of the labeled table (max, argmax, final join) —
+      // persist the narrow (id, size, component) triple, not the corpus
+      val lab = labeledDocs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      val mx = lab.groupBy(col("component").as("c2"))
+        .agg(max(col("n_chars")).as("mx"))
+      val can = lab.join(mx, col("component") === col("c2"))
+        .filter(col("n_chars") === col("mx"))
+        .groupBy(col("component").as("c3"))
+        .agg(min(col("doc_id")).as("canonical_id"))
+      lab.join(can, col("component") === col("c3"))
+        .select(col("doc_id"), col("component"), col("canonical_id"),
+          when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LEAKAGE-FREE split — the train/eval split rule that closes the
+    // near-dup contamination hole q_hash_split leaves open: hashing each
+    // DOC into a split lets two near-duplicates straddle train and test
+    // (silent eval leakage); hashing the dedup COMPONENT assigns every
+    // cluster atomically to one split. Same md5 16-bit bucket convention
+    // as the per-doc split, applied one level up. Output is the per-split
+    // census (docs, components, chars); the leak-freedom itself is
+    // structural — a component has exactly one hash — and spec-verified
+    // on the measured near-dup pairs.
+    "q_split_leakfree" -> ((s, d) =>
+      Sampling.withSplit(labeledDocs(s, d), "component")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))),
+
 
     // Span-level duplication score — per document, the fraction of its
     // distinct 3-gram shingles that occur in ANY other document (the
@@ -556,6 +616,35 @@ object Dedup {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN comp c ON c.doc = d.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $resolveCtes,
+         |lab AS (SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS component
+         |        FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+         |mx AS (SELECT component, MAX(n_chars) AS mx FROM lab GROUP BY component),
+         |can AS (SELECT lab.component, MIN(lab.doc_id) AS canonical_id
+         |        FROM lab JOIN mx ON lab.component = mx.component
+         |                        AND lab.n_chars = mx.mx
+         |        GROUP BY lab.component)
+         |SELECT lab.doc_id, lab.component, can.canonical_id,
+         |  CAST(CASE WHEN lab.doc_id = can.canonical_id THEN 1 ELSE 0 END
+         |    AS BIGINT) AS keep
+         |FROM lab JOIN can ON lab.component = can.component
+         |ORDER BY lab.doc_id""".stripMargin,
+
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE $resolveCtes,
+         |lab AS (SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS component
+         |        FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+         |tagged AS (SELECT doc_id, n_chars, component,
+         |  CASE WHEN ${Sampling.sqlBucket16("component")} < 52429 THEN 'train'
+         |       WHEN ${Sampling.sqlBucket16("component")} < 58982 THEN 'dev'
+         |       ELSE 'test' END AS split
+         |  FROM lab)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
 
     "q_dedup_fuzzy" -> {
       val mins = (0 until Seeds)

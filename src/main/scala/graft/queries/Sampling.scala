@@ -270,7 +270,7 @@ object Sampling {
 
   /** DuckDB spelling of the first-`digits`-hex-chars md5 bucket — ONE
     * definition of the hash convention, parameterized by width. */
-  private def sqlBucketN(idCol: String, digits: Int) = (0 until digits).map { i =>
+  private[queries] def sqlBucketN(idCol: String, digits: Int) = (0 until digits).map { i =>
     val mult = 1L << (4 * (digits - 1 - i))
     s"((strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult)"
   }.mkString("(", "\n + ", ")")
@@ -279,7 +279,7 @@ object Sampling {
   private def sqlBucket(idCol: String) = sqlBucketN(idCol, 8)
 
   /** 16-bit split bucket — twin of [[withSplit]]. */
-  private def sqlBucket16(idCol: String) = sqlBucketN(idCol, 4)
+  private[queries] def sqlBucket16(idCol: String) = sqlBucketN(idCol, 4)
 
   /** DuckDB CASE expression for the train/dev/test split of an id column. */
   private def sqlSplit(idCol: String) =

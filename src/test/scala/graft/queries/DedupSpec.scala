@@ -52,6 +52,46 @@ class DedupSpec extends SparkSpec {
     assert(capped == truth)
   }
 
+  test("q_dedup_canonical keeps the largest doc per component (tie: lowest id), one per cluster") {
+    val resolve = graft.SparkEntry.queries("q_dedup_resolve")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.SparkEntry.queries("q_dedup_canonical")(spark, sf).collect()
+    // same cluster structure as q_dedup_resolve, doc for doc
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap === resolve)
+    val sizes = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(1)).foreach { case (comp, members) =>
+      // exactly one keeper per component, and it IS the canonical
+      val kept = members.filter(_.getLong(3) == 1L)
+      assert(kept.length === 1, s"component $comp kept ${kept.length}")
+      val canon = members.head.getLong(2)
+      assert(members.forall(_.getLong(2) == canon))
+      assert(kept.head.getLong(0) === canon)
+      // the canonical is the largest member; ties resolve to lowest id
+      val best = members.map(_.getLong(0)).minBy(id => (-sizes(id), id))
+      assert(canon === best, s"component $comp canonical $canon != $best")
+    }
+  }
+
+  test("q_split_leakfree: no measured near-dup pair straddles a split boundary") {
+    val census = graft.SparkEntry.queries("q_split_leakfree")(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents").count()
+    assert(census.map(_.getLong(1)).sum === docs, "census must cover every doc")
+    // recompute each doc's split through its component and check the
+    // measured near-dup candidate pairs never cross train/dev/test
+    val comp = graft.SparkEntry.queries("q_dedup_resolve")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val split = Sampling.withSplit(
+        comp.values.toSeq.distinct.toDF("component"), "component")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    graft.SparkEntry.queries("q_dedup_minhash")(spark, sf).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(split(comp(a)) === split(comp(b)),
+        s"near-dup pair ($a,$b) straddles ${split(comp(a))}/${split(comp(b))}")
+    }
+  }
+
   test("q_dedup_ngram guard refuses corpus-scale input until explicitly raised") {
     spark.conf.set("graft.dedup.ngram.maxDocs", "1")
     try {
