@@ -146,7 +146,69 @@ object TextOps {
     scored
   }
 
+  /** (c, r): every vocabulary word's corpus count with its GLOBAL
+    * frequency rank (1 = most frequent; ties by word), computed with the
+    * TWO-LEVEL distributed prefix decomposition (the q_stratified_split
+    * idiom with stratum = count): rank = (#types with larger count —
+    * exclusive prefix over the Heaps-tiny distinct-count histogram, the
+    * only one-partition window) + (#same-count types in smaller
+    * word-prefix buckets — per-count exclusive prefix over
+    * substring(w,1,2) buckets) + row_number inside the (count, prefix)
+    * bucket. The word prefix is a PREFIX of the tie-break key, so
+    * bucket-major order equals (c desc, w) exactly — and the hapax
+    * stratum (half the vocabulary at c=1) fans out over ~1.3k prefix
+    * buckets instead of one task's sort. Shared by q_zipf_fit and
+    * q_vocab_coverage. */
+  private def rankedVocab(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // vocabulary-sized, narrow, two consumers — persist
+    val wc = t(s, d, "documents")
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("wb", substring(col("w"), 1, 2))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wIn = Window.partitionBy(col("c"), col("wb")).orderBy(col("w"))
+    // (count, word-prefix) bucket counts — vocabulary collapsed ~1000×
+    val bc = wc.groupBy(col("c"), col("wb")).agg(count(lit(1)).as("btot"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wWb = Window.partitionBy(col("c")).orderBy(col("wb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = bc
+      .withColumn("bprev", coalesce(sum(col("btot")).over(wWb), lit(0L)))
+      .select(col("c"), col("wb"), col("bprev"))
+    val wC = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r0 = bc.groupBy(col("c")).agg(sum(col("btot")).as("k"))
+      .withColumn("r0", coalesce(sum(col("k")).over(wC), lit(0L)))
+      .select(col("c"), col("r0"))
+    wc.withColumn("lr", row_number().over(wIn).cast("long"))
+      .join(broadcast(bpre), Seq("c", "wb"))
+      .join(broadcast(r0), Seq("c"))
+      .select(col("c"), (col("r0") + col("bprev") + col("lr")).as("r"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    // Token-coverage curve — the tokenizer-design primitive: what share
+    // of all corpus TOKENS does a top-k frequency vocabulary cover? (The
+    // vocab-size-vs-OOV trade every tokenizer build starts from; Zipf
+    // says coverage grows fast then crawls — this measures it.) Built on
+    // the same distributed [[rankedVocab]] as q_zipf_fit; the coverage
+    // at each checkpoint is a CONDITIONAL SUM over ranks (r ≤ k), so the
+    // whole curve is one map-side-combined aggregate — no running sum,
+    // no second window. Exact integer sums → double division is
+    // engine-identical.
+    "q_vocab_coverage" -> ((s, d) => {
+      val ranked = rankedVocab(s, d)
+      val ks = Seq(64L, 256L, 1024L, 4096L)
+      val aggs = count(lit(1)).as("n_types") +: sum(col("c")).as("n_tokens") +:
+        ks.map(k => sum(when(col("r") <= k, col("c")).otherwise(0L)).as(s"cov$k"))
+      val m = ranked.agg(aggs.head, aggs.tail: _*)
+      val tot = col("n_tokens").cast("double")
+      m.select(col("n_types") +: col("n_tokens") +: ks.map(k =>
+        (col(s"cov$k").cast("double") / tot).as(s"coverage_top$k")): _*)
+    }),
+
 
     // The bigram LM APPLIED — per-document perplexity + keep verdict (the
     // quality gate q_bigram_lm's table exists for; also the fourth stage
@@ -637,34 +699,8 @@ object TextOps {
     // slope is order-independent despite the float logs. A natural
     // corpus fits slope ≈ −1.
     "q_zipf_fit" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-      // vocabulary-sized, narrow, three consumers — persist
-      val wc = t(s, d, "documents")
-        .select(explode(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .withColumn("wb", substring(col("w"), 1, 2))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val wIn = Window.partitionBy(col("c"), col("wb")).orderBy(col("w"))
-      // (count, word-prefix) bucket counts — vocabulary collapsed ~1000×
-      val bc = wc.groupBy(col("c"), col("wb")).agg(count(lit(1)).as("btot"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val wWb = Window.partitionBy(col("c")).orderBy(col("wb"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val bpre = bc
-        .withColumn("bprev", coalesce(sum(col("btot")).over(wWb), lit(0L)))
-        .select(col("c"), col("wb"), col("bprev"))
-      val wC = Window.orderBy(col("c").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val r0 = bc.groupBy(col("c")).agg(sum(col("btot")).as("k"))
-        .withColumn("r0", coalesce(sum(col("k")).over(wC), lit(0L)))
-        .select(col("c"), col("r0"))
-      val ranked = wc
-        .withColumn("lr", row_number().over(wIn).cast("long"))
-        .join(broadcast(bpre), Seq("c", "wb"))
-        .join(broadcast(r0), Seq("c"))
-        .select(col("c"), (col("r0") + col("bprev") + col("lr")).as("r"))
+      val ranked = rankedVocab(s, d)
       val x = log(col("r").cast("double"))
       val y = log(col("c").cast("double"))
       val m = ranked.agg(count(lit(1)).as("n_types"),
@@ -1111,6 +1147,23 @@ object TextOps {
         |FROM td GROUP BY 1
         |HAVING COUNT(*) >= 5
         |ORDER BY df DESC, token LIMIT 100""".stripMargin,
+
+    "q_vocab_coverage" -> {
+      val covs = Seq(64, 256, 1024, 4096).map(k =>
+        s"""CAST(SUM(CASE WHEN r <= $k THEN c ELSE 0 END) AS DOUBLE)
+           |    / CAST(SUM(c) AS DOUBLE) AS coverage_top$k""".stripMargin)
+        .mkString(",\n  ")
+      s"""WITH wc AS (
+         |  SELECT w, COUNT(*) AS c FROM (
+         |    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS w
+         |    FROM documents) z GROUP BY 1),
+         |r AS (SELECT c,
+         |        CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+         |      FROM wc)
+         |SELECT COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  $covs
+         |FROM r""".stripMargin
+    },
 
     "q_zipf_fit" ->
       """WITH wc AS (

@@ -146,6 +146,27 @@ class TextOpsSpec extends SparkSpec {
     assert(fact == naive)
   }
 
+  test("q_vocab_coverage matches brute-force prefix coverage and grows monotonically") {
+    val Array(r) = SparkEntry.queries("q_vocab_coverage")(spark, sf).collect()
+    val counts = graft.Tables.load(spark, sf, "documents")
+      .select(col("text")).collect()
+      .flatMap(row => "[a-z]+|[0-9]+".r.findAllIn(row.getString(0).toLowerCase))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val sorted = counts.toSeq.sortBy { case (w, c) => (-c, w) }.map(_._2)
+    val total = sorted.sum.toDouble
+    assert(r.getLong(0) === sorted.length.toLong)
+    assert(r.getLong(1) === sorted.sum)
+    val ks = Seq(64, 256, 1024, 4096)
+    val covs = ks.indices.map(i => r.getDouble(2 + i))
+    ks.zip(covs).foreach { case (k, got) =>
+      val want = sorted.take(k).sum / total
+      assert(math.abs(got - want) < 1e-12, s"top-$k coverage $got != $want")
+    }
+    // monotone in k, bounded by 1, and Zipf-fast at the head
+    assert(covs === covs.sorted)
+    assert(covs.last <= 1.0 + 1e-12 && covs.head > 0.0)
+  }
+
   test("q_zipf_fit matches a brute-force log-log regression over word counts") {
     val Array(r) = SparkEntry.queries("q_zipf_fit")(spark, sf).collect()
     val counts = graft.Tables.load(spark, sf, "documents")
