@@ -95,7 +95,8 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     Seq("q_gini" -> "rb", "q_pareto_8020" -> "rb",
-        "q_skyline" -> "rb", "q_zipf_fit" -> "c").foreach { case (q, bucket) =>
+        "q_skyline" -> "rb", "q_zipf_fit" -> "c",
+        "q_vocab_coverage" -> "c").foreach { case (q, bucket) =>
       val sp = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val wins = sp.collect { case w: WindowExec => w }
       assert(wins.exists(_.partitionSpec.nonEmpty),
@@ -316,6 +317,19 @@ class PlanSpec extends SparkSpec {
     // partial→final over one grouping key: exactly one data shuffle (the
     // output orderBy adds a rangepartitioning exchange, not a hash one)
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("resolution-family keep rules stay equi-join-only: no cartesian, no window") {
+    // canonical selection and the leak-free split both ride the CC labels
+    // with component-keyed aggregates — never a per-cluster window or any
+    // quadratic operator
+    Seq("q_dedup_canonical", "q_split_leakfree").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach {
+        l => assert(l.contains("Cross"), s"$q plans a non-scalar NLJ: $l")
+      }
+    }
   }
 
   test("q_incremental_dedup admits the batch via an ANTI equi-join, never a cartesian") {
