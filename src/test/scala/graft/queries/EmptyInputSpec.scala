@@ -22,7 +22,8 @@ class EmptyInputSpec extends SparkSpec {
         "q_incremental_dedup", "q_oov_rate", "q_group_cap",
         "q_entropy", "q_containment", "q_weighted_sample",
         "q_inverted_index", "q_quality_quantile",
-        "q_stratified_split").foreach { q =>
+        "q_stratified_split", "q_dedup_canonical",
+        "q_split_leakfree").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
