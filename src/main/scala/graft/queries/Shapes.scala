@@ -781,7 +781,8 @@ object Shapes {
     // One percentile pass (1 row, broadcast back) + one banded count
     // pass; band assignment is CASE comparisons on doubles both engines
     // computed identically. At 100 TB swap the exact percentile for
-    // approx_percentile and the plan shape is unchanged.
+    // approx_percentile — q_histogram_eqdepth_approx IS that swap,
+    // registered and green, plan-shape identical (spec-pinned).
     "q_histogram_eqdepth" -> ((s, d) => {
       val e = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
       // ONE array-percentile aggregate: four scalar percentile calls
@@ -856,7 +857,8 @@ object Shapes {
     // p50/p95/p99 per event type from ONE array-percentile aggregate
     // (shared sort buffer — the q_histogram_eqdepth lesson), plus the
     // in-row SLO verdict against a fixed p99 budget. The ops dashboard
-    // shape: exact here, approx_percentile at 100 TB with the same plan.
+    // shape: exact here, approx_percentile at 100 TB with the same plan
+    // (demonstrated by the q_histogram_eqdepth_approx twin).
     "q_latency_slo" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(col("event_type"))

@@ -723,7 +723,8 @@ object Sources {
     // between; flagged rows carry adev and mad, not their ratio, so a
     // zero-MAD group cannot produce cross-engine Inf artifacts. At
     // 100 TB swap the exact percentile for approx_percentile (mergeable
-    // sketch) — the plan shape is identical.
+    // sketch) — the plan shape is identical, demonstrated by the
+    // q_histogram_eqdepth_approx twin.
     "q_mad_outlier" -> ((s, d) => {
       val e = t(s, d, "events")
         .select(col("event_id"), col("event_type"), col("value"))
