@@ -30,6 +30,30 @@ object Sources {
         .orderBy(col("doc_id"))
     }),
 
+    // Z-ORDER layout → pruned scan, end-to-end through the gate: lay the
+    // fact table out 3-dim Z-clustered (ZOrder.layoutK — the
+    // clustering-key story for the 100 TB fact table), read it back, and
+    // run a two-dimension predicate that single-column clustering could
+    // serve on only ONE of. The query RESULT is layout-invariant (the
+    // oracle filters the raw table), so the hash gate proves the
+    // re-layout is LOSSLESS end-to-end; the pruning evidence — per-file
+    // min/max tight in every dimension, so parquet stats skip most files
+    // for this predicate — is ZOrderSpec's locality case plus the
+    // pushed-filter pin in SourcesSpec.
+    "q_zorder_scan" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      graft.operators.ZOrder.layoutK(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"), col("l_extendedprice")),
+          Seq("l_partkey", "l_suppkey", "l_orderkey"), numFiles = 64)
+        .write.mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 40)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // Cross-version schema evolution through the convention (the
     // `version=V` directory IS a schema version, gcs.py:58-67): half the
     // corpus written under v1 with the ORIGINAL two-column schema, the
@@ -795,6 +819,15 @@ object Sources {
     // Round-trip is identity over the source table.
     "q_dataset_roundtrip" ->
       "SELECT doc_id, text, n_chars FROM documents ORDER BY doc_id",
+
+    // the layout is invisible to semantics: the oracle filters the raw
+    // table — hash equality proves the Z-order re-layout lossless
+    "q_zorder_scan" ->
+      s"""SELECT l_suppkey, COUNT(*) AS n,
+         |  ${Num.sqlDsum("l_extendedprice")} AS rev
+         |FROM lineitem
+         |WHERE l_partkey <= 200 AND l_suppkey <= 40
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // v1 rows predate lang/n_chars → NULL; v2 rows carry them.
     "q_dataset_versions" ->

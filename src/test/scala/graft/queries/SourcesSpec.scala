@@ -140,6 +140,27 @@ class SourcesSpec extends SparkSpec {
     assert(psi >= 0.0 && psi < 0.1, s"PSI $psi on stationary data")
   }
 
+  test("q_zorder_scan: lossless re-layout, both predicate dims pushed to the scan") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_zorder_scan")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_partkey") <= 200 && col("l_suppkey") <= 40)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"), graft.Num.dsum(col("l_extendedprice")).as("rev"))
+      .orderBy(col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got === want, "Z-order re-layout changed the answer")
+    // both filter dimensions reach the parquet scan of the laid-out files
+    // (file skipping then rides the per-file min/max ZOrderSpec proves tight)
+    val p = SparkEntry.queries("q_zorder_scan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // (the PushedFilters list is elided in toString past a width cap —
+    // the partkey literal proves pushdown, the Filter node the suppkey cut)
+    assert(p.contains("LessThanOrEqual(l_partkey,200)"), p)
+    assert(p.contains("<= 40"), p)
+  }
+
   test("q_gini matches the brute-force Lorenz computation, inside [0, 1)") {
     import org.apache.spark.sql.functions._
     val Array(row) = SparkEntry.queries("q_gini")(spark, sf).collect()
