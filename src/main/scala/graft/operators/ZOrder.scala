@@ -90,9 +90,11 @@ object ZOrder {
   def layout(df: DataFrame, colA: String, colB: String,
              numFiles: Int = 8, buckets: Int = 64): DataFrame = {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    // one sketch pass over both columns; no corpus sort
+    // ONE sketch pass over both columns (the multi-column approxQuantile
+    // overload merges per-partition sketches for every column in a
+    // single job); no corpus sort
     val Array(cutsA, cutsB) =
-      Array(colA, colB).map(c => df.stat.approxQuantile(c, probs, 0.01))
+      df.stat.approxQuantile(Array(colA, colB), probs, 0.01)
     val z = zAddress(bucketOf(col(colA).cast("double"), cutsA),
       bucketOf(col(colB).cast("double"), cutsB))
     df.withColumn("zaddr", z)
@@ -109,7 +111,8 @@ object ZOrder {
   def layoutK(df: DataFrame, cols: Seq[String],
               numFiles: Int = 8, buckets: Int = 64): DataFrame = {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val cuts = cols.map(c => df.stat.approxQuantile(c, probs, 0.01))
+    // one job sketches ALL k dimensions — k passes collapsed to 1
+    val cuts = df.stat.approxQuantile(cols.toArray, probs, 0.01).toSeq
     val z = zAddressK(cols.zip(cuts).map { case (c, cu) =>
       bucketOf(col(c).cast("double"), cu)
     })
