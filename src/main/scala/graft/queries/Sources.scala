@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Num, Tables}
 import graft.io.DatasetConvention
+import graft.tables.TableOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.time.Instant
@@ -52,6 +53,36 @@ object Sources {
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n"), Num.dsum(col("l_extendedprice")).as("rev"))
         .orderBy(col("l_suppkey"))
+    }),
+
+    // BUCKETED layout → zero-exchange fact⋈fact join, end-to-end through
+    // the gate (the third member of the layout trilogy: range-cluster,
+    // Z-order, buckets). orders and lineitem — the join neither side of
+    // which is broadcastable at 100 TB — are written once as EXTERNAL
+    // bucketed+sorted tables on the join key (TableOps.saveBucketed:
+    // bucket at ingest, join forever), then joined and rolled up. The
+    // query RESULT is layout-invariant (the oracle joins the raw
+    // tables), so the hash gate proves the bucketed write/read lossless;
+    // the scale evidence — SortMergeJoin with NO "Exchange
+    // hashpartitioning" under either side, sorts satisfied by the
+    // bucket-file sort order — is the broadcast-disabled plan pin in
+    // SourcesSpec (and BucketedJoinSpec for the operator itself).
+    "q_bucketed_join" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+      TableOps.saveBucketed(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_b_orders", "o_orderkey", 16, overwrite = true,
+        path = Some(s"$base/orders"))
+      TableOps.saveBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice")),
+        "graft_b_lineitem", "o_orderkey", 16, overwrite = true,
+        path = Some(s"$base/lineitem"))
+      s.table("graft_b_orders")
+        .join(s.table("graft_b_lineitem"), "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // Cross-version schema evolution through the convention (the
@@ -827,6 +858,14 @@ object Sources {
          |  ${Num.sqlDsum("l_extendedprice")} AS rev
          |FROM lineitem
          |WHERE l_partkey <= 200 AND l_suppkey <= 40
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bucketing is invisible to semantics: the oracle joins the raw
+    // tables — hash equality proves the bucketed write/read lossless
+    "q_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${Num.sqlDsum("l_extendedprice")} AS rev
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // v1 rows predate lang/n_chars → NULL; v2 rows carry them.

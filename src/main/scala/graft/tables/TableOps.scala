@@ -163,12 +163,16 @@ object TableOps {
     * per query and never shuffling it at all — bucket once at ingest,
     * join forever. */
   def saveBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-                   overwrite: Boolean = false): Unit =
-    df.write
+                   overwrite: Boolean = false, path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .bucketBy(buckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    // path → EXTERNAL bucketed table (data lives outside the session
+    // warehouse — the ingest-once layout a whole fleet of sessions then
+    // joins against); no path → managed.
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** JSON-record insert with per-row error collection (≙ insert,
     * bq.py:119-147: `insert_rows_json` returns per-row errors; the

@@ -161,6 +161,34 @@ class SourcesSpec extends SparkSpec {
     assert(p.contains("<= 40"), p)
   }
 
+  test("q_bucketed_join: lossless layout, zero-exchange fact-fact join") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_bucketed_join")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), graft.Num.dsum(col("l_extendedprice")).as("rev"))
+      .orderBy(col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got === want, "bucketed layout changed the answer")
+    // the scale claim: with broadcast off (neither fact side fits in an
+    // executor at 100 TB), the join is SortMergeJoin straight over the
+    // bucket files — no "Exchange hashpartitioning" under either side, the
+    // per-file sortBy satisfying the merge-sort requirement
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q_bucketed_join")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      val joinRegion = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinRegion.contains("Exchange hashpartitioning"),
+        s"bucketed fact-fact join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_gini matches the brute-force Lorenz computation, inside [0, 1)") {
     import org.apache.spark.sql.functions._
     val Array(row) = SparkEntry.queries("q_gini")(spark, sf).collect()
