@@ -182,6 +182,70 @@ case class TrimmedLevenshtein(left: Expression, right: Expression)
   override def prettyName: String = "graft_levenshtein"
 }
 
+/** Codegen'd equi-depth bucket id: the count of `cuts` elements strictly
+  * below `value`, by binary search over the sorted cut array (duplicate
+  * cuts — flat quantile regions — resolve to the leftmost index, the same
+  * id the comparison-ladder form yields).
+  *
+  * Why an expression and not `when` chains: a B-bucket ladder is B-1
+  * CaseWhen nodes PER DIMENSION, and the k-dim Z-order layout stacks k of
+  * them in one projection — measured 13 s of planning/codegen overhead at
+  * B=64, k=3 on a 600k-row layout job whose actual row work is <1 s.
+  * This node is O(log B) per row, constant-size in the plan, and inlines
+  * into whole-stage codegen.
+  */
+case class EquiDepthBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType == org.apache.spark.sql.types.DoubleType &&
+      (right.dataType match {
+        case ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+        case _ => false
+      })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (double, array<double>), " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(v: Any, cs: Any): Any = {
+    val value = v.asInstanceOf[Double]
+    val cuts = cs.asInstanceOf[ArrayData]
+    var lo = 0
+    var hi = cuts.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts.getDouble(mid) < value) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0;
+         |int $hi = $cs.numElements();
+         |while ($lo < $hi) {
+         |  final int $mid = ($lo + $hi) >>> 1;
+         |  if ($cs.getDouble($mid) < $v) { $lo = $mid + 1; } else { $hi = $mid; }
+         |}
+         |${ev.value} = $lo;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): EquiDepthBucket =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_bucket"
+}
+
 /** Registration for graft's native expressions.
   *
   * Preferred route: `spark.sql.extensions=graft.expressions.GraftExtensions`
@@ -193,6 +257,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.longDotDescriptor)
     ext.injectFunction(GraftFunctions.levenshteinDescriptor)
     ext.injectFunction(GraftFunctions.nfcDescriptor)
+    ext.injectFunction(GraftFunctions.bucketDescriptor)
   }
 }
 
@@ -212,9 +277,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head))
 
+  val bucketDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_bucket"),
+      new ExpressionInfo(classOf[EquiDepthBucket].getName, "graft_bucket"),
+      (children: Seq[Expression]) => EquiDepthBucket(children.head, children(1)))
+
   /** Idempotent session-level registration. */
   def register(spark: SparkSession): Unit =
-    Seq(longDotDescriptor, levenshteinDescriptor, nfcDescriptor).foreach { case (fid, info, builder) =>
+    Seq(longDotDescriptor, levenshteinDescriptor, nfcDescriptor,
+      bucketDescriptor).foreach { case (fid, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(fid)) {
         spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
       }

@@ -76,12 +76,16 @@ object ZOrder {
   }
 
   /** Equi-depth bucket id (0 until buckets) of `col` given sorted cut
-    * points from approxQuantile — a broadcast-literal binary decision
-    * ladder; pure map work. */
+    * points from approxQuantile — the codegen'd binary-search expression
+    * (expressions.EquiDepthBucket). The column-arithmetic alternatives
+    * (a nested `when` ladder or a flat sum of B-1 comparison terms) put
+    * hundreds of nodes per dimension into one projection; stacked k-dim,
+    * that cost ~13 s of planning/codegen on a layout job whose row work
+    * is <1 s. One O(log B) expression node per dimension keeps the plan
+    * constant-size. The cut array rides along as a literal (broadcast
+    * with the plan, never shuffled). */
   private def bucketOf(c: Column, cuts: Array[Double]): Column =
-    cuts.zipWithIndex.foldLeft(lit(0)) { case (acc, (cut, i)) =>
-      when(c > cut, lit(i + 1)).otherwise(acc)
-    }
+    call_function("graft_bucket", c, lit(cuts))
 
   /** Re-layout `df` Z-ordered on two numeric columns into `numFiles`
     * range-partitioned, internally sorted shards. `buckets` is the
@@ -89,18 +93,23 @@ object ZOrder {
     * skew cannot collapse the curve). */
   def layout(df: DataFrame, colA: String, colB: String,
              numFiles: Int = 8, buckets: Int = 64): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // ONE sketch pass over both columns (the multi-column approxQuantile
     // overload merges per-partition sketches for every column in a
     // single job); no corpus sort
     val Array(cutsA, cutsB) =
       df.stat.approxQuantile(Array(colA, colB), probs, 0.01)
-    val z = zAddress(bucketOf(col(colA).cast("double"), cutsA),
-      bucketOf(col(colB).cast("double"), cutsB))
-    df.withColumn("zaddr", z)
+    // stage the bucket ids as their own projection so the interleave
+    // references two cheap attributes instead of inlining the bucket sum
+    // into every spread term (see bucketOf's codegen note)
+    val staged = df
+      .withColumn("__zba", bucketOf(col(colA).cast("double"), cutsA))
+      .withColumn("__zbb", bucketOf(col(colB).cast("double"), cutsB))
+    staged.withColumn("zaddr", zAddress(col("__zba"), col("__zbb")))
       .repartitionByRange(numFiles, col("zaddr"))
       .sortWithinPartitions(col("zaddr"))
-      .drop("zaddr")
+      .drop("zaddr", "__zba", "__zbb")
   }
 
   /** n-dimensional Z-layout — the clustering-key story for a 100 TB fact
@@ -110,15 +119,21 @@ object ZOrder {
     * generalized to k dims via [[zAddressK]]. */
   def layoutK(df: DataFrame, cols: Seq[String],
               numFiles: Int = 8, buckets: Int = 64): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // one job sketches ALL k dimensions — k passes collapsed to 1
     val cuts = df.stat.approxQuantile(cols.toArray, probs, 0.01).toSeq
-    val z = zAddressK(cols.zip(cuts).map { case (c, cu) =>
-      bucketOf(col(c).cast("double"), cu)
-    })
-    df.withColumn("zaddr", z)
+    // bucket ids staged as attributes, then interleaved — keeps the
+    // k·bits spread terms referencing cheap refs, not k duplicated
+    // bucket sums (codegen blowup; see bucketOf)
+    val bucketNames = cols.indices.map(i => s"__zb$i")
+    val staged = cols.zip(cuts).zip(bucketNames).foldLeft(df) {
+      case (acc, ((c, cu), bn)) =>
+        acc.withColumn(bn, bucketOf(col(c).cast("double"), cu))
+    }
+    staged.withColumn("zaddr", zAddressK(bucketNames.map(col)))
       .repartitionByRange(numFiles, col("zaddr"))
       .sortWithinPartitions(col("zaddr"))
-      .drop("zaddr")
+      .drop("zaddr" +: bucketNames: _*)
   }
 }
