@@ -265,6 +265,44 @@ object Sampling {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("split"))
+    }),
+
+    // Deterministic EPOCH SHUFFLE — the training-loader order primitive:
+    // each epoch is a seeded pseudorandom permutation of the corpus,
+    // reproducible run-to-run (resume a crashed epoch mid-stream, audit
+    // which docs a checkpoint saw) and cheap to re-derive because it is a
+    // pure function of (seed, doc_id). Order key = md5("epoch7:" || id);
+    // the global position comes from the same bucket-prefix two-pass rank
+    // as q_stratified_split (the first two hex chars ARE a prefix of the
+    // sort key, so bucket-major order equals global hash order — no task
+    // sorts the corpus), and the contiguous shard id (8 loader shards,
+    // balanced to the row) is integer arithmetic on the position. At
+    // 100 TB the only non-map work is one 256-row bucket aggregate and
+    // the per-bucket local sorts.
+    "q_epoch_shuffle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"))
+        .withColumn("h", md5(encode(
+          concat(lit("epoch7:"), col("doc_id").cast("string")), "UTF-8")))
+        .withColumn("hb", substring(col("h"), 1, 2))
+      val wIn = Window.partitionBy(col("hb")).orderBy(col("h"), col("doc_id"))
+      val local = docs.withColumn("lr", row_number().over(wIn).cast("long"))
+      // tiny bucket aggregate (≤ 256 rows), two consumers → persist
+      val bcounts = docs.groupBy(col("hb")).agg(count(lit(1)).as("btot"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wB = Window.orderBy(col("hb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bcounts
+        .withColumn("bprev", coalesce(sum(col("btot")).over(wB), lit(0L)))
+        .select(col("hb"), col("bprev"))
+      val ntotal = bcounts.agg(sum(col("btot")).as("n"))
+      local.join(broadcast(bpre), Seq("hb"))
+        .withColumn("epoch_pos", col("bprev") + col("lr") - 1)
+        .crossJoin(broadcast(ntotal))
+        .withColumn("shard", expr("(epoch_pos * 8) div n"))
+        .select(col("doc_id"), col("epoch_pos"), col("shard"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -386,6 +424,20 @@ object Sampling {
         |       WHEN (r - 1) * 10 < n * 9 THEN 'dev'
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM r GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+        |FROM r GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // the oracle states the spec (global row_number over the seeded md5
+    // order); the Spark side computes the same permutation with the
+    // bucket-prefix distributed rank
+    "q_epoch_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS epoch_pos,
+        |  COUNT(*) OVER () AS n
+        |FROM documents)
+        |SELECT doc_id, CAST(epoch_pos AS BIGINT) AS epoch_pos,
+        |  CAST((epoch_pos * 8) // n AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -111,4 +111,30 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(got == expect)
   }
+
+  test("q_epoch_shuffle: the seeded permutation, shards contiguous and balanced") {
+    val got = graft.SparkEntry.queries("q_epoch_shuffle")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val ids = Tables.load(spark, sf, "documents")
+      .select(col("doc_id")).as[Long].collect()
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = mdig.digest(s"epoch7:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // brute-force permutation: position = rank in (md5, id) order
+    val expectPos = ids.map(id => (h(id), id)).sorted.map(_._2)
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(got.length == ids.length)
+    got.foreach { case (id, pos, _) => assert(pos == expectPos(id), s"doc $id") }
+    val n = ids.length
+    // shards are contiguous position ranges, balanced to the row
+    got.foreach { case (_, pos, sh) => assert(sh == pos * 8 / n) }
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L until 8L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"unbalanced shards: $sizes")
+    // a different epoch seed is a DIFFERENT permutation of the same ids
+    val other = ids.map(id => (mdig.digest(s"epoch8:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString, id)).sorted.map(_._2)
+    assert(other.toSeq != ids.map(id => (h(id), id)).sorted.map(_._2).toSeq)
+  }
 }
