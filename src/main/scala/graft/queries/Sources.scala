@@ -85,6 +85,30 @@ object Sources {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ORC round-trip — the second columnar format in the source/sink
+    // matrix (parquet everywhere else, JSONL via the dataset convention,
+    // CSV via sheets). Spark's native ORC reader has the same
+    // partition-pruning + predicate-pushdown machinery as parquet; the
+    // write is hive-style partitioned on l_returnflag so the read prunes
+    // whole directories before the quantity predicate reaches the ORC
+    // row-group stats. Result is layout/format-invariant (oracle reads
+    // the raw parquet table), so hash equality proves the ORC write/read
+    // lossless — including the DECIMAL column, the type most likely to
+    // drift across formats. Plan pin in SourcesSpec: partition filter +
+    // pushed predicate both visible in the ORC scan.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").partitionBy("l_returnflag").orc(base)
+      s.read.orc(base)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Cross-version schema evolution through the convention (the
     // `version=V` directory IS a schema version, gcs.py:58-67): half the
     // corpus written under v1 with the ORIGINAL two-column schema, the
@@ -866,6 +890,15 @@ object Sources {
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |  ${Num.sqlDsum("l_extendedprice")} AS rev
          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // format is invisible to semantics: the oracle reads the raw parquet
+    // table — hash equality proves the ORC write/read lossless
+    "q_orc_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${Num.sqlDsum("l_extendedprice")} AS rev
+         |FROM lineitem
+         |WHERE l_returnflag = 'R' AND l_quantity >= 30
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // v1 rows predate lang/n_chars → NULL; v2 rows carry them.

@@ -189,6 +189,26 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_orc_roundtrip: lossless format hop, partition pruned, predicate pushed") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_orc_roundtrip")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), graft.Num.dsum(col("l_extendedprice")).as("rev"))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got === want, "ORC round-trip changed the answer")
+    val p = SparkEntry.queries("q_orc_roundtrip")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the scan is ORC, the partition dimension prunes directories, and
+    // the quantity predicate reaches the ORC reader's row-group stats
+    assert(p.toLowerCase.contains("orc"), p)
+    assert(p.contains("PartitionFilters") && p.contains("l_returnflag"), p)
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"), p)
+  }
+
   test("q_gini matches the brute-force Lorenz computation, inside [0, 1)") {
     import org.apache.spark.sql.functions._
     val Array(row) = SparkEntry.queries("q_gini")(spark, sf).collect()
