@@ -149,6 +149,35 @@ object Relational {
         .orderBy(col("s_nationkey"))
     }),
 
+    // Join-cardinality ESTIMATION by key synopsis — the planner primitive
+    // for sizing a join without running it: filter BOTH sides to the same
+    // deterministic 1/16 key sample (first md5 hex digit of the JOIN KEY
+    // = '0'), join the synopses, scale by 16. Sampling the KEY (not rows
+    // independently per side) keeps every surviving key's full fanout, so
+    // the estimate is unbiased with variance ~1/#sampled-keys — the
+    // classic join-synopsis trick; independent row samples would need a
+    // 16× bigger sample for the same error. The 1/16 join costs ~6% of
+    // the real one; `ok` asserts the estimate lands within 50% of the
+    // actual (computed here only to grade the estimator).
+    "q_join_card_est" -> ((s, d) => {
+      def keySampled(df: DataFrame, key: String) = df.filter(
+        substring(md5(encode(col(key).cast("string"), "UTF-8")), 1, 1) === "0")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"))
+      val est = keySampled(o, "o_orderkey")
+        .join(keySampled(l, "l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg((count(lit(1)) * 16).as("est_rows"))
+      val act = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      est.crossJoin(act)
+        .select(col("est_rows"), col("actual_rows"),
+          (abs(col("est_rows") - col("actual_rows")) * 2 <=
+            col("actual_rows")).as("ok"))
+    }),
+
     // Null-safe equi-join (<=>): null keys match each other, unlike plain =.
     "q_join_nullsafe" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -880,6 +909,20 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey, c_name""".stripMargin,
+
+    // same deterministic 1/16 key synopsis (first md5 hex digit) on both
+    // engines, so est_rows hash-matches exactly
+    "q_join_card_est" ->
+      """WITH o AS (SELECT o_orderkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |s AS (SELECT CAST(COUNT(*) * 16 AS BIGINT) AS est_rows
+        |      FROM o JOIN lineitem ON l_orderkey = o_orderkey
+        |      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'),
+        |a AS (SELECT COUNT(*) AS actual_rows
+        |      FROM o JOIN lineitem ON l_orderkey = o_orderkey)
+        |SELECT est_rows, actual_rows,
+        |  ABS(est_rows - actual_rows) * 2 <= actual_rows AS ok
+        |FROM s, a""".stripMargin,
 
     "q_join_theta" ->
       """SELECT s_suppkey, c_custkey
