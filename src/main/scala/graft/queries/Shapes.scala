@@ -207,6 +207,33 @@ object Shapes {
     // wide aggregate row, exploded to per-column rows with stack —
     // never one pass per column). At 100 TB this is the difference
     // between one fact-table read and four.
+    // Join-key SKEW PROFILE — the ops panel that decides whether a join
+    // needs the salted path (prune.Skew) BEFORE running it: per-key
+    // counts of each candidate key (a key-cardinality-sized aggregate,
+    // never the fact table itself), reduced to the straggler predictors —
+    // max/median/p99 key fanout and skew_ratio = max/mean. A ratio near 1
+    // means hash partitioning balances; >4 means the hottest key's
+    // partition runs ~ratio× longer than average and salting (or AQE
+    // skew-split) pays. Exact percentile over the counts is fine at any
+    // scale: the aggregate is |keys|-sized, not |rows|-sized.
+    "q_skew_profile" -> ((s, d) => {
+      def profile(df: org.apache.spark.sql.DataFrame, key: String) = {
+        val ratio = col("max_cnt").cast("double") *
+          col("n_keys").cast("double") / col("total_rows").cast("double")
+        df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total_rows"),
+            max(col("cnt")).as("max_cnt"),
+            expr("percentile(cnt, 0.5)").as("median_cnt"),
+            expr("percentile(cnt, 0.99)").as("p99_cnt"))
+          .select(lit(key).as("key_name"), col("n_keys"), col("total_rows"),
+            col("max_cnt"), col("median_cnt"), col("p99_cnt"),
+            ratio.as("skew_ratio"), (ratio > lit(4.0)).as("salt_advised"))
+      }
+      profile(t(s, d, "lineitem"), "l_suppkey")
+        .unionAll(profile(t(s, d, "events"), "user_id"))
+        .orderBy(col("key_name"))
+    }),
+
     "q_table_profile" -> ((s, d) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val aggs = count(lit(1)).as("n_rows") +:
@@ -1322,6 +1349,23 @@ object Shapes {
   }.mkString("(", "\n + ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "q_skew_profile" -> {
+      def prof(table: String, key: String) =
+        s"""SELECT '$key' AS key_name, COUNT(*) AS n_keys,
+           |  CAST(SUM(cnt) AS BIGINT) AS total_rows, MAX(cnt) AS max_cnt,
+           |  quantile_cont(cnt, 0.5) AS median_cnt,
+           |  quantile_cont(cnt, 0.99) AS p99_cnt,
+           |  CAST(MAX(cnt) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+           |    / CAST(SUM(cnt) AS DOUBLE) AS skew_ratio,
+           |  CAST(MAX(cnt) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+           |    / CAST(SUM(cnt) AS DOUBLE) > 4.0 AS salt_advised
+           |FROM (SELECT $key, COUNT(*) AS cnt FROM $table GROUP BY 1)""".stripMargin
+      s"""${prof("lineitem", "l_suppkey")}
+         |UNION ALL
+         |${prof("events", "user_id")}
+         |ORDER BY key_name""".stripMargin
+    },
+
     "q_table_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       cols.map { c =>
