@@ -85,6 +85,48 @@ object Sources {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Kaplan-Meier survival panel over user lifetimes — retention with
+    // CENSORING done right: a user still active near the corpus end
+    // hasn't churned, they're right-censored, and counting them as
+    // churned (what a naive lifetime histogram does) biases every
+    // survival estimate down. Churn = last activity before the corpus
+    // end day (the horizon is a knob — production retention uses
+    // days/weeks; the synthetic month is dense, so day-1 is where the
+    // churned/censored split is visible); lifetime = days between first
+    // and last
+    // activity. The KM building blocks are all integers — per-lifetime
+    // churned/censored counts and the at-risk reverse cumulative — so
+    // the panel is exact across engines; hazard is the one division.
+    // Scale shape: one user-keyed aggregate over the stream, then a
+    // ≤|days| histogram; the global at-risk window runs over that tiny
+    // aggregate, never the events.
+    "q_survival_km" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val span = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      val end = span.agg(max(col("last_day")).as("corpus_end"))
+      val hist = span.crossJoin(broadcast(end))
+        .select(
+          datediff(col("last_day"), col("first_day")).cast("long")
+            .as("lifetime_d"),
+          (datediff(col("corpus_end"), col("last_day")) >= 1).as("churned"))
+        .groupBy(col("lifetime_d"))
+        .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"),
+          sum(when(col("churned"), 0L).otherwise(1L)).as("n_censored"))
+      val wRisk = Window.orderBy(col("lifetime_d").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("n_at_risk",
+          sum(col("n_churned") + col("n_censored")).over(wRisk))
+        .select(col("lifetime_d"), col("n_at_risk"), col("n_churned"),
+          col("n_censored"),
+          (col("n_churned").cast("double") / col("n_at_risk").cast("double"))
+            .as("hazard"))
+        .orderBy(col("lifetime_d"))
+    }),
+
     // ORC round-trip — the second columnar format in the source/sink
     // matrix (parquet everywhere else, JSONL via the dataset convention,
     // CSV via sheets). Spark's native ORC reader has the same
@@ -891,6 +933,34 @@ object Sources {
          |  ${Num.sqlDsum("l_extendedprice")} AS rev
          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // KM building blocks are integer-exact; hazard is the one division
+    "q_survival_km" ->
+      """WITH span AS (
+        |  SELECT user_id,
+        |    CAST(MIN(date_trunc('day', ts)) AS DATE) AS first_day,
+        |    CAST(MAX(date_trunc('day', ts)) AS DATE) AS last_day
+        |  FROM events GROUP BY 1),
+        |hist AS (
+        |  SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT)
+        |           AS lifetime_d,
+        |    CAST(SUM(CASE WHEN date_diff('day', last_day,
+        |        (SELECT MAX(last_day) FROM span)) >= 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |    CAST(SUM(CASE WHEN date_diff('day', last_day,
+        |        (SELECT MAX(last_day) FROM span)) >= 1
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |  FROM span GROUP BY 1)
+        |SELECT lifetime_d,
+        |  CAST(SUM(n_churned + n_censored) OVER (ORDER BY lifetime_d DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_at_risk,
+        |  n_churned, n_censored,
+        |  CAST(n_churned AS DOUBLE)
+        |    / CAST(SUM(n_churned + n_censored) OVER (ORDER BY lifetime_d DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS hazard
+        |FROM hist ORDER BY lifetime_d""".stripMargin,
 
     // format is invisible to semantics: the oracle reads the raw parquet
     // table — hash equality proves the ORC write/read lossless

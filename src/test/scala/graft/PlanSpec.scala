@@ -236,6 +236,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_epoch_shuffle ranks in hash buckets; global windows see only the bucket cache") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_epoch_shuffle")(spark, sf)
+      .queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    // the corpus-scale rank window partitions by the hash-prefix bucket
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      s"no bucket-partitioned rank window:\n$sp")
+    // the only single-partition window is the prefix sum over the
+    // persisted ≤256-row bucket aggregate — its input is exactly the
+    // (hb, btot) pair, never a corpus row
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val cols = w.child.output.map(_.name).toSet
+      assert(cols == Set("hb", "btot"),
+        s"global window consumes non-bucket columns $cols:\n$sp")
+    }
+    // cross-bucket offsets and the total arrive broadcast
+    assert(sp.toString.contains("BroadcastHashJoin") ||
+      sp.toString.contains("BroadcastExchange"), sp.toString)
+  }
+
   test("q_doc_chunks is shuffle-free map work over a pruned scan") {
     val p = plan("q_doc_chunks")
     assert(!p.contains("Exchange hashpartitioning"), p)
