@@ -97,6 +97,27 @@ object Similarity {
     * one dot per pair, never per direction — then the bounded typed
     * [[graft.functions.TopKAggregator]] keeps k neighbors per vector
     * (shuffle ≤ k rows per vector × map task, no window sort). */
+  /** Exact all-pairs cosine scores via the balanced block self-join
+    * (B×(B+1)/2 block pairs spread evenly across tasks, every unordered
+    * id pair scored exactly once) — the shared candidate generator of
+    * q_knn_join and q_label_noise. O(N²) by definition; callers guard. */
+  private def exactPairs(s: SparkSession, d: String): DataFrame = {
+    val B = 8
+    val iv = intVecs(s, d).withColumn("blk", pmod(col("vec_id"), lit(B)))
+    val a = iv.select(col("vec_id").as("ida"), col("v").as("va"),
+        col("nv").as("na"), col("blk").as("ba"),
+        explode(expr(s"sequence(blk, ${B - 1})")).as("pj"))
+      .withColumn("pk", col("ba") * B + col("pj"))
+    val b = iv.select(col("vec_id").as("idb"), col("v").as("vb"),
+        col("nv").as("nb"), col("blk").as("bb"),
+        explode(expr("sequence(0, blk)")).as("pi"))
+      .withColumn("pk", col("pi") * B + col("bb"))
+    val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
+    a.join(b, a("pk") === b("pk") &&
+        (col("ba") < col("bb") || col("ida") < col("idb")))
+      .select(col("ida"), col("idb"), cos.as("cos"))
+  }
+
   private def topKNeighbors(s: SparkSession, pairs: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     val topk = new graft.functions.TopKAggregator(k).toColumn
@@ -342,21 +363,48 @@ object Similarity {
         s"q_knn_join is the exact all-pairs kNN baseline: $nVecs vectors " +
           s"exceed the guard ($maxVecs). Use q_knn_join_ann at corpus scale, " +
           "or raise graft.knn.exact.maxVecs explicitly.")
-      val B = 8
-      val iv = intVecs(s, d).withColumn("blk", pmod(col("vec_id"), lit(B)))
-      val a = iv.select(col("vec_id").as("ida"), col("v").as("va"),
-          col("nv").as("na"), col("blk").as("ba"),
-          explode(expr(s"sequence(blk, ${B - 1})")).as("pj"))
-        .withColumn("pk", col("ba") * B + col("pj"))
-      val b = iv.select(col("vec_id").as("idb"), col("v").as("vb"),
-          col("nv").as("nb"), col("blk").as("bb"),
-          explode(expr("sequence(0, blk)")).as("pi"))
-        .withColumn("pk", col("pi") * B + col("bb"))
-      val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
-      val pairs = a.join(b, a("pk") === b("pk") &&
-          (col("ba") < col("bb") || col("ida") < col("idb")))
-        .select(col("ida"), col("idb"), cos.as("cos"))
-      topKNeighbors(s, pairs, 3)
+      topKNeighbors(s, exactPairs(s, d), 3)
+    }),
+
+    // LABEL-NOISE audit (confident-learning style): flag every vector
+    // whose own label loses the majority vote of its 5 nearest neighbors
+    // — the standard geometric screen for mislabeled training examples
+    // before a classifier ever sees them. Neighbors come from the same
+    // exact scorer as q_knn_join (integer dots → deterministic ties →
+    // the oracle reproduces the neighbor sets bit-for-bit), labels
+    // arrive by two vec_id equi-joins (corpus-scale safe; at 100 TB the
+    // candidate generator swaps to the ANN machinery like
+    // q_knn_join_ann, same downstream shape). Output is the per-label
+    // audit panel: how many vectors, how many flagged, the flag rate.
+    // On the standard synthetic table labels are geometry-independent,
+    // so the panel correctly reports ~everything flagged (flag_rate ≈
+    // 0.96-1.0 — exactly the "these labels carry no signal" diagnosis);
+    // the mechanism itself is proven in QueriesSpec on a clustered
+    // fixture where it flags exactly five planted label flips.
+    "q_label_noise" -> ((s, d) => {
+      val maxVecs = s.conf.get("graft.knn.exact.maxVecs", "100000").toLong
+      val nVecs = vecCount.getOrElseUpdate(d, t(s, d, "embeddings").count())
+      require(nVecs <= maxVecs,
+        s"q_label_noise scores exact all-pairs kNN: $nVecs vectors exceed " +
+          s"the guard ($maxVecs). Swap in ANN candidates at corpus scale, " +
+          "or raise graft.knn.exact.maxVecs explicitly.")
+      val labels = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val flagged = topKNeighbors(s, exactPairs(s, d), 5)
+        .join(labels.select(col("vec_id").as("nbr_id"),
+          col("label").as("nbr_label")), "nbr_id")
+        .join(labels.select(col("vec_id"), col("label").as("own_label")),
+          "vec_id")
+        .groupBy(col("vec_id"), col("own_label"))
+        .agg(sum(when(col("nbr_label") === col("own_label"), 1L)
+          .otherwise(0L)).as("agree"), count(lit(1)).as("kk"))
+        .select(col("own_label"), (col("agree") * 2 < col("kk")).as("flagged"))
+      flagged.groupBy(col("own_label").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+        .select(col("label"), col("n_vecs"), col("n_flagged"),
+          (col("n_flagged").cast("double") / col("n_vecs").cast("double"))
+            .as("flag_rate"))
+        .orderBy(col("label"))
     }),
 
     // APPROXIMATE kNN self-join — the at-scale twin of q_knn_join: the
@@ -889,6 +937,40 @@ object Similarity {
          |       FROM cs)
          |SELECT vid AS vec_id, nbr AS nbr_id, cos, rnk
          |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin,
+
+    // same exact scorer and (cos DESC, nbr ASC) tie rule as q_knn_join,
+    // extended to k=5 and reduced to the per-label flag census
+    "q_label_noise" ->
+      s"""WITH $ivCte,
+         |sc AS (SELECT a.vec_id AS vid, b.vec_id AS nbr,
+         |         SUM(a.v[i] * b.v[i]) AS dot,
+         |         SUM(a.v[i] * a.v[i]) AS na,
+         |         SUM(b.v[i] * b.v[i]) AS nb
+         |       FROM iv a, iv b, idx WHERE a.vec_id <> b.vec_id
+         |       GROUP BY a.vec_id, b.vec_id),
+         |cs AS (SELECT vid, nbr,
+         |         CAST(dot AS DOUBLE)
+         |           / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+         |           AS cos
+         |       FROM sc),
+         |rk AS (SELECT vid, nbr,
+         |         ROW_NUMBER() OVER (PARTITION BY vid
+         |           ORDER BY cos DESC, nbr ASC) AS rnk
+         |       FROM cs),
+         |fl AS (SELECT rk.vid, o.label AS own_label,
+         |         SUM(CASE WHEN nl.label = o.label THEN 1 ELSE 0 END) * 2
+         |           < COUNT(*) AS flagged
+         |       FROM rk
+         |       JOIN iv o ON o.vec_id = rk.vid
+         |       JOIN iv nl ON nl.vec_id = rk.nbr
+         |       WHERE rnk <= 5
+         |       GROUP BY rk.vid, o.label)
+         |SELECT own_label AS label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS flag_rate
+         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_knn_join_ann" ->
       s"""WITH $ivCte,

@@ -142,6 +142,36 @@ class QueriesSpec extends SparkSpec {
     assert(ndRecall >= 0.8, f"multi-table near-dup recall $ndRecall%.2f below the 0.8 bar")
   }
 
+  test("q_label_noise flags exactly the planted label flips on clustered vectors") {
+    import spark.implicits._
+    // 6 tight, well-separated clusters, labels = cluster id — then five
+    // deliberate flips. A flipped vector sits geometrically inside its
+    // true cluster, so its 5-NN unanimously outvote the wrong label;
+    // clean vectors keep at worst 4/5 agreement (the flipped neighbor).
+    val dir = tmpDir("graft-labelnoise")
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(6, 64)(rnd.nextGaussian() * 2.0)
+    val flips = Map(3L -> 1, 47L -> 2, 90L -> 3, 133L -> 5, 170L -> 4)
+    flips.foreach { case (id, l) => assert((id % 6).toInt != l) }
+    val rows = (0 until 180).map { i =>
+      val k = i % 6
+      (i.toLong,
+        cents(k).map(x => (x + 0.1 * rnd.nextGaussian()).toFloat).toSeq,
+        flips.getOrElse(i.toLong, k))
+    }
+    rows.toDF("vec_id", "embedding", "label").repartition(4)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q_label_noise")(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expFlagged = flips.values.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    (0 until 6).foreach { l =>
+      assert(got(l)._2 == expFlagged.getOrElse(l, 0L),
+        s"label $l: (n_vecs, n_flagged) = ${got(l)}")
+    }
+    assert(got.values.map(_._1).sum == 180L)
+  }
+
   test("q_knn_join guard refuses corpus-scale input until explicitly raised") {
     spark.conf.set("graft.knn.exact.maxVecs", "1")
     try {
