@@ -363,6 +363,41 @@ object Sources {
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     }),
 
+    // POINT-IN-TIME feature join — the feature-store primitive that
+    // prevents training-serving skew: each click is enriched with the
+    // purchase-value feature that was VALID AT THE CLICK'S OWN TIME,
+    // never a later one (future leakage). The dimension is the SCD2
+    // validity table (q_scd2's shape) materialized from purchases; the
+    // join is an equi-join on user with the validity interval as
+    // residual — each click lands in exactly one interval (they
+    // partition time per user), LEFT so pre-first-purchase clicks keep
+    // an explicit NULL feature. This is the execution twin of
+    // q_asof_join's window-carry for the case where the dimension is
+    // PRE-MATERIALIZED (a feature store), not co-streamed; at 100 TB
+    // both sides shuffle once on the user key.
+    "q_pit_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      val dim = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("value").as("feat_value"), col("ts").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .drop("event_id")
+      val clicks = t(s, d, "events").filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      clicks.join(dim,
+          clicks("user_id") === dim("user_id") &&
+            col("click_ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("click_ts") < col("valid_to")),
+          "left")
+        .select(col("click_id"), clicks("user_id").as("user_id"),
+          col("click_ts"), col("feat_value"),
+          col("valid_from").as("feat_asof"))
+        .orderBy(col("click_id"))
+    }),
+
     // Batch run of the STREAMING interval-join code path:
     // EventsStream.purchaseAttribution is called on a batch DataFrame
     // (withWatermark is a no-op in batch), proving the stream and batch
@@ -1143,6 +1178,24 @@ object Sources {
         |    AS is_current
         |FROM ev WHERE event_type = 'purchase'
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // same SCD2 interval construction (ts, event_id tie rule) on both
+    // engines; each click matches exactly one validity interval
+    "q_pit_join" ->
+      """WITH ev AS (SELECT event_id, user_id, value,
+        |              CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |dim AS (SELECT user_id, value AS feat_value, ts AS valid_from,
+        |          LEAD(ts) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) AS valid_to
+        |        FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |      FROM ev WHERE event_type = 'click')
+        |SELECT c.click_id, c.user_id, c.click_ts, d.feat_value,
+        |  d.valid_from AS feat_asof
+        |FROM c LEFT JOIN dim d ON d.user_id = c.user_id
+        |  AND c.click_ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR c.click_ts < d.valid_to)
+        |ORDER BY click_id""".stripMargin,
 
     "q_interval_join" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, value,

@@ -189,6 +189,31 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_pit_join: exactly one row per click, feature never leaks the future") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_pit_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getString(3), r.getDouble(4)))
+    val clicks = ev.filter(_._4 == "click")
+    assert(got.length == clicks.length,
+      "PIT join must emit exactly one row per click")
+    val purchasesByUser = ev.filter(_._4 == "purchase").groupBy(_._2)
+    got.foreach { case (cid, uid, cts, feat) =>
+      // expected: value of the latest purchase at or before the click,
+      // ties broken by event_id (the SCD2 interval construction)
+      val prior = purchasesByUser.getOrElse(uid, Array.empty)
+        .filter(p => !p._3.after(cts))
+      val expect = if (prior.isEmpty) None
+        else Some(prior.maxBy(p => (p._3.getTime, p._1))._5)
+      assert(feat == expect, s"click $cid: got $feat want $expect")
+    }
+  }
+
   test("q_orc_roundtrip: lossless format hop, partition pruned, predicate pushed") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q_orc_roundtrip")(spark, sf).collect()
