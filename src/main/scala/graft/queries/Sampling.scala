@@ -303,6 +303,56 @@ object Sampling {
         .withColumn("shard", expr("(epoch_pos * 8) div n"))
         .select(col("doc_id"), col("epoch_pos"), col("shard"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MIXTURE-BUDGET allocator — the data-mixing recipe executor: given
+    // a global char budget (40% of the corpus) and per-source weights
+    // (three tiers derived from the source id), compute each source's
+    // exact quota (integer floor division, so quotas are reproducible)
+    // and greedily fill it in deterministic hash-priority order —
+    // every doc whose source-local running total stays within quota is
+    // picked. The running total is the q_seq_pack bucket-prefix prefix
+    // sum (hash bucket inside source + broadcast cross-bucket offsets),
+    // so no task ever sorts a whole source; quotas and weights live in
+    // source-cardinality-sized broadcast frames. Output: the per-source
+    // audit (quota, docs picked, chars picked).
+    "q_token_budget_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("w",
+          (substring(col("source"), 4, 10).cast("long") % 3L) + 1L)
+        .withColumn("h", md5(encode(col("doc_id").cast("string"), "UTF-8")))
+        .withColumn("hb", substring(col("h"), 1, 2))
+      val wIn = Window.partitionBy(col("source"), col("hb"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = docs.withColumn("lc", sum(col("n_chars")).over(wIn))
+      val bsum = docs.groupBy(col("source"), col("hb"))
+        .agg(sum(col("n_chars")).as("btot"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wB = Window.partitionBy(col("source")).orderBy(col("hb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bsum
+        .withColumn("bprev", coalesce(sum(col("btot")).over(wB), lit(0L)))
+        .select(col("source"), col("hb"), col("bprev"))
+      val srcW = docs.groupBy(col("source")).agg(max(col("w")).as("w"))
+      val totals = docs.agg((sum(col("n_chars")) * 2L).as("b5"))
+        .crossJoin(srcW.agg(sum(col("w")).as("sumw")))
+      val quota = srcW.crossJoin(broadcast(totals))
+        .select(col("source"),
+          expr("(b5 div 5) * w div sumw").as("quota_chars"))
+      val picked = local.join(broadcast(bpre), Seq("source", "hb"))
+        .withColumn("cum", col("bprev") + col("lc"))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("cum") <= col("quota_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("cp"))
+      quota.join(picked, Seq("source"), "left")
+        .select(col("source"), col("quota_chars"),
+          coalesce(col("nd"), lit(0L)).as("n_docs"),
+          coalesce(col("cp"), lit(0L)).as("chars_picked"))
+        .orderBy(col("source"))
     })
   )
 
@@ -438,6 +488,33 @@ object Sampling {
         |FROM documents)
         |SELECT doc_id, CAST(epoch_pos AS BIGINT) AS epoch_pos,
         |  CAST((epoch_pos * 8) // n AS BIGINT) AS shard
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // identical integer quota arithmetic and hash-priority prefix rule;
+    // the oracle's plain per-source window states the spec the
+    // distributed prefix sum implements
+    "q_token_budget_mix" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |    (CAST(SUBSTR(source, 4) AS BIGINT) % 3) + 1 AS w,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |tot AS (SELECT CAST(SUM(n_chars) * 2 // 5 AS BIGINT) AS b FROM d),
+        |sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw
+        |       FROM (SELECT DISTINCT source, w FROM d)),
+        |q AS (SELECT source, CAST(b * w // sumw AS BIGINT) AS quota_chars
+        |      FROM (SELECT DISTINCT source, w FROM d), tot, sw),
+        |r AS (SELECT doc_id, source, n_chars,
+        |        SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d),
+        |p AS (SELECT r.source, COUNT(*) AS n_docs,
+        |        CAST(SUM(r.n_chars) AS BIGINT) AS chars_picked
+        |      FROM r JOIN q ON q.source = r.source
+        |      WHERE r.cum <= q.quota_chars GROUP BY 1)
+        |SELECT q.source, q.quota_chars,
+        |  COALESCE(p.n_docs, 0) AS n_docs,
+        |  COALESCE(p.chars_picked, 0) AS chars_picked
+        |FROM q LEFT JOIN p ON p.source = q.source
+        |ORDER BY q.source""".stripMargin
   )
 }

@@ -23,7 +23,8 @@ class EmptyInputSpec extends SparkSpec {
         "q_entropy", "q_containment", "q_weighted_sample",
         "q_inverted_index", "q_quality_quantile",
         "q_stratified_split", "q_dedup_canonical",
-        "q_split_leakfree", "q_epoch_shuffle").foreach { q =>
+        "q_split_leakfree", "q_epoch_shuffle",
+        "q_token_budget_mix").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
