@@ -149,6 +149,32 @@ object Relational {
         .orderBy(col("s_nationkey"))
     }),
 
+    // FULL OUTER join — the reconciliation primitive (which keys exist
+    // only left, only right, or both) and the one join kind that can
+    // NEVER broadcast: both sides must survive into the output, so the
+    // only scale shape is a shuffle on the key and a sort-merge full
+    // outer — exactly what Catalyst plans here. Two overlapping customer
+    // subsets (mod-3 vs mod-2 survivors) reconcile into the three-way
+    // census; acctbal sums prove both sides' payloads carry through.
+    "q_join_full" -> ((s, d) => {
+      val base = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val a = base.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("ka"), col("c_acctbal").as("bal_a"))
+      val b = base.filter(col("c_custkey") % 2 =!= 0)
+        .select(col("c_custkey").as("kb"), col("c_acctbal").as("bal_b"))
+      a.join(b, col("ka") === col("kb"), "full")
+        .select(
+          when(col("kb").isNull, "left_only")
+            .when(col("ka").isNull, "right_only")
+            .otherwise("both").as("side"),
+          col("bal_a"), col("bal_b"))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"),
+          Num.dsum(coalesce(col("bal_a"), lit(0.0))).as("sum_a"),
+          Num.dsum(coalesce(col("bal_b"), lit(0.0))).as("sum_b"))
+        .orderBy(col("side"))
+    }),
+
     // Join-cardinality ESTIMATION by key synopsis — the planner primitive
     // for sizing a join without running it: filter BOTH sides to the same
     // deterministic 1/16 key sample (first md5 hex digit of the JOIN KEY
@@ -909,6 +935,20 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey, c_name""".stripMargin,
+
+    "q_join_full" ->
+      s"""WITH a AS (SELECT c_custkey AS ka, c_acctbal AS bal_a
+         |           FROM customer WHERE c_custkey % 3 <> 0),
+         |b AS (SELECT c_custkey AS kb, c_acctbal AS bal_b
+         |      FROM customer WHERE c_custkey % 2 <> 0)
+         |SELECT CASE WHEN kb IS NULL THEN 'left_only'
+         |            WHEN ka IS NULL THEN 'right_only'
+         |            ELSE 'both' END AS side,
+         |  COUNT(*) AS n,
+         |  ${Num.sqlDsum("COALESCE(bal_a, 0)")} AS sum_a,
+         |  ${Num.sqlDsum("COALESCE(bal_b, 0)")} AS sum_b
+         |FROM a FULL OUTER JOIN b ON ka = kb
+         |GROUP BY 1 ORDER BY side""".stripMargin,
 
     // same deterministic 1/16 key synopsis (first md5 hex digit) on both
     // engines, so est_rows hash-matches exactly
