@@ -91,4 +91,32 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(Seq((Some("x"), None: Option[String])).toDF("a", "b")
       .select(expr("graft_levenshtein(a, b)")).collect()(0).isNullAt(0))
   }
+
+  test("graft_bucket equals the counting definition, duplicates and edges included") {
+    // the binary search must return the COUNT OF CUTS STRICTLY BELOW the
+    // value — the same id the comparison-ladder form yields — including
+    // on duplicate cuts (flat quantile regions) and values at/outside
+    // the cut range
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val cutSets = Seq(
+      Array(1.0, 2.0, 3.0),
+      Array(1.0, 1.0, 1.0, 5.0),                 // heavy duplicates
+      Array(-3.5, -1.0, 0.0, 0.0, 2.5, 2.5, 9.0),
+      Array.fill(63)(rnd.nextInt(20).toDouble).sorted) // quantile-like
+    cutSets.foreach { cuts =>
+      val vals = (cuts ++ cuts.map(_ - 0.5) ++ cuts.map(_ + 0.5) ++
+        Array(-1e9, 1e9) ++ Array.fill(50)(rnd.nextDouble() * 12 - 3)).toSeq
+      val got = vals.toDF("x")
+        .select(col("x"), call_function("graft_bucket", col("x"), lit(cuts)).as("b"))
+        .as[(Double, Int)].collect()
+      got.foreach { case (x, b) =>
+        assert(b == cuts.count(_ < x), s"x=$x cuts=${cuts.mkString(",")}")
+      }
+    }
+    // null in → null out
+    assert(Seq(Option.empty[java.lang.Double]).toDF("x")
+      .select(call_function("graft_bucket", col("x"), lit(Array(1.0))))
+      .collect()(0).isNullAt(0))
+  }
 }

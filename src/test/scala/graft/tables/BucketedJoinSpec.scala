@@ -31,4 +31,23 @@ class BucketedJoinSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed groupBy still shuffles:\n$plan")
   }
+
+  test("path option makes the bucketed table EXTERNAL: files live at the path") {
+    // the ingest-once layout a fleet of sessions joins against must NOT
+    // live inside one session's warehouse directory
+    val dir = tmpDir("bucket-ext")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    TableOps.saveBucketed(orders, "b_ext_orders", "o_orderkey", 4,
+      overwrite = true, path = Some(s"$dir/orders"))
+    val files = new java.io.File(s"$dir/orders").listFiles()
+    assert(files != null && files.exists(_.getName.endsWith(".parquet")),
+      s"no bucket files at the external path: $dir/orders")
+    assert(spark.table("b_ext_orders").count() == orders.count())
+    // external semantics: dropping the catalog entry keeps the data
+    spark.sql("DROP TABLE b_ext_orders")
+    val after = new java.io.File(s"$dir/orders").listFiles()
+    assert(after != null && after.exists(_.getName.endsWith(".parquet")),
+      "DROP TABLE removed external bucket files")
+  }
 }
