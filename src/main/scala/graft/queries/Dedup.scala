@@ -156,9 +156,9 @@ object Dedup {
     val labels = graft.operators.Graph.connectedComponents(edges)
     edges.unpersist(blocking = false)
     sig.unpersist(blocking = false)
-    t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
       .join(labels, col("doc_id") === col("doc"), "left")
-      .select(col("doc_id"), col("n_chars"),
+      .select(col("doc_id"), col("source"), col("n_chars"),
         coalesce(col("comp"), col("doc_id")).as("component"))
   }
 
@@ -189,6 +189,23 @@ object Dedup {
             .as("keep"))
         .orderBy(col("doc_id"))
     }),
+
+    // CROSS-SOURCE duplication census — which near-dup clusters SPAN
+    // sources: a component confined to one source is that source's
+    // internal duplication (a crawl re-fetch); a component spanning
+    // several is content syndicated/mirrored ACROSS feeds — the signal
+    // that source-level dedup or source weighting double-counts content.
+    // One component-keyed aggregate over the shared labeling (distinct
+    // sources + docs per cluster), then a span-histogram; both stages
+    // shuffle only component-cardinality rows.
+    "q_dedup_cross_source" -> ((s, d) =>
+      labeledDocs(s, d)
+        .groupBy(col("component"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("nd"))
+        .groupBy(col("n_sources"))
+        .agg(count(lit(1)).as("n_components"), sum(col("nd")).as("n_docs"))
+        .orderBy(col("n_sources"))),
 
     // LEAKAGE-FREE split — the train/eval split rule that closes the
     // near-dup contamination hole q_hash_split leaves open: hashing each
@@ -616,6 +633,18 @@ object Dedup {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN comp c ON c.doc = d.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_cross_source" ->
+      s"""WITH RECURSIVE $resolveCtes,
+         |lab AS (SELECT d.doc_id, d.source,
+         |          COALESCE(c.comp, d.doc_id) AS component
+         |        FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+         |cs AS (SELECT component, COUNT(DISTINCT source) AS n_sources,
+         |          COUNT(*) AS nd
+         |        FROM lab GROUP BY 1)
+         |SELECT n_sources, COUNT(*) AS n_components,
+         |  CAST(SUM(nd) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY 1 ORDER BY n_sources""".stripMargin,
 
     "q_dedup_canonical" ->
       s"""WITH RECURSIVE $resolveCtes,

@@ -24,7 +24,7 @@ class EmptyInputSpec extends SparkSpec {
         "q_inverted_index", "q_quality_quantile",
         "q_stratified_split", "q_dedup_canonical",
         "q_split_leakfree", "q_epoch_shuffle",
-        "q_token_budget_mix").foreach { q =>
+        "q_token_budget_mix", "q_dedup_cross_source").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
