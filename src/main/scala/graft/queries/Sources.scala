@@ -85,6 +85,38 @@ object Sources {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Day-over-day INGEST VOLUME anomaly — the pipeline-health alarm
+    // that catches a feed going quiet or double-delivering: daily event
+    // counts, day-over-day deltas, each delta z-scored against the
+    // month's delta distribution (same exact decimal-sum moment math as
+    // q_outlier_zscore, so both engines agree to the bit). Everything
+    // after the one day-keyed count is calendar-sized — the lag/z
+    // windows run over ≤31 rows, never the stream.
+    "q_volume_anomaly" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val daily = t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val wDay = Window.orderBy(col("day"))
+      val deltas = daily
+        .withColumn("prev", lag(col("n_events"), 1).over(wDay))
+        .filter(col("prev").isNotNull)
+        .withColumn("delta", (col("n_events") - col("prev")).cast("double"))
+      val nd = col("n").cast("double")
+      val stats = deltas.agg(count(lit(1)).as("n"),
+          sum(col("delta").cast(d38)).cast("double").as("sx"),
+          sum((col("delta") * col("delta")).cast(d38)).cast("double").as("sxx"))
+        .select(col("n"), (col("sx") / nd).as("mean_d"),
+          sqrt((col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)).as("std_d"))
+        .filter(col("n") >= 2 && col("std_d") > 0.0)
+      val z = (col("delta") - col("mean_d")) / col("std_d")
+      deltas.crossJoin(broadcast(stats))
+        .select(col("day"), col("n_events"), col("delta"),
+          z.as("z"), (abs(z) > 3.0).as("is_anomaly"))
+        .orderBy(col("day"))
+    }),
+
     // Kaplan-Meier survival panel over user lifetimes — retention with
     // CENSORING done right: a user still active near the corpus end
     // hasn't churned, they're right-censored, and counting them as
@@ -968,6 +1000,31 @@ object Sources {
          |  ${Num.sqlDsum("l_extendedprice")} AS rev
          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same exact decimal-sum moment math as q_outlier_zscore, over the
+    // calendar-sized day-delta table
+    "q_volume_anomaly" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |daily AS (SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
+        |          FROM ev GROUP BY 1),
+        |del AS (SELECT day, n_events,
+        |          CAST(n_events - LAG(n_events) OVER (ORDER BY day)
+        |            AS DOUBLE) AS delta
+        |        FROM daily),
+        |d2 AS (SELECT * FROM del WHERE delta IS NOT NULL),
+        |m AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(delta AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST((delta * delta) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |  FROM d2),
+        |st AS (SELECT sx / CAST(n AS DOUBLE) AS mean_d,
+        |    sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1)) AS std_d
+        |  FROM m WHERE n >= 2),
+        |stv AS (SELECT * FROM st WHERE std_d > 0.0)
+        |SELECT day, n_events, delta,
+        |  (delta - mean_d) / std_d AS z,
+        |  (abs((delta - mean_d) / std_d) > 3.0) AS is_anomaly
+        |FROM d2, stv ORDER BY day""".stripMargin,
 
     // KM building blocks are integer-exact; hazard is the one division
     "q_survival_km" ->
