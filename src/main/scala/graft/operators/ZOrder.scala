@@ -83,9 +83,13 @@ object ZOrder {
     * that cost ~13 s of planning/codegen on a layout job whose row work
     * is <1 s. One O(log B) expression node per dimension keeps the plan
     * constant-size. The cut array rides along as a literal (broadcast
-    * with the plan, never shuffled). */
+    * with the plan, never shuffled). NULL and NaN keep the ladder's
+    * placement (bucket 0 and the top bucket respectively) so rows with
+    * a degenerate dimension still get a valid zaddr and cluster by
+    * their OTHER dimensions instead of collapsing into a null region. */
   private def bucketOf(c: Column, cuts: Array[Double]): Column =
-    call_function("graft_bucket", c, lit(cuts))
+    when(c.isNaN, lit(cuts.length))
+      .otherwise(coalesce(call_function("graft_bucket", c, lit(cuts)), lit(0)))
 
   /** Re-layout `df` Z-ordered on two numeric columns into `numFiles`
     * range-partitioned, internally sorted shards. `buckets` is the
@@ -101,15 +105,32 @@ object ZOrder {
     val Array(cutsA, cutsB) =
       df.stat.approxQuantile(Array(colA, colB), probs, 0.01)
     // stage the bucket ids as their own projection so the interleave
-    // references two cheap attributes instead of inlining the bucket sum
-    // into every spread term (see bucketOf's codegen note)
+    // references two cheap attributes instead of inlining the bucket
+    // expression into every spread term (see bucketOf's codegen note);
+    // staging names are collision-checked so a user column is never
+    // silently replaced and dropped
+    val Seq(zba, zbb, za) = freshNames(df, Seq("__zba", "__zbb", "__zaddr"))
     val staged = df
-      .withColumn("__zba", bucketOf(col(colA).cast("double"), cutsA))
-      .withColumn("__zbb", bucketOf(col(colB).cast("double"), cutsB))
-    staged.withColumn("zaddr", zAddress(col("__zba"), col("__zbb")))
-      .repartitionByRange(numFiles, col("zaddr"))
-      .sortWithinPartitions(col("zaddr"))
-      .drop("zaddr", "__zba", "__zbb")
+      .withColumn(zba, bucketOf(col(colA).cast("double"), cutsA))
+      .withColumn(zbb, bucketOf(col(colB).cast("double"), cutsB))
+    staged.withColumn(za, zAddress(col(zba), col(zbb)))
+      .repartitionByRange(numFiles, col(za))
+      .sortWithinPartitions(col(za))
+      .drop(za, zba, zbb)
+  }
+
+  /** Working-column names guaranteed absent from `df` (suffix bumped on
+    * collision) — withColumn otherwise silently REPLACES a same-named
+    * user column, which the layout would then drop. */
+  private def freshNames(df: DataFrame, bases: Seq[String]): Seq[String] = {
+    val taken = scala.collection.mutable.Set(df.columns: _*)
+    bases.map { b =>
+      var n = b
+      var i = 0
+      while (taken(n)) { i += 1; n = s"$b$i" }
+      taken += n
+      n
+    }
   }
 
   /** n-dimensional Z-layout — the clustering-key story for a 100 TB fact
@@ -125,15 +146,18 @@ object ZOrder {
     val cuts = df.stat.approxQuantile(cols.toArray, probs, 0.01).toSeq
     // bucket ids staged as attributes, then interleaved — keeps the
     // k·bits spread terms referencing cheap refs, not k duplicated
-    // bucket sums (codegen blowup; see bucketOf)
-    val bucketNames = cols.indices.map(i => s"__zb$i")
+    // bucket expressions (codegen blowup; see bucketOf); names
+    // collision-checked like [[layout]]
+    val names = freshNames(df,
+      cols.indices.map(i => s"__zb$i") :+ "__zaddr")
+    val (bucketNames, za) = (names.init, names.last)
     val staged = cols.zip(cuts).zip(bucketNames).foldLeft(df) {
       case (acc, ((c, cu), bn)) =>
         acc.withColumn(bn, bucketOf(col(c).cast("double"), cu))
     }
-    staged.withColumn("zaddr", zAddressK(bucketNames.map(col)))
-      .repartitionByRange(numFiles, col("zaddr"))
-      .sortWithinPartitions(col("zaddr"))
-      .drop("zaddr" +: bucketNames: _*)
+    staged.withColumn(za, zAddressK(bucketNames.map(col)))
+      .repartitionByRange(numFiles, col(za))
+      .sortWithinPartitions(col(za))
+      .drop(za +: bucketNames: _*)
   }
 }

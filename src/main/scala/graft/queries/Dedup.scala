@@ -146,7 +146,7 @@ object Dedup {
     edges
   }
 
-  /** (doc_id, n_chars, component) — every document labeled with its
+  /** (doc_id, source, n_chars, component) — every document labeled with its
     * near-dup connected component (singletons keep their own id): the
     * shared scaffold of the resolution family (q_dedup_resolve's labeling
     * stage with the size column carried for downstream keep rules). */
@@ -175,7 +175,7 @@ object Dedup {
     // identical (spec-pinned).
     "q_dedup_canonical" -> ((s, d) => {
       // three consumers of the labeled table (max, argmax, final join) —
-      // persist the narrow (id, size, component) triple, not the corpus
+      // persist the narrow (id, source, size, component) row, not the corpus
       val lab = labeledDocs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
       val mx = lab.groupBy(col("component").as("c2"))
         .agg(max(col("n_chars")).as("mx"))

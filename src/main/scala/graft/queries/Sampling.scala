@@ -320,8 +320,10 @@ object Sampling {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
+        // 2-arg substr (no length cap) — the exact spelling the oracle
+        // uses, so a long numeric suffix can never diverge between engines
         .withColumn("w",
-          (substring(col("source"), 4, 10).cast("long") % 3L) + 1L)
+          (expr("CAST(substr(source, 4) AS BIGINT)") % 3L) + 1L)
         .withColumn("h", md5(encode(col("doc_id").cast("string"), "UTF-8")))
         .withColumn("hb", substring(col("h"), 1, 2))
       val wIn = Window.partitionBy(col("source"), col("hb"))

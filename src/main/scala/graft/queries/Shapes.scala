@@ -207,6 +207,25 @@ object Shapes {
     // wide aggregate row, exploded to per-column rows with stack —
     // never one pass per column). At 100 TB this is the difference
     // between one fact-table read and four.
+    "q_table_profile" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_ndv"),
+            min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+        }
+      val stackExpr = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max").mkString(", ")
+      t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows",
+          s"stack(${cols.length}, $stackExpr) AS " +
+            "(column_name, n_nulls, ndv, minv, maxv)")
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("ndv"), col("minv"), col("maxv"))
+        .orderBy(col("column_name"))
+    }),
+
     // Join-key SKEW PROFILE — the ops panel that decides whether a join
     // needs the salted path (prune.Skew) BEFORE running it: per-key
     // counts of each candidate key (a key-cardinality-sized aggregate,
@@ -232,25 +251,6 @@ object Shapes {
       profile(t(s, d, "lineitem"), "l_suppkey")
         .unionAll(profile(t(s, d, "events"), "user_id"))
         .orderBy(col("key_name"))
-    }),
-
-    "q_table_profile" -> ((s, d) => {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val aggs = count(lit(1)).as("n_rows") +:
-        cols.flatMap { c =>
-          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-            countDistinct(col(c)).as(s"${c}_ndv"),
-            min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
-        }
-      val stackExpr = cols.map(c =>
-        s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max").mkString(", ")
-      t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
-        .selectExpr("n_rows",
-          s"stack(${cols.length}, $stackExpr) AS " +
-            "(column_name, n_nulls, ndv, minv, maxv)")
-        .select(col("column_name"), col("n_rows"), col("n_nulls"),
-          col("ndv"), col("minv"), col("maxv"))
-        .orderBy(col("column_name"))
     }),
 
     // Map-typed column pack — the BigQuery RECORD/key-value analog

@@ -69,17 +69,22 @@ object Sources {
     // SourcesSpec (and BucketedJoinSpec for the operator itself).
     "q_bucketed_join" -> ((s, d) => {
       val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+      // catalog names carry the temp dir's unique suffix: concurrent or
+      // interleaved invocations (two suites on one shared session, two
+      // dataset dirs in one bench) never overwrite each other's tables
+      val tag = base.replaceAll(".*graft-bucket", "").replaceAll("[^0-9]", "")
+      val (to, tl) = (s"graft_b_orders_$tag", s"graft_b_lineitem_$tag")
       TableOps.saveBucketed(
         t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-        "graft_b_orders", "o_orderkey", 16, overwrite = true,
+        to, "o_orderkey", 16, overwrite = true,
         path = Some(s"$base/orders"))
       TableOps.saveBucketed(
         t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
           col("l_extendedprice")),
-        "graft_b_lineitem", "o_orderkey", 16, overwrite = true,
+        tl, "o_orderkey", 16, overwrite = true,
         path = Some(s"$base/lineitem"))
-      s.table("graft_b_orders")
-        .join(s.table("graft_b_lineitem"), "o_orderkey")
+      s.table(to)
+        .join(s.table(tl), "o_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), Num.dsum(col("l_extendedprice")).as("rev"))
         .orderBy(col("o_orderpriority"))
