@@ -54,6 +54,47 @@ object Pipeline {
         .join(verdict, "doc_id") // near-dup survivors only
         .select(col("doc_id"), col("n_words"), col("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The events-family capstone: a TRAINING TABLE for a propensity
+    // model, built time-split and leakage-free — features from strictly
+    // BEFORE the cutoff (the last 7 calendar days are held out), the
+    // label (did the user purchase?) from strictly AT/AFTER it. This is
+    // the composition the events operators exist for: the cutoff is a
+    // 1-row broadcast derived from the data, features are one user-keyed
+    // aggregate over the feature window (counts, exact decimal purchase
+    // value, active days, recency), the label is a distinct-user semi
+    // set from the label window, attached LEFT so never-returning users
+    // keep label=false. Two user-keyed shuffles total at any scale; no
+    // feature can see past the cutoff by construction (same discipline
+    // q_pit_join applies per-row).
+    "q_pipeline_features" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          date_trunc("day", col("ts")).as("day"))
+      val cutoff = ev.agg(max(col("day")).as("mx"))
+        .select((col("mx") - expr("INTERVAL 6 DAYS")).as("cutoff"))
+      val tagged = ev.crossJoin(broadcast(cutoff))
+      val feat = tagged.filter(col("day") < col("cutoff"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          graft.Num.dsum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).as("purchase_value"),
+          countDistinct(col("day")).as("days_active"),
+          datediff(max(col("cutoff")), max(col("day"))).cast("long")
+            .as("recency_days"))
+      val label = tagged
+        .filter(col("day") >= col("cutoff") &&
+          col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+        .withColumn("lbl", lit(true))
+      feat.join(label, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_events"), col("n_purchases"),
+          col("purchase_value"), col("days_active"), col("recency_days"),
+          coalesce(col("lbl"), lit(false)).as("label_purchase"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -95,6 +136,30 @@ object Pipeline {
          |SELECT doc_id, n_words, fp
          |FROM reps JOIN survivors USING (doc_id) JOIN lmok USING (doc_id)
          |WHERE doc_id = rep
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // same cutoff derivation and window split; the oracle states the
+    // time-split contract the Spark aggregates implement
+    "q_pipeline_features" ->
+      s"""WITH ev AS (SELECT user_id, event_type, value,
+         |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+         |ct AS (SELECT MAX(day) - INTERVAL 6 DAY AS cutoff FROM ev),
+         |f AS (SELECT user_id, COUNT(*) AS n_events,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_purchases,
+         |    ${graft.Num.sqlDsum(
+             "CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+         |      AS purchase_value,
+         |    COUNT(DISTINCT day) AS days_active,
+         |    CAST(date_diff('day', CAST(MAX(day) AS DATE),
+         |      CAST(MAX(cutoff) AS DATE)) AS BIGINT) AS recency_days
+         |  FROM ev, ct WHERE day < cutoff GROUP BY 1),
+         |l AS (SELECT DISTINCT user_id FROM ev, ct
+         |      WHERE day >= cutoff AND event_type = 'purchase')
+         |SELECT f.user_id, n_events, n_purchases, purchase_value,
+         |  days_active, recency_days,
+         |  (l.user_id IS NOT NULL) AS label_purchase
+         |FROM f LEFT JOIN l ON l.user_id = f.user_id
+         |ORDER BY f.user_id""".stripMargin
   )
 }
