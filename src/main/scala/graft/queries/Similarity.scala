@@ -118,6 +118,51 @@ object Similarity {
       .select(col("ida"), col("idb"), cos.as("cos"))
   }
 
+  /** Scored multi-table LSH candidate pairs — candidates = id pairs
+    * sharing a bucket in ANY of the L tables, deduped on the pair key
+    * while id-only, then each surviving pair's exact dot computed ONCE.
+    * Shared by q_knn_join_ann_multi and q_label_noise_ann. */
+  private def mtPairs(s: SparkSession, d: String): DataFrame = {
+    val bk = mtBucketTable(s, d)
+    val cands = bk.select(col("vec_id").as("ida"), col("l"), col("bucket"))
+      .join(bk.select(col("vec_id").as("idb"), col("l"), col("bucket")),
+        Seq("l", "bucket"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    val iv = intVecs(s, d)
+    val va = iv.select(col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
+    val vb = iv.select(col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
+    cands.join(va, "ida").join(vb, "idb")
+      .select(col("ida"), col("idb"),
+        cosine(dotL("va", "vb"), col("na"), col("nb")).as("cos"))
+  }
+
+  /** Per-label 5-NN majority-vote flag census over a neighbor table —
+    * the shared back half of q_label_noise (exact neighbors) and
+    * q_label_noise_ann (multi-table LSH neighbors). Vectors absent from
+    * `nbrs` (no candidate at all in the ANN path) are absent from the
+    * census — the same absence semantics as the ANN kNN queries. */
+  private def labelNoiseCensus(s: SparkSession, d: String,
+                               nbrs: DataFrame): DataFrame = {
+    val labels = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+    nbrs
+      .join(labels.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .join(labels.select(col("vec_id"), col("label").as("own_label")),
+        "vec_id")
+      .groupBy(col("vec_id"), col("own_label"))
+      .agg(sum(when(col("nbr_label") === col("own_label"), 1L)
+        .otherwise(0L)).as("agree"), count(lit(1)).as("kk"))
+      .select(col("own_label"), (col("agree") * 2 < col("kk")).as("flagged"))
+      .groupBy(col("own_label").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("label"), col("n_vecs"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_vecs").cast("double"))
+          .as("flag_rate"))
+      .orderBy(col("label"))
+  }
+
   private def topKNeighbors(s: SparkSession, pairs: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     val topk = new graft.functions.TopKAggregator(k).toColumn
@@ -388,24 +433,18 @@ object Similarity {
         s"q_label_noise scores exact all-pairs kNN: $nVecs vectors exceed " +
           s"the guard ($maxVecs). Swap in ANN candidates at corpus scale, " +
           "or raise graft.knn.exact.maxVecs explicitly.")
-      val labels = t(s, d, "embeddings").select(col("vec_id"), col("label"))
-      val flagged = topKNeighbors(s, exactPairs(s, d), 5)
-        .join(labels.select(col("vec_id").as("nbr_id"),
-          col("label").as("nbr_label")), "nbr_id")
-        .join(labels.select(col("vec_id"), col("label").as("own_label")),
-          "vec_id")
-        .groupBy(col("vec_id"), col("own_label"))
-        .agg(sum(when(col("nbr_label") === col("own_label"), 1L)
-          .otherwise(0L)).as("agree"), count(lit(1)).as("kk"))
-        .select(col("own_label"), (col("agree") * 2 < col("kk")).as("flagged"))
-      flagged.groupBy(col("own_label").as("label"))
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
-        .select(col("label"), col("n_vecs"), col("n_flagged"),
-          (col("n_flagged").cast("double") / col("n_vecs").cast("double"))
-            .as("flag_rate"))
-        .orderBy(col("label"))
+      labelNoiseCensus(s, d, topKNeighbors(s, exactPairs(s, d), 5))
     }),
+
+    // The AT-SCALE twin of q_label_noise — the documented ANN swap,
+    // demonstrated: neighbors come from the multi-table LSH candidate
+    // machinery (same [[mtPairs]] as q_knn_join_ann_multi, recall ≥ 0.8
+    // on clustered vectors per QueriesSpec) instead of the guarded
+    // exact all-pairs scorer; the flag census is the identical shared
+    // back half. Vectors with no candidate in any table are absent —
+    // the same absence semantics as the ANN kNN queries.
+    "q_label_noise_ann" -> ((s, d) =>
+      labelNoiseCensus(s, d, topKNeighbors(s, mtPairs(s, d), 5))),
 
     // APPROXIMATE kNN self-join — the at-scale twin of q_knn_join: the
     // quadratic block join is replaced by multi-probe sign-LSH CANDIDATE
@@ -451,21 +490,8 @@ object Similarity {
     // DuckDB oracle replays the same planes and matches bit-for-bit.
     // More tables or more bits/table tune the recall/cost point without
     // touching the shape.
-    "q_knn_join_ann_multi" -> ((s, d) => {
-      val bk = mtBucketTable(s, d)
-      val cands = bk.select(col("vec_id").as("ida"), col("l"), col("bucket"))
-        .join(bk.select(col("vec_id").as("idb"), col("l"), col("bucket")),
-          Seq("l", "bucket"))
-        .filter(col("ida") < col("idb"))
-        .select(col("ida"), col("idb")).distinct()
-      val iv = intVecs(s, d)
-      val va = iv.select(col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
-      val vb = iv.select(col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
-      val pairs = cands.join(va, "ida").join(vb, "idb")
-        .select(col("ida"), col("idb"),
-          cosine(dotL("va", "vb"), col("na"), col("nb")).as("cos"))
-      topKNeighbors(s, pairs, 3)
-    }),
+    "q_knn_join_ann_multi" -> ((s, d) =>
+      topKNeighbors(s, mtPairs(s, d), 3)),
 
     // Approximate near-dup via LSH candidates + exact rerank — the scale
     // path when recall < 1 is acceptable. Candidates = pairs whose
@@ -1019,6 +1045,30 @@ object Similarity {
          |       FROM dir)
          |SELECT vid AS vec_id, nbr AS nbr_id, cos, rnk
          |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin,
+
+    // the exact query's census over the multi-table candidate neighbors
+    "q_label_noise_ann" ->
+      s"""WITH $mtCtes,
+         |dir AS (SELECT vec_a AS vid, vec_b AS nbr, cos FROM cs
+         |        UNION ALL SELECT vec_b, vec_a, cos FROM cs),
+         |rk AS (SELECT vid, nbr,
+         |         ROW_NUMBER() OVER (PARTITION BY vid
+         |           ORDER BY cos DESC, nbr ASC) AS rnk
+         |       FROM dir),
+         |fl AS (SELECT rk.vid, o.label AS own_label,
+         |         SUM(CASE WHEN nl.label = o.label THEN 1 ELSE 0 END) * 2
+         |           < COUNT(*) AS flagged
+         |       FROM rk
+         |       JOIN iv o ON o.vec_id = rk.vid
+         |       JOIN iv nl ON nl.vec_id = rk.nbr
+         |       WHERE rnk <= 5
+         |       GROUP BY rk.vid, o.label)
+         |SELECT own_label AS label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS flag_rate
+         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_embed_neardup_lsh_multi" ->
       s"""WITH $mtCtes

@@ -170,6 +170,18 @@ class QueriesSpec extends SparkSpec {
         s"label $l: (n_vecs, n_flagged) = ${got(l)}")
     }
     assert(got.values.map(_._1).sum == 180L)
+    // the ANN twin on the same fixture: multi-table LSH neighbors have
+    // signal on clustered vectors — no clean label gains a false flag,
+    // and most planted flips are still caught through the approximate
+    // candidate sets (recall < 1 may drop some)
+    val ann = SparkEntry.queries("q_label_noise_ann")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    ann.foreach { case (l, f) =>
+      assert(f <= expFlagged.getOrElse(l, 0L),
+        s"ANN census false-flagged label $l: $f")
+    }
+    assert(ann.values.sum >= 3L,
+      s"ANN census caught too few planted flips: $ann")
   }
 
   test("q_knn_join guard refuses corpus-scale input until explicitly raised") {
