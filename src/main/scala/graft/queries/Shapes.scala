@@ -226,6 +226,39 @@ object Shapes {
         .orderBy(col("column_name"))
     }),
 
+    // MARKET-BASKET association rules — co-purchased part pairs ranked
+    // by lift = P(a,b) / (P(a)·P(b)): the recommender/assortment
+    // primitive. Pair generation is the one self-join that is SAFE at
+    // any scale because it keys on the ORDER (bounded fanout — an order
+    // holds a handful of items, so an order contributes O(items²) ≈
+    // constant pairs, never a cross of the catalog); supports are
+    // item-cardinality aggregates; the total is a 1-row broadcast. A
+    // min-support cut (≥ 3 co-occurrences) kills the noise tail before
+    // ranking; ties in lift break on the part ids so the top-50 is
+    // deterministic across engines.
+    "q_basket_lift" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      val supp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+      val total = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      pairs
+        .join(supp.select(col("l_partkey").as("pa"), col("n_i").as("n_a")), "pa")
+        .join(supp.select(col("l_partkey").as("pb"), col("n_i").as("n_b")), "pb")
+        .crossJoin(broadcast(total))
+        .select(col("pa"), col("pb"), col("n_ab"),
+          (col("n_ab").cast("double") * col("n_orders").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(50)
+    }),
+
     // Join-key SKEW PROFILE — the ops panel that decides whether a join
     // needs the salted path (prune.Skew) BEFORE running it: per-key
     // counts of each candidate key (a key-cardinality-sized aggregate,
@@ -1349,6 +1382,21 @@ object Shapes {
   }.mkString("(", "\n + ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    "q_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                         AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |s AS (SELECT l_partkey, COUNT(*) AS n_i FROM li GROUP BY 1),
+        |t AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+        |SELECT pa, pb, n_ab,
+        |  CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |    / (CAST(sa.n_i AS DOUBLE) * CAST(sb.n_i AS DOUBLE)) AS lift
+        |FROM p JOIN s sa ON sa.l_partkey = pa
+        |       JOIN s sb ON sb.l_partkey = pb, t
+        |ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin,
+
     "q_skew_profile" -> {
       def prof(table: String, key: String) =
         s"""SELECT '$key' AS key_name, COUNT(*) AS n_keys,
