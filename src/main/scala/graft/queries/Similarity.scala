@@ -224,6 +224,44 @@ object Similarity {
         .limit(10)
     }),
 
+    // HYBRID retrieVAL — reciprocal-rank fusion of the two retrieval
+    // paths the engine already has: BM25 over the text (TextOps'
+    // bm25Scored, lexical) and cosine against the query vector
+    // (semantic). Each path TakeOrders its own top-20 (distributed — no
+    // global sort; the rank window then runs over the 20-row result),
+    // and RRF combines them: score = Σ 1/(60 + rank), the standard
+    // fusion that needs no score calibration between the two lists. A
+    // doc in only one list keeps that list's term (the other
+    // contributes 0). Modern RAG retrieval in one oracle-verified
+    // query; everything is engine-deterministic, so the DuckDB twin
+    // reproduces the fused ranking exactly.
+    "q_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bmTop = TextOps.bm25Scored(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .withColumn("r_bm", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_bm"))
+      val vTop = intVecs(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(intVecs(s, d).filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("nv").as("nq"))))
+        .select(col("vec_id"),
+          cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(20)
+        .withColumn("r_v", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("r_v"))
+      bmTop.join(vTop, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("r_bm").cast("double")),
+            lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_v").cast("double")),
+              lit(0.0))).as("rrf"),
+          col("r_bm").isNotNull.as("in_bm25"),
+          col("r_v").isNotNull.as("in_vec"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+
     // LSH-bucketed ANN: sign-random-projection bucket (4 planes), candidates
     // = same bucket as the query, exact cosine rerank top-5.
     "q_ann_lsh" -> ((s, d) => {
@@ -1045,6 +1083,36 @@ object Similarity {
          |       FROM dir)
          |SELECT vid AS vec_id, nbr AS nbr_id, cos, rnk
          |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin,
+
+    // both rank lists recomputed from the shared CTEs; ROW_NUMBER with
+    // the same (score DESC, id ASC) tie rule, fused identically
+    "q_hybrid_rrf" ->
+      s"""WITH ${graft.queries.TextOps.bm25Ctes},
+         |$ivCte,
+         |qv AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+         |sc AS (SELECT iv.vec_id,
+         |         SUM(iv.v[i] * qv.qv[i]) AS dot,
+         |         SUM(iv.v[i] * iv.v[i]) AS nv,
+         |         SUM(qv.qv[i] * qv.qv[i]) AS nq
+         |       FROM iv, qv, idx WHERE iv.vec_id <> 0
+         |       GROUP BY iv.vec_id),
+         |vr AS (SELECT vec_id AS doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY
+         |           CAST(dot AS DOUBLE) / (SQRT(CAST(nv AS DOUBLE))
+         |             * SQRT(CAST(nq AS DOUBLE))) DESC, vec_id ASC) AS r_v
+         |       FROM sc),
+         |vtop AS (SELECT doc_id, r_v FROM vr WHERE r_v <= 20),
+         |br AS (SELECT doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm
+         |       FROM bscore),
+         |btop AS (SELECT doc_id, r_bm FROM br WHERE r_bm <= 20)
+         |SELECT COALESCE(btop.doc_id, vtop.doc_id) AS doc_id,
+         |  COALESCE(1.0 / (60.0 + CAST(r_bm AS DOUBLE)), 0.0)
+         |    + COALESCE(1.0 / (60.0 + CAST(r_v AS DOUBLE)), 0.0) AS rrf,
+         |  btop.doc_id IS NOT NULL AS in_bm25,
+         |  vtop.doc_id IS NOT NULL AS in_vec
+         |FROM btop FULL OUTER JOIN vtop ON btop.doc_id = vtop.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // the exact query's census over the multi-table candidate neighbors
     "q_label_noise_ann" ->

@@ -534,38 +534,10 @@ object TextOps {
     // the per-doc score is a fixed-order sum of per-term conditional
     // aggregates — no double-summation order nondeterminism, bit-identical
     // to the oracle. One shuffle keyed by doc_id.
-    "q_bm25" -> ((s, d) => {
-      val qTerms = Seq("hash", "join", "spark")
-      val docs = t(s, d, "documents")
-      val tok = docs.select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val qtf = tok.filter(col("term").isin(qTerms: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfx = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val stats = docs.agg(count(lit(1)).as("n"),
-        sum(size(split(trim(lower(col("text"))), "\\s+")).cast("long")).as("toks"))
-      val idf = log(lit(1.0) +
-        (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)))
-      val avgdl = col("toks").cast("double") / col("n").cast("double")
-      val contrib = idf * (col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
-      val scored = qtf.join(broadcast(dfx), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("term"), contrib.as("contrib"))
-      val aggCols = count(lit(1)).as("n_terms") +:
-        qTerms.map(q => sum(when(col("term") === q, col("contrib"))
-          .otherwise(lit(0.0))).as(s"s_$q"))
-      scored.groupBy(col("doc_id"))
-        .agg(aggCols.head, aggCols.tail: _*)
-        .select(col("doc_id"), col("n_terms"),
-          qTerms.map(q => col(s"s_$q")).reduce(_ + _).as("bm25"))
+    "q_bm25" -> ((s, d) =>
+      bm25Scored(s, d)
         .orderBy(col("bm25").desc, col("doc_id").asc)
-        .limit(20)
-    }),
+        .limit(20)),
 
     // Bigram language model: P(w2|w1) = c(w1,w2) / Σ_w c(w1,w), top 20
     // bigrams by count — the n-gram LM table behind perplexity-style
@@ -849,6 +821,71 @@ object TextOps {
        |  FROM $prev x, best$k b)""".stripMargin
   }.mkString(",\n")
 
+  /** Per-document BM25 score for the fixed query terms — the scored list
+    * shared by q_bm25 (top-20 report) and q_hybrid_rrf (rank-fusion
+    * input). Shape: token explode → (doc, term) tf aggregate restricted
+    * to the query terms, broadcast df/corpus stats, one doc-keyed final
+    * aggregate — never a corpus-wide score sort (consumers TakeOrdered
+    * their k). */
+  private[queries] val Bm25Terms = Seq("hash", "join", "spark")
+  private[queries] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Bm25Terms
+    val docs = t(s, d, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val qtf = tok.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfx = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(split(trim(lower(col("text"))), "\\s+")).cast("long")).as("toks"))
+    val idf = log(lit(1.0) +
+      (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val avgdl = col("toks").cast("double") / col("n").cast("double")
+    val contrib = idf * (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    val scored = qtf.join(broadcast(dfx), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), contrib.as("contrib"))
+    val aggCols = count(lit(1)).as("n_terms") +:
+      qTerms.map(q => sum(when(col("term") === q, col("contrib"))
+        .otherwise(lit(0.0))).as(s"s_$q"))
+    scored.groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("doc_id"), col("n_terms"),
+        qTerms.map(q => col(s"s_$q")).reduce(_ + _).as("bm25"))
+  }
+
+  /** DuckDB CTE chain ending in `bscore(doc_id, n_terms, bm25)` — the
+    * oracle twin of [[bm25Scored]], shared by the q_bm25 and
+    * q_hybrid_rrf oracles. */
+  private[queries] val bm25Ctes: String =
+    """tok AS (SELECT doc_id,
+      |         UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |       FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |        WHERE term IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+      |dfx AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n,
+      |            SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS toks
+      |          FROM documents),
+      |scored AS (SELECT qtf.doc_id, qtf.term,
+      |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |             / (CAST(df AS DOUBLE) + 0.5))
+      |    * (CAST(tf AS DOUBLE) * 2.2)
+      |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |         / (CAST(toks AS DOUBLE) / CAST(n AS DOUBLE)))) AS contrib
+      |  FROM qtf JOIN dfx USING (term) JOIN dl USING (doc_id), stats),
+      |bscore AS (SELECT doc_id, COUNT(*) AS n_terms,
+      |    SUM(CASE WHEN term = 'hash' THEN contrib ELSE 0.0 END)
+      |    + SUM(CASE WHEN term = 'join' THEN contrib ELSE 0.0 END)
+      |    + SUM(CASE WHEN term = 'spark' THEN contrib ELSE 0.0 END) AS bm25
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_quality_model" ->
       """WITH f AS (SELECT doc_id,
@@ -1059,29 +1096,9 @@ object TextOps {
         |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q_bm25" ->
-      """WITH tok AS (SELECT doc_id,
-        |         UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |       FROM documents),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-        |qtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-        |        WHERE term IN ('hash', 'join', 'spark') GROUP BY 1, 2),
-        |dfx AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
-        |stats AS (SELECT COUNT(*) AS n,
-        |            SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS toks
-        |          FROM documents),
-        |scored AS (SELECT qtf.doc_id, qtf.term,
-        |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-        |             / (CAST(df AS DOUBLE) + 0.5))
-        |    * (CAST(tf AS DOUBLE) * 2.2)
-        |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
-        |         / (CAST(toks AS DOUBLE) / CAST(n AS DOUBLE)))) AS contrib
-        |  FROM qtf JOIN dfx USING (term) JOIN dl USING (doc_id), stats)
-        |SELECT doc_id, COUNT(*) AS n_terms,
-        |  SUM(CASE WHEN term = 'hash' THEN contrib ELSE 0.0 END)
-        |  + SUM(CASE WHEN term = 'join' THEN contrib ELSE 0.0 END)
-        |  + SUM(CASE WHEN term = 'spark' THEN contrib ELSE 0.0 END) AS bm25
-        |FROM scored GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms, bm25 FROM bscore
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
