@@ -487,4 +487,45 @@ class PlanSpec extends SparkSpec {
     assert(read.contains("doc_id") && read.contains("text"), read)
     assert(!read.contains("lang") && !read.contains("source"), read)
   }
+
+  test("q_basket_lift pairs through the order key: no cartesian, scalar-only BNLJ") {
+    val p = plan("q_basket_lift")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the broadcast of the 1-row n_orders total
+    // (the repo's accepted scalar-cross idiom); the PAIR join itself is
+    // an equi-join keyed on the order
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("l_orderkey"), p)
+  }
+
+  test("q_pit_join plans an equi-join on the user with the interval as residual") {
+    val p = plan("q_pit_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("user_id"), p)
+  }
+
+  test("q_hybrid_rrf TakeOrders each retrieval path — no corpus-wide sort") {
+    val p = plan("q_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only nested-loop is the broadcast 1-row query vector; the
+    // fusion join is an equi full-outer on doc_id
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("q_join_card_est pushes both key-synopsis filters to the scans") {
+    val p = plan("q_join_card_est")
+    // the 1/16 sample predicates are plan-side filters feeding the
+    // synopsis join — both sides carry the md5-prefix cut
+    assert(p.contains("substring(md5("), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_pipeline_features is two user-keyed aggregates and a broadcast cutoff") {
+    val p = plan("q_pipeline_features")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
 }
