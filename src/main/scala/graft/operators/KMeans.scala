@@ -44,10 +44,17 @@ object KMeans {
   /** In-row argmax-cosine cluster assignment against literal centroids —
     * public so index builds (q_ann_ivf_trained) can assign with a TRAINED
     * model; expects columns `v` (scaled int vector) and `nv` (its norm²). */
-  def centArgmax(cents: Model): Column = {
+  def centArgmax(cents: Model): Column = centArgmaxOn(cents, "v", "nv")
+
+  /** [[centArgmax]] over arbitrary SQL fragments for the vector and its
+    * norm² — lets product quantization assign SUBSPACE slices in-row
+    * (`slice(v, off, len)` / its self-dot) without materializing per-sub
+    * columns. Still pure map work: literal centroids, no join, no
+    * shuffle. */
+  def centArgmaxOn(cents: Model, vSql: String, nvSql: String): Column = {
     val structs = cents.map { case (cid, s, cn) =>
-      s"named_struct('cos', cast(graft_long_dot(v, ${s.mkString("array(", "L, ", "L)")}) as double)" +
-        s" / (sqrt(cast(nv as double)) * sqrt(cast(${cn}L as double))), 'negcid', ${-cid}L)"
+      s"named_struct('cos', cast(graft_long_dot($vSql, ${s.mkString("array(", "L, ", "L)")}) as double)" +
+        s" / (sqrt(cast(($nvSql) as double)) * sqrt(cast(${cn}L as double))), 'negcid', ${-cid}L)"
     }.mkString("array_max(array(", ", ", "))")
     -expr(structs).getField("negcid")
   }

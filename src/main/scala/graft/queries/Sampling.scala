@@ -305,6 +305,69 @@ object Sampling {
         .orderBy(col("doc_id"))
     }),
 
+    // CURRICULUM ORDER — the training-loader's clean-first schedule:
+    // band documents by the fixed-weight quality logit (the
+    // q_quality_model scorer — highest-quality text streams first), then
+    // shuffle deterministically WITHIN each band (seeded md5 permutation,
+    // the q_epoch_shuffle primitive) so bands stream in random order while
+    // the band sequence stays monotone. `pos` is the global 1-based
+    // position via the same bucket-prefix two-pass rank as
+    // q_stratified_split: (band, hash-prefix) buckets are a PREFIX of the
+    // global sort key (band, h, doc_id), so bucket-major order IS global
+    // order — the only non-map work is a ≤ 4×256-row bucket aggregate and
+    // per-bucket local sorts. No task ever sorts the corpus.
+    "q_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = size(split(trim(col("text")), "\\s+")).cast("double")
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+        .cast("double")
+      val stop = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(?:the|and|of|to|is|a)\\b"), lit(0))).cast("double")
+      val chars = length(col("text")).cast("double")
+      val z = lit(-1.0) + lit(0.004) * words +
+        lit(8.0) * (stop / words) - lit(12.0) * (punct / chars)
+      // band cuts at the corpus logit quartiles (fixed literals, so the
+      // banding is a pure per-row function — re-ingest can't reshuffle it)
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), z.as("logit"))
+        .withColumn("band",
+          when(col("logit") >= -0.07, 0).when(col("logit") >= -0.23, 1)
+            .when(col("logit") >= -0.45, 2).otherwise(3))
+        .withColumn("h", md5(encode(
+          concat(lit("curr:"), col("doc_id").cast("string")), "UTF-8")))
+        .withColumn("hb", substring(col("h"), 1, 2))
+      val wIn = Window.partitionBy(col("band"), col("hb"))
+        .orderBy(col("h"), col("doc_id"))
+      val local = docs.withColumn("lr", row_number().over(wIn).cast("long"))
+      // tiny bucket aggregate (≤ 4×256 rows), reused by the prefix sum
+      val bcounts = docs.groupBy(col("band"), col("hb"))
+        .agg(count(lit(1)).as("btot"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wB = Window.orderBy(col("band"), col("hb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bcounts
+        .withColumn("bprev", coalesce(sum(col("btot")).over(wB), lit(0L)))
+        .select(col("band"), col("hb"), col("bprev"))
+      local.join(broadcast(bpre), Seq("band", "hb"))
+        .select(col("doc_id"), col("band"),
+          (col("bprev") + col("lr")).as("pos"))
+        .orderBy(col("pos"))
+    }),
+
+    // K-ANONYMITY AUDIT — the release-governance gate: any combination of
+    // quasi-identifiers (language, source, coarse length bucket) shared
+    // by fewer than k=5 documents could single out a contributor, so the
+    // census runs BEFORE the corpus ships. One map-side-combined
+    // aggregate over the corpus — the same plan at 100 TB; no distinct,
+    // no window, no join.
+    "q_kanon_audit" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .groupBy(col("lang"), col("source"),
+          (floor(col("n_chars") / 256) * 256).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5)
+        .orderBy(col("lang"), col("source"), col("len_bucket"))),
+
     // MIXTURE-BUDGET allocator — the data-mixing recipe executor: given
     // a global char budget (40% of the corpus) and per-source weights
     // (three tiers derived from the source id), compute each source's
@@ -491,6 +554,33 @@ object Sampling {
         |SELECT doc_id, CAST(epoch_pos AS BIGINT) AS epoch_pos,
         |  CAST((epoch_pos * 8) // n AS BIGINT) AS shard
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the oracle's single global window states the spec the bucket-prefix
+    // two-pass rank implements (same pattern as q_epoch_shuffle)
+    "q_curriculum" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS words,
+        |    CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|is|a)\b')) AS DOUBLE) AS stop,
+        |    CAST(length(text) AS DOUBLE) AS chars
+        |  FROM documents),
+        |z AS (SELECT doc_id,
+        |        -1.0 + 0.004 * words + 8.0 * (stop / words) - 12.0 * (punct / chars) AS logit
+        |      FROM f),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN logit >= -0.07 THEN 0 WHEN logit >= -0.23 THEN 1
+        |             WHEN logit >= -0.45 THEN 2 ELSE 3 END AS band,
+        |        md5('curr:' || CAST(doc_id AS VARCHAR)) AS h
+        |      FROM z)
+        |SELECT doc_id, CAST(band AS INTEGER) AS band,
+        |  ROW_NUMBER() OVER (ORDER BY band, h, doc_id) AS pos
+        |FROM b ORDER BY pos""".stripMargin,
+
+    "q_kanon_audit" ->
+      """SELECT lang, source,
+        |  CAST(FLOOR(n_chars / 256.0) AS BIGINT) * 256 AS len_bucket,
+        |  COUNT(*) AS n, (COUNT(*) < 5) AS at_risk
+        |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // identical integer quota arithmetic and hash-priority prefix rule;
     // the oracle's plain per-source window states the spec the

@@ -32,6 +32,13 @@ object Similarity {
   // literal arrays so each plane dot is one codegen'd LongDot pass.
   private val PLANES = 4
 
+  /** PQ geometry (q_ann_pq): 4 contiguous subspaces × 16 dims over the
+    * 64-dim embedding, k=4 codes per sub-codebook (seed subvectors of
+    * vec_ids 1..4, 2 Lloyd updates). */
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqK = 4L
+
   /** Per-dataset-dir embedding row counts for the q_knn_join scale guard —
     * one count job per dataset per JVM instead of one per query build.
     * A dataset dir is immutable in this engine's convention (testdata and
@@ -409,6 +416,69 @@ object Similarity {
         .limit(5)
     }),
 
+    // PRODUCT-QUANTIZATION ANN (ADC probe + exact rerank) — the third
+    // member of the index family (LSH buckets → IVF clusters → PQ codes),
+    // the compression leg a vector store ships alongside coarse IVF
+    // routing (Jégou et al., "Product Quantization for Nearest Neighbor
+    // Search"). The 64-dim vector splits into 4 contiguous 16-dim
+    // subspaces; each subspace trains its OWN k=4 spherical codebook via
+    // [[graft.operators.KMeans.model]] (subspace Lloyd loops are
+    // independent, so the per-sub calls ARE joint PQ training), and the
+    // SAME integer-sum identity that keeps IVF training oracle-exact
+    // (cos(v, s/n) = cos(v, s)) keeps every sub-codebook and the ADC
+    // table exact. Every vector then compresses to 4 codes — a pure
+    // in-row argmax against literal sub-centroids, no join/window/shuffle
+    // over the corpus — and the query scores candidates by Asymmetric
+    // Distance Computation: adc = Σ_m cos(q_m, c_m(code_m)), four lookups
+    // into a 16-entry table instead of a 64-dim dot per pair. Top-20 ADC
+    // candidates get an exact integer-cosine rerank to top-5. At 100 TB:
+    // codebooks are 4×4×16 longs of model state; codes are computed once
+    // at ingest and stored beside the parquet (4 bytes/vector — a 64×
+    // read reduction for the probe, which scans codes only); the probe
+    // plan is map + TakeOrdered, no corpus shuffle (PlanSpec pins it).
+    "q_ann_pq" -> ((s, d) => {
+      val iv = intVecs(s, d)
+      val models = (0 until PqM).map { m =>
+        val sub = iv.select(col("vec_id"),
+            expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("v"))
+          .withColumn("nv", normL("v"))
+        graft.operators.KMeans.model(sub, (1L to PqK).toSeq, updates = 2)
+      }
+      val q = iv.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nv").as("nq"))
+      val base = iv.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      val coded = (0 until PqM).foldLeft(base) { (df, m) =>
+        val vm = s"slice(v, ${m * PqSub + 1}, $PqSub)"
+        val qm = s"slice(qv, ${m * PqSub + 1}, $PqSub)"
+        // the ADC term of code c is the query sub-vector's exact cosine
+        // against c's integer SUM centroid; element_at picks the coded
+        // one (cids 1..k are the array positions)
+        val terms = models(m).sortBy(_._1).map { case (_, cs, cn) =>
+          val cLit = cs.mkString("array(", "L, ", "L)")
+          expr(s"cast(graft_long_dot($qm, $cLit) as double)" +
+            s" / (sqrt(cast(graft_long_dot($qm, $qm) as double))" +
+            s" * sqrt(cast(${cn}L as double)))")
+        }
+        df.withColumn(s"code$m",
+            graft.operators.KMeans.centArgmaxOn(models(m), vm,
+              s"graft_long_dot($vm, $vm)"))
+          .withColumn(s"term$m",
+            element_at(array(terms: _*), col(s"code$m").cast("int")))
+      }
+      // explicit left-to-right sum — the same IEEE addition order as the
+      // oracle's parenthesized CASE pivots, so the doubles are identical
+      val adc = (0 until PqM).map(m => col(s"term$m")).reduce(_ + _)
+      val top = coded
+        .select(col("vec_id") +: col("v") +: col("nv") +: col("nq") +:
+          col("qv") +: adc.as("adc") +:
+          (0 until PqM).map(m => col(s"code$m")): _*)
+        .orderBy(col("adc").desc, col("vec_id").asc).limit(20)
+      top.select(col("vec_id"), col("code0"), col("code1"), col("code2"),
+          col("code3"), col("adc"),
+          cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+    }),
+
     // The k-means TRAINING LOOP (3 Lloyd rounds) — q_kmeans_step iterated,
     // via [[graft.operators.KMeans]]: per-round assignment is in-row
     // literal-centroid argmax (pure map, no shuffle), the update is a
@@ -738,6 +808,50 @@ object Similarity {
       else asg
     }.mkString(",\n")
 
+  /** PQ oracle chain (q_ann_pq): per-(sub m, vec) sliced vectors → per-sub
+    * seed codebooks (subvectors of vec_ids 1..4) → 2 joint Lloyd updates
+    * with `m` as an extra grouping key (independent subspaces, so the
+    * joint replay equals the Spark side's per-sub KMeans.model calls) →
+    * encode assignment `pasg3` under the trained `pcent2`. kmRoundCtes
+    * with (m, cid) keys and a 16-dim index. */
+  private lazy val pqCtes = {
+    val rounds = (1 to 3).map { k =>
+      val prev = s"pcent${k - 1}"
+      val asg =
+        s"""pnrm$k AS (SELECT m, cid, SUM(s * s) AS cn FROM $prev GROUP BY 1, 2),
+           |pdot$k AS (SELECT sv.vec_id, sv.m, c.cid, SUM(sv.v[c.pos] * c.s) AS dot
+           |           FROM sv, $prev c WHERE c.m = sv.m GROUP BY 1, 2, 3),
+           |pasg$k AS (SELECT vec_id, m, cid AS code FROM (
+           |             SELECT d.vec_id, d.m, d.cid,
+           |               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m ORDER BY
+           |                 CAST(d.dot AS DOUBLE) / (SQRT(CAST(sn.nv AS DOUBLE)) * SQRT(CAST(n.cn AS DOUBLE))) DESC,
+           |                 d.cid ASC) AS rn
+           |             FROM pdot$k d JOIN sn ON sn.vec_id = d.vec_id AND sn.m = d.m
+           |                  JOIN pnrm$k n ON n.m = d.m AND n.cid = d.cid) z
+           |           WHERE rn = 1)""".stripMargin
+      val sums =
+        s"""psum$k AS (SELECT a.m, a.code AS cid, i AS pos, COUNT(*) AS n, SUM(sv.v[i]) AS s
+           |           FROM sv JOIN pasg$k a ON a.vec_id = sv.vec_id AND a.m = sv.m, idx16
+           |           GROUP BY 1, 2, 3)""".stripMargin
+      val cent =
+        s"""pns$k AS (SELECT m, cid, SUM(s * s) AS cn2 FROM psum$k GROUP BY 1, 2),
+           |pcent$k AS (SELECT c.m, c.cid, c.pos,
+           |              CASE WHEN n2.cn2 IS NULL OR n2.cn2 = 0 THEN c.s ELSE s.s END AS s
+           |            FROM $prev c
+           |            LEFT JOIN psum$k s ON s.m = c.m AND s.cid = c.cid AND s.pos = c.pos
+           |            LEFT JOIN pns$k n2 ON n2.m = c.m AND n2.cid = c.cid)""".stripMargin
+      if (k < 3) Seq(asg, sums, cent).mkString(",\n") else asg
+    }.mkString(",\n")
+    s"""$ivCte,
+       |idx16 AS (SELECT UNNEST(range(1, 17)) AS i),
+       |subm AS (SELECT UNNEST(range(0, 4)) AS m),
+       |sv AS (SELECT vec_id, m, list_slice(v, m*16 + 1, (m+1)*16) AS v FROM iv, subm),
+       |sn AS (SELECT vec_id, m, SUM(v[i] * v[i]) AS nv FROM sv, idx16 GROUP BY 1, 2),
+       |pcent0 AS (SELECT m, vec_id AS cid, i AS pos, v[i] AS s FROM sv, idx16
+       |           WHERE vec_id BETWEEN 1 AND 4),
+       |$rounds""".stripMargin
+  }
+
   /** Multi-table LSH oracle chain (q_knn_join_ann_multi /
     * q_embed_neardup_lsh_multi): per-(table, plane) sign dots → 4-bit
     * bucket per table → DISTINCT candidate pairs sharing any table's
@@ -955,6 +1069,39 @@ object Similarity {
          |  CAST(dot AS DOUBLE) / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
          |FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin
     },
+
+    "q_ann_pq" ->
+      s"""WITH $pqCtes,
+         |ccn AS (SELECT m, cid, SUM(s * s) AS cn FROM pcent2 GROUP BY 1, 2),
+         |qsv AS (SELECT m, v FROM sv WHERE vec_id = 0),
+         |qsn AS (SELECT m, nv FROM sn WHERE vec_id = 0),
+         |qdot AS (SELECT c.m, c.cid, SUM(q.v[c.pos] * c.s) AS dot
+         |         FROM pcent2 c JOIN qsv q ON q.m = c.m GROUP BY 1, 2),
+         |term AS (SELECT a.vec_id, a.m, a.code,
+         |           CAST(d.dot AS DOUBLE) / (SQRT(CAST(qs.nv AS DOUBLE)) * SQRT(CAST(cc.cn AS DOUBLE))) AS t
+         |         FROM pasg3 a
+         |         JOIN qdot d ON d.m = a.m AND d.cid = a.code
+         |         JOIN qsn qs ON qs.m = a.m
+         |         JOIN ccn cc ON cc.m = a.m AND cc.cid = a.code
+         |         WHERE a.vec_id <> 0),
+         |adct AS (SELECT vec_id,
+         |           MAX(CASE WHEN m = 0 THEN code END) AS code0,
+         |           MAX(CASE WHEN m = 1 THEN code END) AS code1,
+         |           MAX(CASE WHEN m = 2 THEN code END) AS code2,
+         |           MAX(CASE WHEN m = 3 THEN code END) AS code3,
+         |           ((MAX(CASE WHEN m = 0 THEN t END) + MAX(CASE WHEN m = 1 THEN t END))
+         |             + MAX(CASE WHEN m = 2 THEN t END)) + MAX(CASE WHEN m = 3 THEN t END) AS adc
+         |         FROM term GROUP BY vec_id),
+         |top AS (SELECT * FROM adct ORDER BY adc DESC, vec_id ASC LIMIT 20),
+         |qv AS (SELECT v FROM iv WHERE vec_id = 0),
+         |qn AS (SELECT SUM(v[i] * v[i]) AS nq FROM qv, idx),
+         |rr AS (SELECT t.vec_id, t.code0, t.code1, t.code2, t.code3, t.adc,
+         |         SUM(iv.v[i] * q.v[i]) AS dot, SUM(iv.v[i] * iv.v[i]) AS nv
+         |       FROM top t JOIN iv ON iv.vec_id = t.vec_id, qv q, idx
+         |       GROUP BY 1, 2, 3, 4, 5, 6)
+         |SELECT rr.vec_id, rr.code0, rr.code1, rr.code2, rr.code3, rr.adc,
+         |  CAST(rr.dot AS DOUBLE) / (SQRT(CAST(rr.nv AS DOUBLE)) * SQRT(CAST(qn.nq AS DOUBLE))) AS cos
+         |FROM rr, qn ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     "q_semantic_dedup" -> {
       // assignment = asg3 (the model after 2 updates, as in the trained

@@ -354,6 +354,34 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // DATASET CARD — the datasheet table a corpus release ships with
+    // (Gebru et al., "Datasheets for Datasets"): per-(lang, source)
+    // census with corpus shares. Two aggregates — one grouped (map-side
+    // combined), one global collapsed to a 1-row broadcast joined onto
+    // the group rows — no window, no distinct, no corpus shuffle beyond
+    // the |groups|-sized aggregate; the identical plan at 100 TB.
+    "q_dataset_card" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      val g = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("toks")).as("sum_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+      val tot = docs.agg(count(lit(1)).as("tot_docs"),
+        sum(col("n_chars")).as("tot_chars"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"), col("sum_chars"),
+          col("sum_tokens"), col("min_chars"), col("max_chars"),
+          (col("n_docs").cast("double") / col("tot_docs").cast("double"))
+            .as("doc_share"),
+          (col("sum_chars").cast("double") / col("tot_chars").cast("double"))
+            .as("char_share"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish regex segmentation.
     "q_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -1033,6 +1061,23 @@ object TextOps {
          |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
          |FROM rk WHERE rank <= $BpeEncodeTop ORDER BY rank""".stripMargin
     },
+
+    "q_dataset_card" ->
+      """WITH d AS (SELECT lang, source, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |g AS (SELECT lang, source, COUNT(*) AS n_docs,
+        |        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |        CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+        |        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |      FROM d GROUP BY 1, 2),
+        |t AS (SELECT COUNT(*) AS tot_docs, CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+        |      FROM d)
+        |SELECT g.lang, g.source, g.n_docs, g.sum_chars, g.sum_tokens,
+        |  g.min_chars, g.max_chars,
+        |  CAST(g.n_docs AS DOUBLE) / CAST(t.tot_docs AS DOUBLE) AS doc_share,
+        |  CAST(g.sum_chars AS DOUBLE) / CAST(t.tot_chars AS DOUBLE) AS char_share
+        |FROM g, t ORDER BY g.lang, g.source""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -257,6 +257,44 @@ class PlanSpec extends SparkSpec {
       sp.toString.contains("BroadcastExchange"), sp.toString)
   }
 
+  test("q_curriculum ranks in (band, hash) buckets; global windows see only the bucket cache") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_curriculum")(spark, sf)
+      .queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      s"no bucket-partitioned rank window:\n$sp")
+    // the only single-partition window is the prefix sum over the
+    // persisted ≤4×256-row (band, hb) aggregate — never a corpus row
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val cols = w.child.output.map(_.name).toSet
+      assert(cols == Set("band", "hb", "btot"),
+        s"global window consumes non-bucket columns $cols:\n$sp")
+    }
+    assert(sp.toString.contains("BroadcastHashJoin") ||
+      sp.toString.contains("BroadcastExchange"), sp.toString)
+  }
+
+  test("q_ann_pq encodes and scores in-row: no window, no corpus shuffle, top-k collapsed") {
+    val p = plan("q_ann_pq")
+    // codes + ADC terms are literal-centroid in-row expressions on the
+    // scan; a Window or hashpartitioning Exchange here would be the
+    // corpus-wide shuffle PQ exists to avoid
+    assert(!p.contains("Window"), p)
+    assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning")), p)
+    assert(p.contains("graft_long_dot"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_kanon_audit and q_dataset_card are partial aggregates — no window, no distinct") {
+    Seq("q_kanon_audit", "q_dataset_card").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: $p")
+      assert(p.contains("partial_count") || p.contains("partial count"),
+        s"$q lost map-side combine: $p")
+    }
+  }
+
   test("q_doc_chunks is shuffle-free map work over a pruned scan") {
     val p = plan("q_doc_chunks")
     assert(!p.contains("Exchange hashpartitioning"), p)

@@ -142,6 +142,55 @@ class QueriesSpec extends SparkSpec {
     assert(ndRecall >= 0.8, f"multi-table near-dup recall $ndRecall%.2f below the 0.8 bar")
   }
 
+  test("q_ann_pq: ADC top-5 after rerank recalls the exact cosine top-5 on clustered vectors") {
+    import spark.implicits._
+    // same clustered-corpus premise as the multi-table LSH bar: 8
+    // well-separated centroids, 30 members each — the regime where a
+    // 4×16-dim / k=4 codebook has signal to compress
+    val dir = tmpDir("graft-pq")
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(8, 64)(rnd.nextGaussian())
+    val rows = (0 until 240).map { i =>
+      val c = cents(i % 8)
+      (i.toLong, c.map(x => (x + 0.35 * rnd.nextGaussian()).toFloat).toSeq, i % 8)
+    }
+    rows.toDF("vec_id", "embedding", "label").repartition(4)
+      .write.parquet(s"$dir/embeddings.parquet")
+    // brute-force exact top-5 for query vec 0, on the SAME ×1e6 HALF_UP
+    // integer scaling the queries use
+    def ivec(e: Seq[Float]): Array[Long] = e.map(x =>
+      BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+    val vecs = rows.map { case (id, e, _) => id -> ivec(e) }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val q = vecs(0L)
+    val exactTop5 = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+
+    val pq = SparkEntry.queries("q_ann_pq")(spark, dir).collect()
+    assert(pq.length == 5, s"expected 5 rows, got ${pq.length}")
+    pq.foreach { r =>
+      (0 to 3).foreach { m =>
+        val code = r.getAs[Long](s"code$m")
+        assert(code >= 1L && code <= 4L, s"code$m out of range: $code")
+      }
+      // rerank column is the true cosine — check against brute force
+      val id = r.getAs[Long]("vec_id")
+      assert(math.abs(r.getAs[Double]("cos") - cos(q, vecs(id))) < 1e-12)
+    }
+    val got = pq.map(_.getAs[Long]("vec_id")).toSet
+    val recall = got.intersect(exactTop5).size / 5.0
+    info(f"PQ (4×16 dims, k=4, top-20 ADC rerank) top-5 recall: $recall%.2f")
+    // deterministic fixture (fixed seed) — 0.8 is the measured value, not
+    // a hopeful floor
+    assert(recall >= 0.8, f"PQ recall $recall%.2f below the measured 0.8")
+  }
+
   test("q_label_noise flags exactly the planted label flips on clustered vectors") {
     import spark.implicits._
     // 6 tight, well-separated clusters, labels = cluster id — then five

@@ -24,7 +24,8 @@ class EmptyInputSpec extends SparkSpec {
         "q_inverted_index", "q_quality_quantile",
         "q_stratified_split", "q_dedup_canonical",
         "q_split_leakfree", "q_epoch_shuffle",
-        "q_token_budget_mix", "q_dedup_cross_source").foreach { q =>
+        "q_token_budget_mix", "q_dedup_cross_source",
+        "q_curriculum", "q_kanon_audit", "q_dataset_card").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
@@ -54,5 +55,10 @@ class EmptyInputSpec extends SparkSpec {
       SparkEntry.queries("q_kmeans_train")(spark, dir)
     }
     assert(e.getMessage.contains("seed ids"))
+    // PQ sub-codebooks train through the same seed gate
+    val e2 = intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_ann_pq")(spark, dir)
+    }
+    assert(e2.getMessage.contains("seed ids"))
   }
 }

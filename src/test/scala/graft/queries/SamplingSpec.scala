@@ -137,4 +137,29 @@ class SamplingSpec extends SparkSpec {
       .map("%02x".format(_)).mkString, id)).sorted.map(_._2)
     assert(other.toSeq != ids.map(id => (h(id), id)).sorted.map(_._2).toSeq)
   }
+
+  test("q_curriculum: pos is a permutation, bands monotone along it, in-band order is the seeded hash") {
+    val got = graft.SparkEntry.queries("q_curriculum")(spark, sf)
+      .as[(Long, Int, Long)].collect().sortBy(_._3)
+    val n = Tables.load(spark, sf, "documents").count()
+    assert(got.length == n)
+    // pos is exactly 1..n
+    assert(got.map(_._3).toSeq == (1L to n).toSeq)
+    // bands never decrease along the curriculum
+    got.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(0)._2 <= w(1)._2, s"band order broken: ${w(0)._2} then ${w(1)._2}")
+    }
+    // within a band, order is the seeded md5 permutation (shuffled, not id
+    // order): verify against a brute-force sort
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = mdig.digest(s"curr:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    got.groupBy(_._2).foreach { case (band, rows) =>
+      val inPos = rows.sortBy(_._3).map(_._1).toSeq
+      val inHash = rows.map(r => (h(r._1), r._1)).sorted.map(_._2).toSeq
+      assert(inPos == inHash, s"band $band not in seeded-hash order")
+    }
+    // the banding has signal at sf0.001: more than one band occupied
+    assert(got.map(_._2).distinct.length > 1)
+  }
 }
