@@ -354,6 +354,28 @@ object Sampling {
         .orderBy(col("pos"))
     }),
 
+    // SEEDED DP RELEASE — differentially-private noisy counts for the
+    // public data card: per-language doc counts + Laplace(b = 1/ε, ε = 1)
+    // noise, the mechanism for unit-sensitivity counting queries. The
+    // draw is SEEDED — inverse-CDF over the md5-uniform of the group key
+    // — so the release is reproducible run-to-run and oracle-checkable; a
+    // production release swaps in fresh randomness, keeping the
+    // sensitivity accounting and the plan (|langs|-sized aggregate +
+    // pure-map noise — nothing touches the corpus twice) unchanged.
+    "q_dp_counts" -> ((s, d) => {
+      val u = conv(substring(md5(encode(
+        concat(lit("dp:"), col("lang")), "UTF-8")), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      val c = u - lit(0.5)
+      val noise = when(c < 0, lit(1.0)).otherwise(lit(-1.0)) *
+        log(lit(1.0) - lit(2.0) * abs(c))
+      Tables.load(s, d, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+        .withColumn("noise", noise)
+        .withColumn("n_dp", col("n_true").cast("double") + col("noise"))
+        .orderBy(col("lang"))
+    }),
+
     // K-ANONYMITY AUDIT — the release-governance gate: any combination of
     // quasi-identifiers (language, source, coarse length bucket) shared
     // by fewer than k=5 documents could single out a contributor, so the
@@ -575,6 +597,18 @@ object Sampling {
         |SELECT doc_id, CAST(band AS INTEGER) AS band,
         |  ROW_NUMBER() OVER (ORDER BY band, h, doc_id) AS pos
         |FROM b ORDER BY pos""".stripMargin,
+
+    "q_dp_counts" ->
+      s"""WITH g AS (SELECT lang, COUNT(*) AS n_true FROM documents GROUP BY 1),
+         |u AS (SELECT lang, n_true,
+         |        (${sqlBucketN("'dp:' || lang", 8)}) / 4294967296.0 - 0.5 AS c
+         |      FROM g),
+         |n AS (SELECT lang, n_true,
+         |        (CASE WHEN c < 0 THEN 1.0 ELSE -1.0 END) * ln(1.0 - 2.0 * abs(c)) AS noise
+         |      FROM u)
+         |SELECT lang, n_true, noise,
+         |  CAST(n_true AS DOUBLE) + noise AS n_dp
+         |FROM n ORDER BY lang""".stripMargin,
 
     "q_kanon_audit" ->
       """SELECT lang, source,

@@ -705,6 +705,35 @@ object Similarity {
     // posexplode + one map-side-combined shuffle on (label, dim): the
     // reduced state is |labels|·64·2 cells regardless of corpus size, and
     // at 100 TB the same plan runs with DECIMAL(38,0) component sums.
+    // EMBEDDING-INGEST QA PANEL — the gate a vector feed passes before it
+    // joins the index: per label, the vector count, dimensionality extrema
+    // (a ragged feed is a broken upstream encoder), zero vectors (no
+    // direction — cosine poison), non-finite components, and the exact
+    // integer norm² envelope (the scale-drift alarm). One
+    // map-side-combined aggregate over the corpus; the norm² sum rides
+    // DECIMAL(38,0) internally and surfaces as a double mean, so there is
+    // no int64 overflow at any corpus size and no wide-decimal output
+    // representation (the q_table_checksum lesson).
+    "q_vector_quality" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val iv = t(s, d, "embeddings")
+        .select(col("label"), size(col("embedding")).as("dim"),
+          expr("exists(embedding, x -> isnan(x)" +
+            " or cast(x as double) = cast('Infinity' as double)" +
+            " or cast(x as double) = cast('-Infinity' as double))").as("bad"),
+          intVec("embedding").as("v"))
+        .withColumn("nv", normL("v"))
+      iv.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+          sum(when(col("nv") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+          min(col("nv")).as("min_norm2"), max(col("nv")).as("max_norm2"),
+          (sum(col("nv").cast(dec)).cast("double") /
+            count(lit(1)).cast("double")).as("avg_norm2"))
+        .orderBy(col("label"))
+    }),
+
     "q_embed_drift" -> ((s, d) => {
       val iv = t(s, d, "embeddings")
         .select(col("label"), (col("vec_id") % 2).as("half"),
@@ -1307,6 +1336,22 @@ object Similarity {
     // HUGEINT products mirror Spark's DECIMAL(18,0) promotion: both are
     // exact, and the single double division at the end sees identical
     // integers on both engines.
+    "q_vector_quality" ->
+      s"""WITH iv AS (SELECT label, len(embedding) AS dim,
+         |    len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 AS bad,
+         |    ${sqlIntVec("embedding")} AS v
+         |  FROM embeddings),
+         |nv AS (SELECT label, dim, bad,
+         |         list_aggregate(list_transform(v, x -> x * x), 'sum') AS nv
+         |       FROM iv)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+         |  CAST(SUM(CASE WHEN nv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+         |  CAST(MIN(nv) AS BIGINT) AS min_norm2, CAST(MAX(nv) AS BIGINT) AS max_norm2,
+         |  CAST(SUM(nv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_norm2
+         |FROM nv GROUP BY label ORDER BY label""".stripMargin,
+
     "q_embed_drift" ->
       s"""WITH iv AS (SELECT label, vec_id % 2 AS half,
          |             ${sqlIntVec("embedding")} AS v FROM embeddings),

@@ -550,6 +550,25 @@ object Sources {
         .orderBy(col("day"))
     }),
 
+    // FEED-FRESHNESS audit — "which event feeds went quiet": per event
+    // type, the newest event's lag behind the corpus high-water mark,
+    // flagged stale past 24 h. The anchor is data-derived (the global max
+    // timestamp), so the audit is deterministic and backfill-safe; the
+    // high-water mark is a 1-row broadcast onto the |types|-sized
+    // aggregate — one corpus pass, no window.
+    "q_freshness" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val per = ev.groupBy(col("event_type"))
+        .agg(max(col("us")).as("max_us"), count(lit(1)).as("n_events"))
+      val hw = ev.agg(max(col("us")).as("hw_us"))
+      per.crossJoin(broadcast(hw))
+        .select(col("event_type"), col("n_events"),
+          expr("(hw_us - max_us) div 3600000000").as("lag_hours"))
+        .withColumn("stale", col("lag_hours") >= 24L)
+        .orderBy(col("event_type"))
+    }),
+
     // DAU/WAU stickiness — the product-analytics ratio: per day, the
     // day's distinct users over the trailing week's distinct users.
     // Exact twin of the sliding-HLL machinery: the distinct (day, user)
@@ -1326,6 +1345,16 @@ object Sources {
          |    PARTITION BY event_type ORDER BY win_start
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
          |FROM grid ORDER BY 1, 2""".stripMargin,
+
+    "q_freshness" ->
+      """WITH per AS (SELECT event_type, MAX(epoch_us(ts)) AS max_us,
+        |         COUNT(*) AS n_events
+        |       FROM events GROUP BY 1),
+        |hw AS (SELECT MAX(epoch_us(ts)) AS hw_us FROM events)
+        |SELECT event_type, n_events,
+        |  CAST((hw_us - max_us) // 3600000000 AS BIGINT) AS lag_hours,
+        |  ((hw_us - max_us) // 3600000000 >= 24) AS stale
+        |FROM per, hw ORDER BY event_type""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
     "q_ingest_completeness" ->

@@ -286,8 +286,9 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q_kanon_audit and q_dataset_card are partial aggregates — no window, no distinct") {
-    Seq("q_kanon_audit", "q_dataset_card").foreach { q =>
+  test("governance/QA panels are partial aggregates — no window, no distinct") {
+    Seq("q_kanon_audit", "q_dataset_card", "q_vector_quality",
+        "q_freshness", "q_dp_counts").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"$q: $p")
       assert(p.contains("partial_count") || p.contains("partial count"),

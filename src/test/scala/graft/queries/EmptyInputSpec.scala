@@ -25,7 +25,8 @@ class EmptyInputSpec extends SparkSpec {
         "q_stratified_split", "q_dedup_canonical",
         "q_split_leakfree", "q_epoch_shuffle",
         "q_token_budget_mix", "q_dedup_cross_source",
-        "q_curriculum", "q_kanon_audit", "q_dataset_card").foreach { q =>
+        "q_curriculum", "q_kanon_audit", "q_dataset_card",
+        "q_dp_counts").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
@@ -34,7 +35,7 @@ class EmptyInputSpec extends SparkSpec {
     val dir = tmpDir("empty-ev")
     Tables.load(spark, sf, "events").limit(0)
       .write.parquet(s"$dir/events.parquet")
-    Seq("q_heavy_hitters", "q_sliding_distinct").foreach { q =>
+    Seq("q_heavy_hitters", "q_sliding_distinct", "q_freshness").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
@@ -45,6 +46,7 @@ class EmptyInputSpec extends SparkSpec {
       .write.parquet(s"$dir/embeddings.parquet")
     assert(SparkEntry.queries("q_embed_quantize")(spark, dir).collect().isEmpty)
     assert(SparkEntry.queries("q_embed_drift")(spark, dir).collect().isEmpty)
+    assert(SparkEntry.queries("q_vector_quality")(spark, dir).collect().isEmpty)
   }
 
   test("k-means refuses to train without seed vectors (loud, not empty)") {
