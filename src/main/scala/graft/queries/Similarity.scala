@@ -39,6 +39,45 @@ object Similarity {
   private val PqSub = 16
   private val PqK = 4L
 
+  /** The per-subspace PQ codebooks (q_ann_pq / q_ann_ivfpq training):
+    * subspace m's k-means over `slice(v, m·16+1, 16)`, seeds = the
+    * subvectors of vec_ids 1..k, 2 Lloyd updates — independent subspaces,
+    * so the per-sub calls ARE joint PQ training. */
+  private def pqModels(iv: DataFrame): Seq[graft.operators.KMeans.Model] =
+    (0 until PqM).map { m =>
+      val sub = iv.select(col("vec_id"),
+          expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("v"))
+        .withColumn("nv", normL("v"))
+      graft.operators.KMeans.model(sub, (1L to PqK).toSeq, updates = 2)
+    }
+
+  /** base (columns `v`, `qv`) + `code0..3` (in-row argmax against literal
+    * sub-centroids) + `adc` (Σ_m of the query sub-vector's exact cosine
+    * against the coded integer-SUM centroid — element_at picks the coded
+    * one, cids 1..k are the array positions). The sum is an explicit
+    * left-to-right reduce — the same IEEE addition order as the oracle's
+    * parenthesized CASE pivots, so the doubles are identical. */
+  private def pqScored(base: DataFrame,
+                       models: Seq[graft.operators.KMeans.Model]): DataFrame = {
+    val coded = (0 until PqM).foldLeft(base) { (df, m) =>
+      val vm = s"slice(v, ${m * PqSub + 1}, $PqSub)"
+      val qm = s"slice(qv, ${m * PqSub + 1}, $PqSub)"
+      val terms = models(m).sortBy(_._1).map { case (_, cs, cn) =>
+        val cLit = cs.mkString("array(", "L, ", "L)")
+        expr(s"cast(graft_long_dot($qm, $cLit) as double)" +
+          s" / (sqrt(cast(graft_long_dot($qm, $qm) as double))" +
+          s" * sqrt(cast(${cn}L as double)))")
+      }
+      df.withColumn(s"code$m",
+          graft.operators.KMeans.centArgmaxOn(models(m), vm,
+            s"graft_long_dot($vm, $vm)"))
+        .withColumn(s"term$m",
+          element_at(array(terms: _*), col(s"code$m").cast("int")))
+    }
+    coded.withColumn("adc",
+      (0 until PqM).map(m => col(s"term$m")).reduce(_ + _))
+  }
+
   /** Per-dataset-dir embedding row counts for the q_knn_join scale guard —
     * one count job per dataset per JVM instead of one per query build.
     * A dataset dir is immutable in this engine's convention (testdata and
@@ -438,43 +477,51 @@ object Similarity {
     // plan is map + TakeOrdered, no corpus shuffle (PlanSpec pins it).
     "q_ann_pq" -> ((s, d) => {
       val iv = intVecs(s, d)
-      val models = (0 until PqM).map { m =>
-        val sub = iv.select(col("vec_id"),
-            expr(s"slice(v, ${m * PqSub + 1}, $PqSub)").as("v"))
-          .withColumn("nv", normL("v"))
-        graft.operators.KMeans.model(sub, (1L to PqK).toSeq, updates = 2)
-      }
       val q = iv.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("nv").as("nq"))
-      val base = iv.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-      val coded = (0 until PqM).foldLeft(base) { (df, m) =>
-        val vm = s"slice(v, ${m * PqSub + 1}, $PqSub)"
-        val qm = s"slice(qv, ${m * PqSub + 1}, $PqSub)"
-        // the ADC term of code c is the query sub-vector's exact cosine
-        // against c's integer SUM centroid; element_at picks the coded
-        // one (cids 1..k are the array positions)
-        val terms = models(m).sortBy(_._1).map { case (_, cs, cn) =>
-          val cLit = cs.mkString("array(", "L, ", "L)")
-          expr(s"cast(graft_long_dot($qm, $cLit) as double)" +
-            s" / (sqrt(cast(graft_long_dot($qm, $qm) as double))" +
-            s" * sqrt(cast(${cn}L as double)))")
-        }
-        df.withColumn(s"code$m",
-            graft.operators.KMeans.centArgmaxOn(models(m), vm,
-              s"graft_long_dot($vm, $vm)"))
-          .withColumn(s"term$m",
-            element_at(array(terms: _*), col(s"code$m").cast("int")))
-      }
-      // explicit left-to-right sum — the same IEEE addition order as the
-      // oracle's parenthesized CASE pivots, so the doubles are identical
-      val adc = (0 until PqM).map(m => col(s"term$m")).reduce(_ + _)
+      val coded = pqScored(iv.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q)), pqModels(iv))
       val top = coded
         .select(col("vec_id") +: col("v") +: col("nv") +: col("nq") +:
-          col("qv") +: adc.as("adc") +:
+          col("qv") +: col("adc") +:
           (0 until PqM).map(m => col(s"code$m")): _*)
         .orderBy(col("adc").desc, col("vec_id").asc).limit(20)
       top.select(col("vec_id"), col("code0"), col("code1"), col("code2"),
           col("code3"), col("adc"),
+          cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+    }),
+
+    // IVF-PQ — the two stages composed the way a production vector index
+    // ships them (FAISS's IndexIVFPQ): the TRAINED coarse quantizer
+    // routes the query to ONE cluster (q_ann_ivf_trained's assignment —
+    // at scale `cluster` is the partition key, so the probe reads one
+    // cluster's files), then candidates inside it are scored by the PQ
+    // ADC table (4 code lookups, never a full-vector dot) and only the
+    // ADC top-10 pay the exact integer-cosine rerank. Both models train
+    // through the same integer-sum Lloyd identity, so the whole composed
+    // index — router, codebooks, ADC, rerank — is oracle-exact. Probe
+    // plan: map (in-row assignment + codes + ADC) → TakeOrdered; no
+    // window, no corpus shuffle (PlanSpec pins it).
+    "q_ann_ivfpq" -> ((s, d) => {
+      val iv = intVecs(s, d)
+      val coarse = graft.operators.KMeans.model(iv, (1L to 8L).toSeq, updates = 2)
+      val assigned = iv
+        .withColumn("cluster", graft.operators.KMeans.centArgmax(coarse))
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nv").as("nq"),
+          col("cluster").as("qcluster"))
+      val cand = assigned.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .filter(col("cluster") === col("qcluster"))
+      val coded = pqScored(cand, pqModels(iv))
+      val top = coded
+        .select(col("vec_id") +: col("cluster") +: col("v") +: col("nv") +:
+          col("nq") +: col("qv") +: col("adc") +:
+          (0 until PqM).map(m => col(s"code$m")): _*)
+        .orderBy(col("adc").desc, col("vec_id").asc).limit(10)
+      top.select(col("vec_id"), col("cluster"), col("code0"), col("code1"),
+          col("code2"), col("code3"), col("adc"),
           cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
     }),
