@@ -93,6 +93,17 @@ object Num {
     * second sort column stays within one partition's sort. */
   def rangeBucket(c: Column): Column = {
     val istr = floor(c).cast(DecimalType(38, 0)).cast("string")
-    concat(lpad(length(istr).cast("string"), 2, "0"), substring(istr, 1, 2))
+    val bucket = concat(lpad(length(istr).cast("string"), 2, "0"), substring(istr, 1, 2))
+    // Contract enforcement (documented above, previously silent): a
+    // NEGATIVE input would bucket in INVERTED order — corrupt ranks with
+    // no error — so it fails loudly; an input so large the DECIMAL(38,0)
+    // cast overflows to null (>= 1e38, non-ANSI) would silently VANISH
+    // from the inner rb-equi-joins downstream, so it maps to a sentinel
+    // bucket that sorts after every real one ('~' > any digit; real
+    // buckets' length prefix is <= "38"). NULL in, NULL out, as before.
+    when(c < 0, raise_error(concat(
+        lit("Num.rangeBucket: negative input "), c.cast("string"))).cast("string"))
+      .when(c.isNotNull && istr.isNull, lit("99~"))
+      .otherwise(bucket)
   }
 }

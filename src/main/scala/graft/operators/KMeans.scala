@@ -59,6 +59,22 @@ object KMeans {
     -expr(structs).getField("negcid")
   }
 
+  /** The n nearest centroids (cos DESC, ties to smallest cid) as an
+    * in-row ARRAY of cids — the multi-probe router of an IVF index
+    * (FAISS `nprobe`): probing the top-n coarse cells trades n× candidate
+    * work for the recall lost when the true neighbor sits just across a
+    * Voronoi boundary. Same literal-centroid pure-map shape as
+    * [[centArgmax]] (sort a k-element in-row array, k = model size — no
+    * join, no shuffle); `centTopN(cents, 1)` ≡ `array(centArgmax(cents))`
+    * by the shared (cos DESC, cid ASC) order. */
+  def centTopN(cents: Model, n: Int): Column = {
+    val structs = cents.map { case (cid, s, cn) =>
+      s"named_struct('negcos', -(cast(graft_long_dot(v, ${s.mkString("array(", "L, ", "L)")}) as double)" +
+        s" / (sqrt(cast(nv as double)) * sqrt(cast(${cn}L as double)))), 'cid', ${cid}L)"
+    }.mkString("array(", ", ", ")")
+    expr(s"transform(slice(array_sort($structs), 1, $n), x -> x.cid)")
+  }
+
   /** vecs + `cluster` column (max-cos centroid, ties to smallest cid). */
   private def assign(vecs: DataFrame, cents: Model): DataFrame =
     vecs.withColumn("cluster", centArgmax(cents))

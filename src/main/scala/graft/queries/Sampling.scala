@@ -363,9 +363,13 @@ object Sampling {
     // sensitivity accounting and the plan (|langs|-sized aggregate +
     // pure-map noise — nothing touches the corpus twice) unchanged.
     "q_dp_counts" -> ((s, d) => {
-      val u = conv(substring(md5(encode(
+      // (h + 0.5) / 2^32: the half-step keeps the uniform strictly inside
+      // (0, 1), so |c| < 0.5 and the inverse-CDF log argument is never 0 —
+      // an exact-zero hash (probability 2^-32 per group key) would
+      // otherwise emit n_dp = -Infinity on both engines
+      val u = (conv(substring(md5(encode(
         concat(lit("dp:"), col("lang")), "UTF-8")), 1, 8), 16, 10)
-        .cast("long").cast("double") / lit(4294967296.0)
+        .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
       val c = u - lit(0.5)
       val noise = when(c < 0, lit(1.0)).otherwise(lit(-1.0)) *
         log(lit(1.0) - lit(2.0) * abs(c))
@@ -601,7 +605,7 @@ object Sampling {
     "q_dp_counts" ->
       s"""WITH g AS (SELECT lang, COUNT(*) AS n_true FROM documents GROUP BY 1),
          |u AS (SELECT lang, n_true,
-         |        (${sqlBucketN("'dp:' || lang", 8)}) / 4294967296.0 - 0.5 AS c
+         |        ((${sqlBucketN("'dp:' || lang", 8)}) + 0.5) / 4294967296.0 - 0.5 AS c
          |      FROM g),
          |n AS (SELECT lang, n_true,
          |        (CASE WHEN c < 0 THEN 1.0 ELSE -1.0 END) * ln(1.0 - 2.0 * abs(c)) AS noise

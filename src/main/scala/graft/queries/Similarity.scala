@@ -494,32 +494,41 @@ object Similarity {
 
     // IVF-PQ — the two stages composed the way a production vector index
     // ships them (FAISS's IndexIVFPQ): the TRAINED coarse quantizer
-    // routes the query to ONE cluster (q_ann_ivf_trained's assignment —
-    // at scale `cluster` is the partition key, so the probe reads one
-    // cluster's files), then candidates inside it are scored by the PQ
+    // routes the query to its nearest `nprobe` clusters (default 1 — the
+    // registered/oracled configuration; `graft.ann.ivfpq.nprobe` raises
+    // it, the standard FAISS recall/cost knob, measured in QueriesSpec —
+    // at scale `cluster` is the partition key, so the probe reads nprobe
+    // clusters' files), then candidates inside them are scored by the PQ
     // ADC table (4 code lookups, never a full-vector dot) and only the
     // ADC top-10 pay the exact integer-cosine rerank. Both models train
     // through the same integer-sum Lloyd identity, so the whole composed
-    // index — router, codebooks, ADC, rerank — is oracle-exact. Probe
-    // plan: map (in-row assignment + codes + ADC) → TakeOrdered; no
-    // window, no corpus shuffle (PlanSpec pins it).
+    // index — router, codebooks, ADC, rerank — is oracle-exact at
+    // nprobe=1 (the chained-CTE oracle replays coarse training, routing,
+    // PQ training, ADC, and rerank). Probe plan: map (in-row assignment +
+    // codes + ADC) → TakeOrdered; no window, no corpus shuffle (PlanSpec
+    // pins it).
     "q_ann_ivfpq" -> ((s, d) => {
+      val nprobe = s.conf.get("graft.ann.ivfpq.nprobe", "1").toInt
       val iv = intVecs(s, d)
       val coarse = graft.operators.KMeans.model(iv, (1L to 8L).toSeq, updates = 2)
       val assigned = iv
         .withColumn("cluster", graft.operators.KMeans.centArgmax(coarse))
       val q = assigned.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("nv").as("nq"),
-          col("cluster").as("qcluster"))
+        .withColumn("qclusters", graft.operators.KMeans.centTopN(coarse, nprobe))
+        .select(col("v").as("qv"), col("nv").as("nq"), col("qclusters"))
       val cand = assigned.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .filter(col("cluster") === col("qcluster"))
+        .filter(array_contains(col("qclusters"), col("cluster")))
       val coded = pqScored(cand, pqModels(iv))
+      // rerank budget scales with the probe width (FAISS-style): nprobe
+      // cells yield nprobe× candidates, so a FIXED ADC cut would dilute
+      // recall as nprobe grows instead of trading cost for it. nprobe=1
+      // keeps the oracled top-10.
       val top = coded
         .select(col("vec_id") +: col("cluster") +: col("v") +: col("nv") +:
           col("nq") +: col("qv") +: col("adc") +:
           (0 until PqM).map(m => col(s"code$m")): _*)
-        .orderBy(col("adc").desc, col("vec_id").asc).limit(10)
+        .orderBy(col("adc").desc, col("vec_id").asc).limit(10 * nprobe)
       top.select(col("vec_id"), col("cluster"), col("code0"), col("code1"),
           col("code2"), col("code3"), col("adc"),
           cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
@@ -1176,6 +1185,50 @@ object Similarity {
          |       FROM top t JOIN iv ON iv.vec_id = t.vec_id, qv q, idx
          |       GROUP BY 1, 2, 3, 4, 5, 6)
          |SELECT rr.vec_id, rr.code0, rr.code1, rr.code2, rr.code3, rr.adc,
+         |  CAST(rr.dot AS DOUBLE) / (SQRT(CAST(rr.nv AS DOUBLE)) * SQRT(CAST(qn.nq AS DOUBLE))) AS cos
+         |FROM rr, qn ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    // the two verified halves CHAINED: the coarse-router CTEs are
+    // q_ann_ivf_trained's verbatim (kmPrefix + 3 rounds → asg3 = the
+    // trained assignment, query routed at nprobe=1), the codebook/ADC/
+    // rerank CTEs are q_ann_pq's verbatim (pqCtes → pasg3 codes under
+    // pcent2) — composition only restricts the ADC scoring to the query
+    // cluster's members and carries `cluster` through to the output.
+    "q_ann_ivfpq" ->
+      s"""WITH $pqCtes,
+         |$kmPrefix,
+         |${kmRoundCtes(3, sumsAtLast = false)},
+         |qc AS (SELECT cluster AS qcl FROM asg3 WHERE vec_id = 0),
+         |cand AS (SELECT a.vec_id, a.cluster FROM asg3 a, qc
+         |         WHERE a.cluster = qc.qcl AND a.vec_id <> 0),
+         |ccn AS (SELECT m, cid, SUM(s * s) AS cn FROM pcent2 GROUP BY 1, 2),
+         |qsv AS (SELECT m, v FROM sv WHERE vec_id = 0),
+         |qsn AS (SELECT m, nv FROM sn WHERE vec_id = 0),
+         |qdot AS (SELECT c.m, c.cid, SUM(q.v[c.pos] * c.s) AS dot
+         |         FROM pcent2 c JOIN qsv q ON q.m = c.m GROUP BY 1, 2),
+         |term AS (SELECT a.vec_id, cd.cluster, a.m, a.code,
+         |           CAST(d.dot AS DOUBLE) / (SQRT(CAST(qs.nv AS DOUBLE)) * SQRT(CAST(cc.cn AS DOUBLE))) AS t
+         |         FROM pasg3 a
+         |         JOIN cand cd ON cd.vec_id = a.vec_id
+         |         JOIN qdot d ON d.m = a.m AND d.cid = a.code
+         |         JOIN qsn qs ON qs.m = a.m
+         |         JOIN ccn cc ON cc.m = a.m AND cc.cid = a.code),
+         |adct AS (SELECT vec_id, MAX(cluster) AS cluster,
+         |           MAX(CASE WHEN m = 0 THEN code END) AS code0,
+         |           MAX(CASE WHEN m = 1 THEN code END) AS code1,
+         |           MAX(CASE WHEN m = 2 THEN code END) AS code2,
+         |           MAX(CASE WHEN m = 3 THEN code END) AS code3,
+         |           ((MAX(CASE WHEN m = 0 THEN t END) + MAX(CASE WHEN m = 1 THEN t END))
+         |             + MAX(CASE WHEN m = 2 THEN t END)) + MAX(CASE WHEN m = 3 THEN t END) AS adc
+         |         FROM term GROUP BY vec_id),
+         |top AS (SELECT * FROM adct ORDER BY adc DESC, vec_id ASC LIMIT 10),
+         |qv AS (SELECT v FROM iv WHERE vec_id = 0),
+         |qn AS (SELECT SUM(v[i] * v[i]) AS nq FROM qv, idx),
+         |rr AS (SELECT t.vec_id, t.cluster, t.code0, t.code1, t.code2, t.code3, t.adc,
+         |         SUM(iv.v[i] * q.v[i]) AS dot, SUM(iv.v[i] * iv.v[i]) AS nv
+         |       FROM top t JOIN iv ON iv.vec_id = t.vec_id, qv q, idx
+         |       GROUP BY 1, 2, 3, 4, 5, 6, 7)
+         |SELECT rr.vec_id, rr.cluster, rr.code0, rr.code1, rr.code2, rr.code3, rr.adc,
          |  CAST(rr.dot AS DOUBLE) / (SQRT(CAST(rr.nv AS DOUBLE)) * SQRT(CAST(qn.nq AS DOUBLE))) AS cos
          |FROM rr, qn ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
 

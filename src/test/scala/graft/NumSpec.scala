@@ -35,6 +35,33 @@ class NumSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).distinct.length > 20)
   }
 
+  test("rangeBucket contract: negatives raise, decimal-overflow values keep a max bucket, null passes through") {
+    // negative input would bucket in INVERTED order — must fail loudly
+    val neg = intercept[Exception] {
+      Seq(-1.5).toDF("x").select(Num.rangeBucket(col("x"))).collect()
+    }
+    assert(neg.getMessage.contains("rangeBucket"), neg.getMessage)
+    // extreme doubles: floor()'s long conversion SATURATES at 2^63-1, so
+    // everything >= Long.MaxValue shares the top 19-digit bucket — still
+    // monotone, and never the silent NULL that would vanish from the
+    // downstream rb-equi-joins (the "99~" sentinel additionally guards the
+    // decimal-typed overflow path, unreachable from doubles)
+    val rows = Seq(1e12, 1e18, 1e19, 1e39, Double.MaxValue).toDF("x")
+      .select(col("x"), Num.rangeBucket(col("x")).as("b"))
+      .orderBy(col("x")).collect()
+    assert(rows.forall(_.getString(1) != null),
+      "no input may bucket to NULL (rows would drop from rb joins)")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getString(1) <= hi.getString(1),
+        s"inversion at the overflow boundary: ${lo.getDouble(0)} vs ${hi.getDouble(0)}")
+    }
+    assert(rows.last.getString(1) == "1992", rows.last.getString(1))
+    // NULL in, NULL out (the pre-guard behavior)
+    val n = Seq[Option[Double]](None).toDF("x")
+      .select(Num.rangeBucket(col("x"))).head
+    assert(n.isNullAt(0))
+  }
+
   test("checksum modulus arithmetic is representation-stable in the long range") {
     // the mod-2^61 reduction of a DECIMAL(38,0) sum lands in [0, 2^61):
     // always a valid non-negative BIGINT in any engine's result path

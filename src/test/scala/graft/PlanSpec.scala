@@ -286,6 +286,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_ann_ivfpq composes router + codes in-row: no window, no corpus shuffle, top-k collapsed") {
+    val p = plan("q_ann_ivfpq")
+    // coarse routing is an in-row literal-centroid argmax and the PQ
+    // codes/ADC are in-row expressions on the routed candidates — the
+    // whole composed probe must stay map + broadcast + TakeOrdered; a
+    // Window or hashpartitioning Exchange would be the corpus-wide
+    // shuffle the IVF-PQ index exists to avoid
+    assert(!p.contains("Window"), p)
+    assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning")), p)
+    assert(p.contains("graft_long_dot"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("governance/QA panels are partial aggregates — no window, no distinct") {
     Seq("q_kanon_audit", "q_dataset_card", "q_vector_quality",
         "q_freshness", "q_dp_counts").foreach { q =>

@@ -191,6 +191,102 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.8, f"PQ recall $recall%.2f below the measured 0.8")
   }
 
+  test("q_ann_ivfpq: end-to-end recall (member query) and the nprobe routing trade (boundary query)") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{intVec, normL}
+    def ivec(e: Seq[Float]): Array[Long] = e.map(x =>
+      BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    def writeFixture(dir: String, query: (Long, Seq[Float], Int),
+                     rnd: scala.util.Random, cents: Array[Array[Double]]): Map[Long, Array[Long]] = {
+      val members = (1 to 240).map { i =>
+        val c = cents(i % 8)
+        (i.toLong, c.map(x => (x + 0.35 * rnd.nextGaussian()).toFloat).toSeq, i % 8)
+      }
+      val rows = query +: members
+      rows.toDF("vec_id", "embedding", "label").repartition(4)
+        .write.parquet(s"$dir/embeddings.parquet")
+      rows.map { case (id, e, _) => id -> ivec(e) }.toMap
+    }
+    def exactTop5(vecs: Map[Long, Array[Long]]): Set[Long] =
+      vecs.toSeq.filter(_._1 != 0L)
+        .map { case (id, v) => (id, cos(vecs(0L), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    def run(dir: String, vecs: Map[Long, Array[Long]], nprobe: Int): Set[Long] = {
+      spark.conf.set("graft.ann.ivfpq.nprobe", nprobe.toString)
+      try {
+        val r = SparkEntry.queries("q_ann_ivfpq")(spark, dir).collect()
+        assert(r.length == 5, s"expected 5 rows at nprobe=$nprobe, got ${r.length}")
+        r.foreach { row =>
+          assert(row.getAs[Long]("cluster") >= 1L && row.getAs[Long]("cluster") <= 8L)
+          // rerank column is the true cosine — check against brute force
+          val id = row.getAs[Long]("vec_id")
+          assert(math.abs(row.getAs[Double]("cos") - cos(vecs(0L), vecs(id))) < 1e-12)
+        }
+        r.map(_.getAs[Long]("vec_id")).toSet
+      } finally spark.conf.unset("graft.ann.ivfpq.nprobe")
+    }
+
+    // ---- end-to-end recall, query = a CELL MEMBER (the common case, and
+    // the regime where raw-vector PQ has signal: the query's cell shares
+    // its code tuples, other cells don't, so ADC separates cells even
+    // though it is near-constant WITHIN one — this index encodes raw
+    // vectors, FAISS IndexIVFPQ's by_residual=false; intra-cell
+    // resolution would need residual encoding)
+    val rndA = new scala.util.Random(7)
+    val centsA = Array.fill(8, 64)(rndA.nextGaussian())
+    val dirA = tmpDir("graft-ivfpq-member")
+    val qA = (0L, centsA(0).map(x => (x + 0.35 * rndA.nextGaussian()).toFloat).toSeq, 0)
+    val vecsA = writeFixture(dirA, qA, rndA, centsA)
+    val recallA = run(dirA, vecsA, 1).intersect(exactTop5(vecsA)).size / 5.0
+    info(f"IVF-PQ member-query top-5 recall at nprobe=1: $recallA%.2f")
+    // deterministic fixture — the floor is the measured value, not a hope
+    assert(recallA >= 0.6, f"member-query recall $recallA%.2f below the measured 0.6")
+
+    // ---- the nprobe ROUTING trade, query on a Voronoi BOUNDARY (midway
+    // between cells 0 and 1): its exact neighbors straddle two coarse
+    // cells, so the nprobe=1 candidate set can only hold one cell's share
+    // of them and nprobe=2 must recover the rest. Measured at the stage
+    // nprobe actually controls — candidate generation — because the ADC
+    // stage downstream is resolution-bound here (see above: near-ties
+    // within a cell make the end-to-end cut id-order luck on this
+    // fixture, which a bigger rerank budget cannot fix without residual
+    // codes).
+    val rndB = new scala.util.Random(23)
+    val centsB = Array.fill(8, 64)(rndB.nextGaussian())
+    val dirB = tmpDir("graft-ivfpq-boundary")
+    val qB = (0L, (0 until 64).map(k =>
+      ((centsB(0)(k) + centsB(1)(k)) / 2 + 0.15 * rndB.nextGaussian()).toFloat), -1)
+    val vecsB = writeFixture(dirB, qB, rndB, centsB)
+    val top5B = exactTop5(vecsB)
+    val iv = Tables.load(spark, dirB, "embeddings")
+      .select(col("vec_id"), intVec("embedding").as("v"))
+      .withColumn("nv", normL("v"))
+    val coarse = graft.operators.KMeans.model(iv, (1L to 8L).toSeq, updates = 2)
+    val clusterOf = iv.withColumn("cluster", graft.operators.KMeans.centArgmax(coarse))
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = iv.filter(col("vec_id") === 0)
+      .select(graft.operators.KMeans.centTopN(coarse, 2).as("qc"))
+      .head.getSeq[Long](0)
+    assert(probed.head == clusterOf(0L),
+      "centTopN's first cell must be the argmax assignment")
+    def routeRecall(nprobe: Int): Double =
+      top5B.count(id => probed.take(nprobe).contains(clusterOf(id))) / 5.0
+    val route1 = routeRecall(1)
+    val route2 = routeRecall(2)
+    info(f"IVF-PQ boundary-query ROUTING recall (top-5 in probed cells): " +
+      f"nprobe=1 $route1%.2f → nprobe=2 $route2%.2f")
+    assert(route2 > route1,
+      f"probing the 2nd cell must recover boundary neighbors: $route1%.2f → $route2%.2f")
+    assert(route2 == 1.0, f"both straddled cells probed ⇒ full candidate coverage, got $route2%.2f")
+  }
+
   test("q_label_noise flags exactly the planted label flips on clustered vectors") {
     import spark.implicits._
     // 6 tight, well-separated clusters, labels = cluster id — then five

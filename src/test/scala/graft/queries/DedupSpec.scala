@@ -92,6 +92,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_resolve end-to-end through RELIABLE FS checkpoints matches the local-checkpoint labeling") {
+    // the cluster-mode CC loop (executor-loss-tolerant FS checkpoints,
+    // Graph.scala) exercised through a REGISTERED QUERY, not just the
+    // operator spec: a fresh copy of the corpus forces a labeling build
+    // (the memoized labeling is keyed by dataset dir), the conf routes the
+    // loop through the FS, and the result must be identical to the
+    // default-path labeling of the same documents.
+    val local = graft.SparkEntry.queries("q_dedup_resolve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val ds = tmpDir("graft-ds-ck")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.parquet(s"$ds/documents.parquet")
+    val ck = tmpDir("graft-cc-ck")
+    spark.conf.set("graft.dedup.checkpointDir", ck)
+    try {
+      val viaFs = graft.SparkEntry.queries("q_dedup_resolve")(spark, ds).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(viaFs.sameElements(local),
+        "FS-checkpointed labeling diverged from the local-checkpoint labeling")
+      // the loop really went through the FS: the final round's checkpoint
+      // files exist under the conf'd dir...
+      val ckRoot = java.nio.file.Paths.get(ck)
+      val files = java.nio.file.Files.walk(ckRoot).filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files written under $ck — the FS path did not run")
+    } finally {
+      spark.conf.unset("graft.dedup.checkpointDir")
+      // ...and, the labeling being parquet-materialized, they are now dead
+      // weight — sweep them (the caller-owned cleanup Graph documents)
+      val ckRoot = java.nio.file.Paths.get(ck)
+      java.nio.file.Files.walk(ckRoot).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("q_dedup_ngram guard refuses corpus-scale input until explicitly raised") {
     spark.conf.set("graft.dedup.ngram.maxDocs", "1")
     try {
