@@ -728,6 +728,101 @@ object Shapes {
         .orderBy(col("depth"))
     }),
 
+    // Weighted single-source shortest paths, bounded to 2 relaxation
+    // rounds — the WEIGHTED traversal member of the graph family (BFS
+    // counts hops; this measures tie strength): edge cost = 1/cnt where
+    // cnt = number of orders co-containing the two parts, so strongly
+    // co-purchased parts are "close". Each round is one Bellman-Ford
+    // relaxation — frontier⋈edges equi-join, then a min-aggregate per
+    // node — the standard distributed SSSP round (Pregel's formulation),
+    // here unrolled twice so the DuckDB oracle replays it as chained
+    // CTEs. All distances are sums computed in the identical order in
+    // both engines (d_prev + w), so the doubles are bit-identical. At
+    // 100 TB the same round iterates under the Graph.truncate checkpoint
+    // idiom with the distance table as the only growing state.
+    "q_shortest_path" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pc = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val e = pc.select(col("a"), col("b"), (lit(1.0) / col("cnt")).as("w"))
+        .unionByName(pc.select(col("b").as("a"), col("a").as("b"),
+          (lit(1.0) / col("cnt")).as("w")))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // empty-shard degrade: min over zero edges is NULL — drop it so the
+      // query yields an empty result instead of a phantom (null, 0.0) row
+      val d0 = e.agg(min(col("a")).as("n")).select(col("n"), lit(0.0).as("dist"))
+        .filter(col("n").isNotNull)
+      def relax(dk: DataFrame): DataFrame =
+        dk.unionByName(
+            e.as("ed").join(dk.as("dd"), col("ed.a") === col("dd.n"))
+              .select(col("ed.b").as("n"), (col("dd.dist") + col("ed.w")).as("dist")))
+          .groupBy(col("n")).agg(min(col("dist")).as("dist"))
+      val out = relax(relax(d0))
+        .select(col("n").as("part"), col("dist"))
+        .orderBy(col("dist"), col("part"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // reached-set-sized result materialized eagerly, edge cache released
+      out.count()
+      e.unpersist(blocking = false)
+      out
+    }),
+
+    // Community detection via synchronous label propagation (Raghavan et
+    // al. 2007) — the clustering member of the graph family (PageRank =
+    // authority, components = connectivity, triangles = cohesion, BFS =
+    // traversal): each node repeatedly adopts the MODE of its neighbors'
+    // labels, so densely connected part-groups converge onto one label
+    // while bridges stay thin. Deterministic variant: synchronous rounds,
+    // initial label = node id, tie-break highest count then SMALLEST
+    // label — expressed shuffle-free-per-row as max(struct(cnt, -lbl)),
+    // an in-aggregate argmax with NO window. Two fixed rounds (the oracle
+    // unrolls the same two as chained CTEs — fixed rounds keep the result
+    // engine-independent; LPA-to-convergence is not deterministic across
+    // engines without this). Each round is one edge⋈labels equi-join plus
+    // two map-side-combinable aggregates — the same per-round cost as the
+    // components loop; at 100 TB the rounds run under the
+    // Graph.truncate checkpoint idiom (operators/Graph.scala) with
+    // edge-count-sized shuffles. Output: the community census.
+    "q_label_prop" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e0 = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      val und = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      def step(labels: DataFrame): DataFrame =
+        und.as("e").join(labels.as("lb"), col("e.b") === col("lb.n"))
+          .groupBy(col("e.a").as("a"), col("lb.lbl").as("l"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("a"))
+          .agg(max(struct(col("cnt"), (-col("l")).as("neg"))).as("m"))
+          .select(col("a").as("n"), (-col("m.neg")).as("lbl"))
+      val l0 = und.select(col("a").as("n")).distinct()
+        .select(col("n"), col("n").as("lbl"))
+      val l2 = step(step(l0))
+      val out = l2.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // materialize the community-sized result eagerly, then release the
+      // edge cache (3 consumers) — the q_dup_spans discipline; the small
+      // persisted census is the residue.
+      out.count()
+      und.unpersist(blocking = false)
+      out
+    }),
+
     // Heavy hitters via count-min sketch — the frequency member of the
     // mergeable-sketch family (q_hll_union is the cardinality member):
     // one codegen'd partial+final count_min_sketch aggregate over the
@@ -1661,6 +1756,57 @@ object Shapes {
         |  (SELECT COUNT(*)
         |   FROM e ab JOIN e bc ON ab.b = bc.a
         |   JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles""".stripMargin,
+
+    "q_shortest_path" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |    AND l_shipdate < TIMESTAMP '2001-01-01'),
+        |pc AS (
+        |  SELECT x.pk AS a, y.pk AS b, COUNT(*) AS cnt
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2),
+        |e AS (SELECT a, b, CAST(1.0 AS DOUBLE) / cnt AS w FROM pc
+        |      UNION ALL
+        |      SELECT b, a, CAST(1.0 AS DOUBLE) / cnt AS w FROM pc),
+        |d0 AS (SELECT MIN(a) AS n, CAST(0 AS DOUBLE) AS dist FROM e),
+        |r1 AS (SELECT n, MIN(dist) AS dist FROM (
+        |         SELECT n, dist FROM d0
+        |         UNION ALL
+        |         SELECT e.b AS n, d0.dist + e.w AS dist
+        |         FROM e JOIN d0 ON e.a = d0.n) GROUP BY n),
+        |r2 AS (SELECT n, MIN(dist) AS dist FROM (
+        |         SELECT n, dist FROM r1
+        |         UNION ALL
+        |         SELECT e.b AS n, r1.dist + e.w AS dist
+        |         FROM e JOIN r1 ON e.a = r1.n) GROUP BY n)
+        |SELECT n AS part, dist FROM r2 ORDER BY dist, part""".stripMargin,
+
+    "q_label_prop" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |    AND l_shipdate < TIMESTAMP '2001-01-01'),
+        |e0 AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT a AS n, a AS lbl FROM und),
+        |c1 AS (SELECT und.a AS n, l0.lbl AS lbl, COUNT(*) AS cnt
+        |       FROM und JOIN l0 ON und.b = l0.n GROUP BY 1, 2),
+        |l1 AS (SELECT n, lbl FROM (
+        |         SELECT n, lbl, ROW_NUMBER() OVER (
+        |           PARTITION BY n ORDER BY cnt DESC, lbl ASC) AS r
+        |         FROM c1) WHERE r = 1),
+        |c2 AS (SELECT und.a AS n, l1.lbl AS lbl, COUNT(*) AS cnt
+        |       FROM und JOIN l1 ON und.b = l1.n GROUP BY 1, 2),
+        |l2 AS (SELECT n, lbl FROM (
+        |         SELECT n, lbl, ROW_NUMBER() OVER (
+        |           PARTITION BY n ORDER BY cnt DESC, lbl ASC) AS r
+        |         FROM c2) WHERE r = 1)
+        |SELECT lbl AS community, COUNT(*) AS n_nodes
+        |FROM l2 GROUP BY 1
+        |ORDER BY n_nodes DESC, community""".stripMargin,
 
     "q_bfs_reach" ->
       """WITH li AS (

@@ -535,6 +535,38 @@ object Similarity {
         .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
     }),
 
+    // PREFIX-DIMENSION ANN (truncated-dimension / "Matryoshka"-style
+    // two-stage retrieval, Kusupati et al. 2022): rank the corpus by
+    // cosine over the FIRST 16 of 64 dims, keep the top-50 prefix
+    // candidates, exact full-dim rerank to top-5. The fourth index family
+    // next to hashing (LSH), routing (IVF), and code compression (PQ):
+    // no model at all — the "index" is a 4×-narrower COLUMN. At 100 TB
+    // the prefix slice is stored as its own parquet column (or the
+    // leading dims of a dim-ordered layout), so the candidate pass scans
+    // 16/64 of the vector bytes with zero training, zero ingest compute,
+    // and graceful recall (embeddings trained matryoshka-style
+    // front-load variance into the prefix; measured recall on the
+    // clustered fixture lives in QueriesSpec). Plan: map (in-row prefix
+    // dot) → TakeOrdered(50) → map (full dot) → TakeOrdered(5); no
+    // window, no corpus shuffle — candidates carry their full vector, so
+    // the rerank needs NO join back to the corpus.
+    "q_ann_prefix" -> ((s, d) => {
+      val iv = intVecs(s, d)
+        .withColumn("vp", expr("slice(v, 1, 16)"))
+        .withColumn("np", normL("vp"))
+      val q = iv.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nv").as("nq"),
+          col("vp").as("qp"), col("np").as("nqp"))
+      iv.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"), col("nv"), col("qv"), col("nq"),
+          cosine(dotL("vp", "qp"), col("np"), col("nqp")).as("pcos"))
+        .orderBy(col("pcos").desc, col("vec_id").asc).limit(50)
+        .select(col("vec_id"), col("pcos"),
+          cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+    }),
+
     // The k-means TRAINING LOOP (3 Lloyd rounds) — q_kmeans_step iterated,
     // via [[graft.operators.KMeans]]: per-round assignment is in-row
     // literal-centroid argmax (pure map, no shuffle), the update is a
@@ -1044,6 +1076,30 @@ object Similarity {
          |       WHERE bk.bucket = q.qbucket AND iv.vec_id <> 0
          |       GROUP BY iv.vec_id, bk.bucket)
          |SELECT vec_id, bucket,
+         |  CAST(dot AS DOUBLE) / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
+         |FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    "q_ann_prefix" ->
+      s"""WITH $ivCte,
+         |pidx AS (SELECT UNNEST(range(1, 17)) AS i),
+         |q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+         |psc AS (SELECT iv.vec_id,
+         |          SUM(iv.v[i] * q.qv[i]) AS pdot,
+         |          SUM(iv.v[i] * iv.v[i]) AS np,
+         |          SUM(q.qv[i] * q.qv[i]) AS nqp
+         |        FROM iv, q, pidx GROUP BY iv.vec_id),
+         |cand AS (SELECT vec_id,
+         |           CAST(pdot AS DOUBLE)
+         |             / (SQRT(CAST(np AS DOUBLE)) * SQRT(CAST(nqp AS DOUBLE))) AS pcos
+         |         FROM psc WHERE vec_id <> 0
+         |         ORDER BY pcos DESC, vec_id ASC LIMIT 50),
+         |sc AS (SELECT iv.vec_id, cand.pcos,
+         |         SUM(iv.v[i] * q.qv[i]) AS dot,
+         |         SUM(iv.v[i] * iv.v[i]) AS nv,
+         |         SUM(q.qv[i] * q.qv[i]) AS nq
+         |       FROM iv JOIN cand USING (vec_id), q, idx
+         |       GROUP BY iv.vec_id, cand.pcos)
+         |SELECT vec_id, pcos,
          |  CAST(dot AS DOUBLE) / (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
          |FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
 

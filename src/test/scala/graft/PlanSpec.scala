@@ -299,6 +299,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_ann_prefix is map + TakeOrdered twice: no window, no corpus shuffle, no rerank join") {
+    val p = plan("q_ann_prefix")
+    // prefix dot and full dot are both in-row expressions; candidates
+    // carry their full vector through TakeOrdered(50), so the rerank
+    // stage needs NO join back to the corpus — a Window, a
+    // hashpartitioning Exchange, or a SortMergeJoin here would defeat
+    // the narrow-column scan the prefix index exists to enable
+    assert(!p.contains("Window"), p)
+    assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning")), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("graft_long_dot"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("governance/QA panels are partial aggregates — no window, no distinct") {
     Seq("q_kanon_audit", "q_dataset_card", "q_vector_quality",
         "q_freshness", "q_dp_counts").foreach { q =>

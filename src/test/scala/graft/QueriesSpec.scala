@@ -191,6 +191,51 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.8, f"PQ recall $recall%.2f below the measured 0.8")
   }
 
+  test("q_ann_prefix: 16-dim prefix candidates + exact rerank recall the exact top-5") {
+    import spark.implicits._
+    // same clustered-corpus premise as the PQ bar — the regime where the
+    // vector prefix carries cluster identity (real matryoshka embeddings
+    // front-load even more variance than these isotropic-noise clusters)
+    val dir = tmpDir("graft-prefix")
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(8, 64)(rnd.nextGaussian())
+    val rows = (0 until 240).map { i =>
+      val c = cents(i % 8)
+      (i.toLong, c.map(x => (x + 0.35 * rnd.nextGaussian()).toFloat).toSeq, i % 8)
+    }
+    rows.toDF("vec_id", "embedding", "label").repartition(4)
+      .write.parquet(s"$dir/embeddings.parquet")
+    def ivec(e: Seq[Float]): Array[Long] = e.map(x =>
+      BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+    val vecs = rows.map { case (id, e, _) => id -> ivec(e) }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val q = vecs(0L)
+    val exactTop5 = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+
+    val pf = SparkEntry.queries("q_ann_prefix")(spark, dir).collect()
+    assert(pf.length == 5, s"expected 5 rows, got ${pf.length}")
+    pf.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      // rerank column is the true full-dim cosine; prefix score is the
+      // 16-dim cosine — both checked against brute force
+      assert(math.abs(r.getAs[Double]("cos") - cos(q, vecs(id))) < 1e-12)
+      assert(math.abs(r.getAs[Double]("pcos") -
+        cos(q.take(16), vecs(id).take(16))) < 1e-12)
+    }
+    val got = pf.map(_.getAs[Long]("vec_id")).toSet
+    val recall = got.intersect(exactTop5).size / 5.0
+    info(f"prefix-ANN (16/64 dims, top-50 candidates) top-5 recall: $recall%.2f")
+    // deterministic fixture — the measured value, not a hopeful floor
+    assert(recall >= 0.8, f"prefix-ANN recall $recall%.2f below the measured bar")
+  }
+
   test("q_ann_ivfpq: end-to-end recall (member query) and the nprobe routing trade (boundary query)") {
     import spark.implicits._
     import graft.functions.VectorFunctions.{intVec, normL}

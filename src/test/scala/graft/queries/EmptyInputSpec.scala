@@ -47,6 +47,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(SparkEntry.queries("q_embed_quantize")(spark, dir).collect().isEmpty)
     assert(SparkEntry.queries("q_embed_drift")(spark, dir).collect().isEmpty)
     assert(SparkEntry.queries("q_vector_quality")(spark, dir).collect().isEmpty)
+    assert(SparkEntry.queries("q_ann_prefix")(spark, dir).collect().isEmpty)
+  }
+
+  test("graph operators degrade to empty results on an empty lineitem shard") {
+    val dir = tmpDir("empty-li")
+    Tables.load(spark, sf, "lineitem").limit(0)
+      .write.parquet(s"$dir/lineitem.parquet")
+    // an empty edge set must not fabricate a phantom source row (SSSP's
+    // min-over-empty is NULL) or a phantom community
+    Seq("q_label_prop", "q_shortest_path").foreach { q =>
+      assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
+    }
   }
 
   test("k-means refuses to train without seed vectors (loud, not empty)") {

@@ -347,6 +347,86 @@ class ShapesSpec extends SparkSpec {
     assert(rows(2L) === d2.size.toLong)
   }
 
+  test("q_shortest_path matches a brute-force 2-round Bellman-Ford on the collected graph") {
+    import org.apache.spark.sql.functions._
+    val got = run("q_shortest_path").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // weighted co-purchase edges: w = 1/(# shared orders)
+    val cnt = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, g) => p -> g.size }
+    val adj: Map[Long, Seq[(Long, Double)]] = cnt.toSeq
+      .flatMap { case ((a, b), c) =>
+        Seq((a, (b, 1.0 / c)), (b, (a, 1.0 / c))) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val src = adj.keys.min
+    var dist = Map(src -> 0.0)
+    for (_ <- 1 to 2) {
+      val prev = dist
+      val cand = prev.toSeq.flatMap { case (n, dn) =>
+        adj(n).map { case (m, w) => (m, dn + w) } } ++ prev.toSeq
+      dist = cand.groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    assert(got.keySet === dist.keySet, "reached set disagrees")
+    got.foreach { case (n, dd) =>
+      assert(math.abs(dd - dist(n)) < 1e-12, s"dist($n): $dd vs ${dist(n)}") }
+    // the source is at distance 0 and at least one multi-hop path relaxed
+    assert(got(src) === 0.0)
+    assert(got.size > 1, "no node reached beyond the source")
+  }
+
+  test("q_label_prop matches a brute-force 2-round synchronous LPA on the collected graph") {
+    import org.apache.spark.sql.functions._
+    val got = run("q_label_prop").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent synchronous label propagation in memory
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pairs: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct
+      for (x <- ps; y <- ps if x != y) yield (x, y)
+    }.toSet
+    val adj: Map[Long, Seq[Long]] =
+      pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    var lbl: Map[Long, Long] = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to 2) {
+      val prev = lbl
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(prev).map { case (l, g) => (l, g.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val census: Map[Long, Long] = lbl.values.groupBy(identity)
+      .map { case (l, g) => l -> g.size.toLong }
+    assert(got === census, "community census disagrees with in-memory LPA")
+    // propagation did coarsen: strictly fewer communities than nodes
+    assert(got.size < adj.size,
+      s"LPA produced ${got.size} communities over ${adj.size} nodes — no coarsening")
+    // Newman modularity of the 2-round partition: Q = Σ_c (e_c/m − (d_c/2m)²)
+    // over undirected m; with directed pair counts m2 = 2m this is
+    // Σ_c (din_c/m2 − (d_c/m2)²). Positive Q = denser-than-random
+    // communities — the standard quality metric, so the operator is
+    // quantitatively evaluated, not just reproduced.
+    val m2 = pairs.size.toDouble
+    val q = lbl.groupBy(_._2).values.map { members =>
+      val nodes = members.keySet
+      val din = pairs.count { case (a, b) => nodes(a) && nodes(b) }
+      val dC = nodes.toSeq.map(n => adj(n).size).sum
+      din / m2 - math.pow(dC / m2, 2)
+    }.sum
+    info(f"LPA 2-round modularity on the co-purchase graph: $q%.3f")
+    assert(q > 0.0, f"modularity $q%.3f — partition no better than random")
+  }
+
   test("q_heavy_hitters: every top key inside the one-sided CMS bound, exact counts exact") {
     import org.apache.spark.sql.functions._
     val rows = run("q_heavy_hitters").collect()
