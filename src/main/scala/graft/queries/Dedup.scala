@@ -65,15 +65,37 @@ object Dedup {
       .distinct()
   }
 
+  /** The MinHash signature table (doc_id, m0..m7) — MATERIALIZED ONCE per
+    * dataset dir per JVM, the same asset discipline as [[labeledDocs]]:
+    * the narrow (doc_id + 8×16 chars) table is exactly the artifact a real
+    * pipeline computes in one job and every dedup consumer reads from
+    * storage (signatures are content-addressed — recomputing the
+    * tokenize→shingle→md5→min-agg pipeline per query is the corpus-scale
+    * waste). min over repeated shingles equals min over the distinct set,
+    * so one table serves both the raw- and distinct-shingle callers.
+    * Dataset dirs are immutable in this engine's convention (the
+    * [[Similarity]] vecCount precedent), and the temp dirs are swept by
+    * the same JVM shutdown hook as the component labeling. */
+  private val sigCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def signatureTable(s: SparkSession, d: String): DataFrame = {
+    val path = sigCache.synchronized {
+      sigCache.getOrElseUpdate(d, {
+        val out = java.nio.file.Files.createTempDirectory("graft-minhash-sig").toString
+        signature(shinglesRaw(s, d)).write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+    s.read.parquet(path)
+  }
+
   /** Distinct MinHash-LSH candidate pairs (doc_a < doc_b) — shared by
-    * q_dedup_minhash (reports them) and q_dedup_resolve (resolves them into
-    * a surviving-document set). The signature table is persisted because
-    * the band self-join consumes it TWICE — without it each side recomputes
-    * the whole tokenize→shingle→md5→min-agg pipeline. It's also the narrow
-    * (doc_id + 8×16 chars) artifact worth durably materializing at corpus
-    * scale, where recomputing shingles is the expensive step. */
+    * q_dedup_minhash (reports them) and q_dedup_fuzzy (reranks them). The
+    * band self-join consumes the signature table TWICE; both sides rescan
+    * the materialized [[signatureTable]] parquet instead of recomputing
+    * the shingle pipeline. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    bandPairs(signature(shinglesRaw(s, d)).persist(StorageLevel.DISK_ONLY))
+    bandPairs(signatureTable(s, d))
 
   /** LSH candidate EDGES for component resolution — same banding as
     * [[bandPairs]], but DEGENERATE buckets are short-circuited: a
@@ -166,7 +188,7 @@ object Dedup {
   private val labeledCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val labeledSweeper: Unit = sys.addShutdownHook {
-    labeledCache.values.foreach { p =>
+    (labeledCache.values ++ sigCache.values).foreach { p =>
       try {
         val root = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.exists(root))
@@ -195,12 +217,13 @@ object Dedup {
     * this returns, so the loop's final-round checkpoint files are
     * immediately sweepable by the caller. */
   private def computeLabeledDocs(s: SparkSession, d: String): DataFrame = {
-    val sig = signature(shinglesRaw(s, d)).persist(StorageLevel.DISK_ONLY)
-    val edges = candidateEdges(sig)
+    // the signature is the materialized [[signatureTable]] asset — its
+    // branches in candidateEdges rescan the narrow parquet, nothing to
+    // persist or release here
+    val edges = candidateEdges(signatureTable(s, d))
     val labels = graft.operators.Graph.connectedComponents(edges,
       checkpointDir = s.conf.getOption("graft.dedup.checkpointDir"))
     edges.unpersist(blocking = false)
-    sig.unpersist(blocking = false)
     t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
       .join(labels, col("doc_id") === col("doc"), "left")
       .select(col("doc_id"), col("source"), col("n_chars"),
@@ -438,9 +461,8 @@ object Dedup {
     "q_minhash_estimate" -> ((s, d) => {
       val ng = shingles(s, d).persist(StorageLevel.DISK_ONLY)
       // sig feeds three consumers (both band-join sides + the signature
-      // compare) — persist the narrow table instead of re-aggregating the
-      // shingle set per branch
-      val sig = signature(ng).persist(StorageLevel.DISK_ONLY)
+      // compare) — each rescans the materialized [[signatureTable]] asset
+      val sig = signatureTable(s, d)
       val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val cand = bandPairs(sig).persist(StorageLevel.DISK_ONLY)
       val common = cand
@@ -477,7 +499,7 @@ object Dedup {
     "q_containment" -> ((s, d) => {
       val ng = shingles(s, d).persist(StorageLevel.DISK_ONLY)
       val cnt = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val cand = bandPairs(signature(ng))
+      val cand = bandPairs(signatureTable(s, d))
       val common = cand
         .join(ng.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
         .join(ng.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
@@ -510,8 +532,15 @@ object Dedup {
       // twice-referenced non-cheap alias is not inlined by CollapseProject,
       // so the DP runs exactly once per pair.
       val lev = expr("graft_levenshtein(ta, tb)")
-      minhashPairs(s, d)
+      // Broadcast the CANDIDATE side, never the corpus: LSH candidates are
+      // a bounded sliver of the corpus, while Catalyst's static file-size
+      // estimate happily broadcasts the whole (doc_id, text) table twice —
+      // at 100 TB that's shipping the corpus to every task. If candidates
+      // ever exceed the broadcast budget, drop the hints and these become
+      // doc_id-keyed shuffle joins — same shape, still never corpus-wide.
+      val withA = broadcast(minhashPairs(s, d))
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      broadcast(withA)
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           lev.cast("long").as("edit_dist"),
