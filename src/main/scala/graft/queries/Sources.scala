@@ -224,6 +224,49 @@ object Sources {
         .orderBy(col("l_returnflag"))
     }),
 
+    // CSV closes the source/sink matrix (parquet → ORC → JSONL → CSV):
+    // the TYPELESS format — every value is text on disk, so the read
+    // must re-impose an EXPLICIT schema (never inferSchema at corpus
+    // scale: inference is a full extra pass over the data and
+    // type-drifts on dirty rows). Doubles round-trip through Java's
+    // shortest-round-trip decimal repr, timestamps through an explicit
+    // microsecond UTC format, and the partition column re-enters typed
+    // through the directory name. The oracle reads the raw parquet
+    // table, so hash equality proves the text round-trip lossless for
+    // longs, doubles, strings, and timestamps. Same layout lifecycle as
+    // the ORC/Z-order/bucketed layouts (one build per JVM, swept at
+    // exit); partition pruning on o_orderstatus is pinned in SourcesSpec
+    // (CSV has no row-group stats — directory pruning is the ONLY scan
+    // reduction the format offers, which is exactly why hive-style
+    // partitioning matters more for text formats).
+    "q_csv_roundtrip" -> ((s, d) => {
+      // o_orderdate is TIMESTAMP_NTZ (naive parquet, the tables'
+      // convention) — CSV formats NTZ through timestampNTZFormat, and the
+      // re-read schema says TIMESTAMP_NTZ so the type survives the text
+      // hop unchanged (an LTZ re-read would silently re-type the column
+      // even when the UTC session makes the values agree).
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val base = layoutOnce("csv", d) { b =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+            col("o_orderstatus"))
+          .write.mode("overwrite")
+          .option("header", "true").option("timestampNTZFormat", tsFmt)
+          .partitionBy("o_orderstatus").csv(b)
+      }
+      val sch = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
+          "o_orderstatus STRING")
+      s.read.schema(sch)
+        .option("header", "true").option("timestampNTZFormat", tsFmt)
+        .csv(base)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") >= 100000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("rev"),
+          max(col("o_orderdate")).as("last_order"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Cross-version schema evolution through the convention (the
     // `version=V` directory IS a schema version, gcs.py:58-67): half the
     // corpus written under v1 with the ORIGINAL two-column schema, the
@@ -1121,6 +1164,16 @@ object Sources {
          |  ${Num.sqlDsum("l_extendedprice")} AS rev
          |FROM lineitem
          |WHERE l_returnflag = 'R' AND l_quantity >= 30
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // format is invisible to semantics: the oracle reads the raw parquet
+    // table — hash equality proves the CSV text round-trip lossless
+    "q_csv_roundtrip" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${Num.sqlDsum("o_totalprice")} AS rev,
+         |  MAX(o_orderdate) AS last_order
+         |FROM orders
+         |WHERE o_orderstatus = 'F' AND o_totalprice >= 100000.0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // v1 rows predate lang/n_chars → NULL; v2 rows carry them.

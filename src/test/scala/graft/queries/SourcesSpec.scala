@@ -234,6 +234,29 @@ class SourcesSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("l_quantity"), p)
   }
 
+  test("q_csv_roundtrip: lossless text hop, partition pruned, schema re-imposed") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_csv_roundtrip")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getAs[java.time.LocalDateTime](3))).toSeq
+    val want = graft.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") >= 100000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), graft.Num.dsum(col("o_totalprice")).as("rev"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy(col("o_orderstatus")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getAs[java.time.LocalDateTime](3))).toSeq
+    assert(got.nonEmpty && got === want,
+      "CSV round-trip changed the answer (doubles or timestamps drifted)")
+    val p = SparkEntry.queries("q_csv_roundtrip")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the scan is CSV and the partition dimension prunes directories —
+    // the only scan reduction a text format offers
+    assert(p.toLowerCase.contains("csv"), p)
+    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"), p)
+  }
+
   test("q_gini matches the brute-force Lorenz computation, inside [0, 1)") {
     import org.apache.spark.sql.functions._
     val Array(row) = SparkEntry.queries("q_gini")(spark, sf).collect()
