@@ -51,6 +51,42 @@ object Sampling {
       .cast("long").cast("double") / lit(4294967296.0)
 
   val queries: Map[String, QFn] = Map(
+    // NEGATIVE SAMPLING for contrastive/recommender training — the
+    // standard (entity, item) batch construction: for every observed
+    // (supplier, part) pair, draw 3 seeded uniform candidate parts and
+    // keep the ones that supplier does NOT supply. Collision-drop
+    // semantics (a draw landing on a true positive vanishes — visible as
+    // gaps in draw_j) are the standard simple scheme; the expected loss
+    // rate is |positives per entity| / |items|, reported implicitly by
+    // the row count. Determinism: candidates come from the library-wide
+    // md5-uniform convention keyed on (entity, item, draw), so the
+    // sample is rerun/backfill-stable and oracle-exact. Shape at 100 TB:
+    // the draw is a pure in-row 3× fanout (dense item ids make it
+    // join-free; a non-dense vocabulary broadcasts a dim-sized index
+    // instead), and the collision filter is ONE LEFT ANTI equi-join on
+    // the (entity, item) key — the partitioning the positives table
+    // already has.
+    "q_negative_sample" -> ((s, d) => {
+      val pos = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+      val nParts = Tables.load(s, d, "part")
+        .agg((max(col("p_partkey")) + lit(1L)).as("np"))
+      val u = conv(substring(md5(encode(
+        concat_ws(":", col("sk"), col("pk"), col("j")), "UTF-8")), 1, 8), 16, 10)
+        .cast("long")
+      val cand = pos.crossJoin(broadcast(nParts))
+        .select(col("sk"), col("pk"), col("np"),
+          explode(expr("sequence(1L, 3L)")).as("j"))
+        .withColumn("cand", u % col("np"))
+      cand
+        .join(pos.select(col("sk"), col("pk").as("cand")),
+          Seq("sk", "cand"), "left_anti")
+        .select(col("sk").as("l_suppkey"), col("pk").as("pos_part"),
+          col("j").as("draw_j"), col("cand").as("neg_part"))
+        .orderBy(col("l_suppkey"), col("pos_part"), col("draw_j"))
+    }),
+
     // Split distribution + per-split aggregate — the reproducible
     // train/dev/test assignment every corpus rebuild must preserve.
     "q_hash_split" -> ((s, d) =>
@@ -467,6 +503,22 @@ object Sampling {
        |     ELSE 'test' END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_negative_sample" ->
+      s"""WITH pos AS (
+         |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+         |np AS (SELECT MAX(p_partkey) + 1 AS np FROM part),
+         |j3 AS (SELECT UNNEST(range(1, 4)) AS j),
+         |cand AS (
+         |  SELECT sk, pk, j,
+         |    ${sqlBucketN("(sk || ':' || pk || ':' || j)", 8)} % np.np AS cand
+         |  FROM pos, j3, np)
+         |SELECT c.sk AS l_suppkey, c.pk AS pos_part, c.j AS draw_j,
+         |  c.cand AS neg_part
+         |FROM cand c
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM pos p WHERE p.sk = c.sk AND p.pk = c.cand)
+         |ORDER BY l_suppkey, pos_part, draw_j""".stripMargin,
+
     "q_importance_sample" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
          |  CAST(${sqlBucket("doc_id")} AS DOUBLE) / 4294967296.0 AS u,

@@ -823,6 +823,54 @@ object Shapes {
       out
     }),
 
+    // k-core peel (k=3, 2 rounds) — the DENSITY member of the graph
+    // family (LPA = communities, triangles = local cohesion; the k-core
+    // is the global "how deep does the dense region go" measure, the
+    // standard spam/bot-subgraph and graph-sampling primitive). Each
+    // round drops every node of degree < k and the edges touching it —
+    // one degree aggregate + two LEFT SEMI equi-joins — the Pregel peel
+    // round; 2 fixed rounds unrolled so the DuckDB oracle replays them
+    // as chained CTEs (peel-to-fixpoint iterates the same round under
+    // the Graph.truncate checkpoint idiom at scale). Output: the
+    // (round, nodes, edges) shrink census — how much graph survives each
+    // peel. Shuffles are node/edge-keyed only; no window, no collect.
+    "q_kcore" -> ((s, d) => {
+      val k = 3
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e0 = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      def und(e: DataFrame): DataFrame =
+        e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      def peel(e: DataFrame): DataFrame = {
+        val alive = und(e).groupBy(col("a").as("n"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("n"))
+        e.join(alive.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(alive.select(col("n").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+      }
+      def census(e: DataFrame, r: Int): DataFrame =
+        und(e).select(col("a")).distinct().agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      val e1 = peel(e0).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val e2 = peel(e1)
+      val out = census(e0, 0).unionByName(census(e1, 1))
+        .unionByName(census(e2, 2)).orderBy(col("round"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      out.count()
+      e0.unpersist(blocking = false)
+      e1.unpersist(blocking = false)
+      out
+    }),
+
     // Heavy hitters via count-min sketch — the frequency member of the
     // mergeable-sketch family (q_hll_union is the cardinality member):
     // one codegen'd partial+final count_min_sketch aggregate over the
@@ -1807,6 +1855,38 @@ object Shapes {
         |SELECT lbl AS community, COUNT(*) AS n_nodes
         |FROM l2 GROUP BY 1
         |ORDER BY n_nodes DESC, community""".stripMargin,
+
+    // same graph CTEs; each peel round = degree filter + edge semi-joins,
+    // replayed as chained CTEs
+    "q_kcore" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |    AND l_shipdate < TIMESTAMP '2001-01-01'),
+        |e0 AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |u0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |al1 AS (SELECT a AS n FROM u0 GROUP BY a HAVING COUNT(*) >= 3),
+        |e1 AS (SELECT e0.a, e0.b FROM e0
+        |       WHERE EXISTS (SELECT 1 FROM al1 WHERE al1.n = e0.a)
+        |         AND EXISTS (SELECT 1 FROM al1 WHERE al1.n = e0.b)),
+        |u1 AS (SELECT a, b FROM e1 UNION ALL SELECT b, a FROM e1),
+        |al2 AS (SELECT a AS n FROM u1 GROUP BY a HAVING COUNT(*) >= 3),
+        |e2 AS (SELECT e1.a, e1.b FROM e1
+        |       WHERE EXISTS (SELECT 1 FROM al2 WHERE al2.n = e1.a)
+        |         AND EXISTS (SELECT 1 FROM al2 WHERE al2.n = e1.b)),
+        |u2 AS (SELECT a, b FROM e2 UNION ALL SELECT b, a FROM e2)
+        |SELECT CAST(0 AS BIGINT) AS round,
+        |  (SELECT COUNT(DISTINCT a) FROM u0) AS n_nodes,
+        |  (SELECT COUNT(*) FROM e0) AS n_edges
+        |UNION ALL SELECT 1,
+        |  (SELECT COUNT(DISTINCT a) FROM u1),
+        |  (SELECT COUNT(*) FROM e1)
+        |UNION ALL SELECT 2,
+        |  (SELECT COUNT(DISTINCT a) FROM u2),
+        |  (SELECT COUNT(*) FROM e2)
+        |ORDER BY round""".stripMargin,
 
     "q_bfs_reach" ->
       """WITH li AS (

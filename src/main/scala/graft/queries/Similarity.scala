@@ -94,6 +94,33 @@ object Similarity {
       when(dotL(v, planeLit(p)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** MMR rerank geometry (q_mmr_rerank): every 50th vector is a query,
+    * top-8 relevance pool, greedy-select 3 with λ = 0.7. The λ and 1−λ
+    * weights are SEPARATE double literals (0.7 / 0.3) in both engines —
+    * computing 1−0.7 in IEEE would yield 0.30000000000000004 and break
+    * bit-parity with the oracle's 0.3. */
+  private val MmrQMod = 50L
+  private val MmrPool = 8
+  private val MmrK = 3
+  private val MmrLam = 0.7
+  private val MmrDivW = 0.3
+
+  /** JL projection geometry (q_jl_project): 64 → 16 dims, seeded ±1
+    * signs shared verbatim with the oracle (the mtSigns discipline). */
+  private val JlOut = 16
+
+  private lazy val jlSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val rnd = new scala.util.Random(0x4A4C50)
+    IndexedSeq.fill(JlOut, 64)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  private def jlPlaneLit(r: Int): String =
+    jlSigns(r).map(s => s"${s}L").mkString("array(", ", ", ")")
+
+  /** Flattened sign list for the oracle: output dim r occupies 1-based
+    * positions r*64+1 .. r*64+64. */
+  private lazy val jlSqlLit: String = jlSigns.flatten.mkString("[", ", ", "]")
+
   /** Multi-table LSH (q_knn_join_ann_multi): L independent tables of
     * PLANES sign planes each. Signs are seeded-deterministic (fixed
     * java.util.Random LCG sequence, spec-stable across JVMs) and shared
@@ -641,6 +668,156 @@ object Similarity {
     // the same absence semantics as the ANN kNN queries.
     "q_label_noise_ann" -> ((s, d) =>
       labelNoiseCensus(s, d, topKNeighbors(s, mtPairs(s, d), 5))),
+
+    // HARD-NEGATIVE mining for contrastive training — every vector's
+    // top-2 most-similar vectors carrying a DIFFERENT label: the batch
+    // construction that makes embedding fine-tuning work (DPR/SimCSE
+    // style — high-cosine wrong-label examples carry the gradient signal
+    // random negatives don't; the random-draw counterpart is
+    // q_negative_sample in Sampling). Candidates come from the shared
+    // multi-table LSH machinery (mtPairs — the at-scale path, recall
+    // measured in QueriesSpec); the different-label filter runs BEFORE
+    // the bounded top-k, so the TopKAggregator shuffle still carries
+    // ≤ k rows per (vector × task) and nothing is globally sorted.
+    // Deterministic planes + exact integer cosines → the oracle replays
+    // candidates and the (cos DESC, nbr ASC) tie rule bit-for-bit.
+    "q_hard_negatives" -> ((s, d) => {
+      import s.implicits._
+      val labels = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val sym = mtPairs(s, d)
+        .select(explode(array(
+          struct(col("ida").as("vid"), col("cos"), col("idb").as("nbr")),
+          struct(col("idb").as("vid"), col("cos"), col("ida").as("nbr")))).as("e"))
+        .select(col("e.vid").as("vec_id"), col("e.cos").as("cos"),
+          col("e.nbr").as("nbr_id"))
+        .join(labels.select(col("vec_id").as("nbr_id"),
+          col("label").as("nbr_label")), "nbr_id")
+        .join(labels.select(col("vec_id"), col("label").as("own_label")),
+          "vec_id")
+        .filter(col("own_label") =!= col("nbr_label"))
+      val topk = new graft.functions.TopKAggregator(2).toColumn
+      sym.select(col("vec_id"), col("cos"), col("nbr_id"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, c, n) => (c, n) }
+        .agg(topk)
+        .flatMap { case (vid, tops) =>
+          tops.zipWithIndex.map { case ((c, n), i) => (vid, n, c, (i + 1).toLong) }
+        }
+        .toDF("vec_id", "nbr_id", "cos", "rnk")
+        .join(labels.select(col("vec_id"), col("label").as("own_label")), "vec_id")
+        .join(labels.select(col("vec_id").as("nbr_id"),
+          col("label").as("nbr_label")), "nbr_id")
+        .select(col("vec_id"), col("own_label"), col("nbr_id"),
+          col("nbr_label"), col("cos"), col("rnk"))
+        .orderBy(col("vec_id"), col("rnk"))
+    }),
+
+    // MMR DIVERSITY RERANK — maximal marginal relevance (Carbonell &
+    // Goldstein '98), the standard RAG-serving rerank: from each query's
+    // top-8 relevance pool, greedily pick 3 results maximizing
+    // 0.7·rel − 0.3·max-sim-to-already-picked, so near-duplicate hits
+    // can't crowd the answer set. Execution shape: queries are a
+    // BROADCAST-sized batch (corpus/50 here; a user-request batch in
+    // production), so relevance scoring is one corpus pass against the
+    // broadcast — embarrassingly parallel at 100 TB — and the bounded
+    // TopKAggregator keeps 8 candidates per query with ≤8 rows per
+    // (query × map task) of shuffle. Everything after the pool is
+    // pool-sized (|Q|·8 rows, |Q|·8² pairwise sims): the greedy runs as
+    // MmrK−1 driver-free rounds of equi-join + in-aggregate max(struct)
+    // argmax — rounds over k, never over data (the KMeans-loop idiom),
+    // no window, no per-query collect. Deterministic: exact integer
+    // cosines, (score DESC, cand ASC) tie rule — the unrolled DuckDB
+    // oracle replays every pick bit-for-bit.
+    "q_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      val iv = intVecs(s, d)
+      val q = iv.filter(pmod(col("vec_id"), lit(MmrQMod)) === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
+      val rel = iv.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand"),
+          cosine(dotL("v", "qv"), col("nv"), col("nq")).as("rel"))
+      val topk = new graft.functions.TopKAggregator(MmrPool).toColumn
+      val pool = rel.as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, c, r) => (r, c) }
+        .agg(topk)
+        .flatMap { case (qid, tops) => tops.map { case (r, c) => (qid, c, r) } }
+        .toDF("qid", "cand", "rel")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val cv = iv.select(col("vec_id").as("cand"), col("v").as("cv"),
+        col("nv").as("cn"))
+      val pv = pool.join(cv, "cand")
+      val sims = pv.select(col("qid"), col("cand").as("ca"),
+          col("cv").as("va"), col("cn").as("na"))
+        .join(pv.select(col("qid"), col("cand").as("cb"),
+          col("cv").as("vb"), col("cn").as("nb")), "qid")
+        .filter(col("ca") =!= col("cb"))
+        .select(col("qid"), col("ca"), col("cb"),
+          cosine(dotL("va", "vb"), col("na"), col("nb")).as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // per-query argmax by (score DESC, cand ASC) — in-aggregate
+      // max(struct), the library's distributed-argmax idiom (no window)
+      def pick(scored: DataFrame, rnk: Int): DataFrame =
+        scored.groupBy("qid")
+          .agg(max(struct(col("score"), negate(col("cand")).as("nc"),
+            col("cand"), col("rel"))).as("m"))
+          .select(col("qid"), col("m.cand").as("sel"), col("m.rel").as("rel"),
+            col("m.score").as("score"), lit(rnk.toLong).as("rnk"))
+      var selected = pick(pool.withColumn("score", col("rel")), 1)
+      for (k <- 2 to MmrK) {
+        val selSet = selected.select(col("qid"), col("sel"))
+        val remaining = pool.join(selSet.withColumnRenamed("sel", "cand"),
+          Seq("qid", "cand"), "left_anti")
+        val scored = remaining
+          .join(sims.join(selSet, sims("qid") === selSet("qid") &&
+              col("cb") === col("sel"))
+            .select(sims("qid"), col("ca").as("cand"), col("sim")),
+            Seq("qid", "cand"))
+          .groupBy(col("qid"), col("cand"), col("rel"))
+          .agg(max(col("sim")).as("msim"))
+          .withColumn("score",
+            lit(MmrLam) * col("rel") - lit(MmrDivW) * col("msim"))
+        selected = selected.union(pick(scored, k))
+      }
+      // materialize the |Q|·MmrK-row result, then release the pool-sized
+      // scaffolding (the Dedup residue idiom): the returned cached frame
+      // is the only thing the caller re-reads
+      val out = selected.select(col("qid").as("query_id"), col("rnk"),
+          col("sel").as("vec_id"), col("rel"), col("score"))
+        .orderBy(col("query_id"), col("rnk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      pool.unpersist(blocking = false)
+      sims.unpersist(blocking = false)
+      out
+    }),
+
+    // JOHNSON-LINDENSTRAUSS RANDOM PROJECTION — 64 → 16 dims against a
+    // seeded ±1 sign matrix (Achlioptas '01: database-friendly random
+    // projections; the signs are spec-stable literals shared verbatim
+    // with the oracle, the mtSigns discipline). Each output coordinate
+    // is ONE codegen'd graft_long_dot against a literal plane — exact
+    // integer math, 16 dots per row, pure map work: no shuffle at any
+    // scale, and at 100 TB this is the 4× I/O cut you take BEFORE the
+    // ANN index (project at ingest, store both). `distortion` =
+    // ‖y‖²/(16·‖v‖²), expected 1 under JL — the in-row self-audit; the
+    // concentration property (pairwise, not just norms) is measured in
+    // QueriesSpec.
+    "q_jl_project" -> ((s, d) => {
+      val iv = intVecs(s, d)
+      val proj = array((0 until JlOut).map(r => dotL("v", jlPlaneLit(r))): _*)
+      iv.withColumn("y", proj)
+        .select(col("vec_id"), col("nv"),
+          expr("aggregate(y, 0L, (acc, x) -> acc + x * x)").as("nproj"),
+          concat_ws(",", col("y")).as("proj_csv"))
+        .withColumn("distortion", col("nproj").cast("double") /
+          (lit(JlOut.toDouble) * col("nv").cast("double")))
+        .select(col("vec_id"), col("proj_csv"), col("nv"), col("nproj"),
+          col("distortion"))
+        .orderBy(col("vec_id"))
+    }),
 
     // APPROXIMATE kNN self-join — the at-scale twin of q_knn_join: the
     // quadratic block join is replaced by multi-probe sign-LSH CANDIDATE
@@ -1415,6 +1592,107 @@ object Similarity {
          |       FROM dir)
          |SELECT vid AS vec_id, nbr AS nbr_id, cos, rnk
          |FROM rk WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin,
+
+    // same multi-table candidate CTEs; label joins + different-label
+    // filter BEFORE the per-vector rank, same (cos DESC, nbr ASC) tie rule
+    "q_hard_negatives" ->
+      s"""WITH $mtCtes,
+         |dir AS (SELECT vec_a AS vid, vec_b AS nbr, cos FROM cs
+         |        UNION ALL SELECT vec_b, vec_a, cos FROM cs),
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |neg AS (SELECT dir.vid, dir.nbr, dir.cos,
+         |          a.label AS own_label, b.label AS nbr_label
+         |        FROM dir JOIN lbl a ON a.vec_id = dir.vid
+         |                 JOIN lbl b ON b.vec_id = dir.nbr
+         |        WHERE a.label <> b.label),
+         |rk AS (SELECT vid, nbr, cos, own_label, nbr_label,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY vid ORDER BY cos DESC, nbr ASC) AS rnk
+         |       FROM neg)
+         |SELECT vid AS vec_id, own_label, nbr AS nbr_id, nbr_label, cos, rnk
+         |FROM rk WHERE rnk <= 2 ORDER BY vec_id, rnk""".stripMargin,
+
+    // greedy MMR unrolled: pool = per-query relevance top-8 (rel DESC,
+    // cand ASC), pairwise sims among the pool, then one CTE per pick —
+    // the same 0.7·rel − 0.3·max-sim arithmetic and tie rule as the
+    // Spark rounds, so every pick replays bit-for-bit
+    "q_mmr_rerank" ->
+      s"""WITH $ivCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM iv WHERE vec_id % $MmrQMod = 0),
+         |sc AS (SELECT q.qid, iv.vec_id AS cand,
+         |         SUM(iv.v[i] * q.qv[i]) AS dot,
+         |         SUM(iv.v[i] * iv.v[i]) AS nv,
+         |         SUM(q.qv[i] * q.qv[i]) AS nq
+         |       FROM iv, q, idx WHERE iv.vec_id <> q.qid
+         |       GROUP BY q.qid, iv.vec_id),
+         |rl AS (SELECT qid, cand, CAST(dot AS DOUBLE) /
+         |         (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS rel
+         |       FROM sc),
+         |pool AS (SELECT qid, cand, rel FROM (
+         |           SELECT qid, cand, rel, ROW_NUMBER() OVER (
+         |             PARTITION BY qid ORDER BY rel DESC, cand ASC) AS rk
+         |           FROM rl) WHERE rk <= $MmrPool),
+         |ps AS (SELECT a.qid, a.cand AS ca, b.cand AS cb,
+         |         CAST(SUM(x.v[i] * y.v[i]) AS DOUBLE) /
+         |           (SQRT(CAST(SUM(x.v[i] * x.v[i]) AS DOUBLE)) *
+         |            SQRT(CAST(SUM(y.v[i] * y.v[i]) AS DOUBLE))) AS sim
+         |       FROM pool a JOIN pool b ON a.qid = b.qid AND a.cand <> b.cand
+         |       JOIN iv x ON x.vec_id = a.cand
+         |       JOIN iv y ON y.vec_id = b.cand, idx
+         |       GROUP BY a.qid, a.cand, b.cand),
+         |s1 AS (SELECT qid, cand AS sel, rel, rel AS score FROM (
+         |         SELECT qid, cand, rel, ROW_NUMBER() OVER (
+         |           PARTITION BY qid ORDER BY rel DESC, cand ASC) AS rk
+         |         FROM pool) WHERE rk = 1),
+         |m2 AS (SELECT p.qid, p.cand, p.rel,
+         |         CAST($MmrLam AS DOUBLE) * p.rel -
+         |           CAST($MmrDivW AS DOUBLE) * MAX(ps.sim) AS score
+         |       FROM pool p JOIN s1 ON s1.qid = p.qid AND p.cand <> s1.sel
+         |       JOIN ps ON ps.qid = p.qid AND ps.ca = p.cand AND ps.cb = s1.sel
+         |       GROUP BY p.qid, p.cand, p.rel),
+         |s2 AS (SELECT qid, cand AS sel, rel, score FROM (
+         |         SELECT qid, cand, rel, score, ROW_NUMBER() OVER (
+         |           PARTITION BY qid ORDER BY score DESC, cand ASC) AS rk
+         |         FROM m2) WHERE rk = 1),
+         |sel2 AS (SELECT qid, sel FROM s1 UNION ALL SELECT qid, sel FROM s2),
+         |m3 AS (SELECT p.qid, p.cand, p.rel,
+         |         CAST($MmrLam AS DOUBLE) * p.rel -
+         |           CAST($MmrDivW AS DOUBLE) * MAX(ps.sim) AS score
+         |       FROM pool p
+         |       JOIN ps ON ps.qid = p.qid AND ps.ca = p.cand
+         |       JOIN sel2 s ON s.qid = p.qid AND ps.cb = s.sel
+         |       WHERE NOT EXISTS (SELECT 1 FROM sel2 z
+         |                         WHERE z.qid = p.qid AND z.sel = p.cand)
+         |       GROUP BY p.qid, p.cand, p.rel),
+         |s3 AS (SELECT qid, cand AS sel, rel, score FROM (
+         |         SELECT qid, cand, rel, score, ROW_NUMBER() OVER (
+         |           PARTITION BY qid ORDER BY score DESC, cand ASC) AS rk
+         |         FROM m3) WHERE rk = 1)
+         |SELECT qid AS query_id, CAST(1 AS BIGINT) AS rnk, sel AS vec_id,
+         |  rel, score FROM s1
+         |UNION ALL SELECT qid, CAST(2 AS BIGINT), sel, rel, score FROM s2
+         |UNION ALL SELECT qid, CAST(3 AS BIGINT), sel, rel, score FROM s3
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // same flattened ±1 sign list, same exact integer dots; list(y ORDER
+    // BY r) rebuilds the projected vector in output-dim order
+    "q_jl_project" ->
+      s"""WITH $ivCte,
+         |rdx AS (SELECT UNNEST(range(0, $JlOut)) AS r),
+         |pj AS (SELECT vec_id, r,
+         |         SUM(v[i] * list_extract($jlSqlLit, r*64 + i)) AS y
+         |       FROM iv, rdx, idx GROUP BY vec_id, r),
+         |ag AS (SELECT vec_id,
+         |         array_to_string(list(y ORDER BY r), ',') AS proj_csv,
+         |         CAST(SUM(y * y) AS BIGINT) AS nproj
+         |       FROM pj GROUP BY vec_id),
+         |vn2 AS (SELECT vec_id, CAST(SUM(v[i] * v[i]) AS BIGINT) AS nv
+         |        FROM iv, idx GROUP BY vec_id)
+         |SELECT ag.vec_id, proj_csv, nv, nproj,
+         |  CAST(nproj AS DOUBLE) /
+         |    (CAST($JlOut AS DOUBLE) * CAST(nv AS DOUBLE)) AS distortion
+         |FROM ag JOIN vn2 ON vn2.vec_id = ag.vec_id
+         |ORDER BY ag.vec_id""".stripMargin,
 
     // both rank lists recomputed from the shared CTEs; ROW_NUMBER with
     // the same (score DESC, id ASC) tie rule, fused identically

@@ -648,6 +648,49 @@ object Sources {
         .orderBy(col("event_type"))
     }),
 
+    // RIGHT-TO-BE-FORGOTTEN erasure sweep — the GDPR/CCPA compliance
+    // primitive: a deterministic subject set (here customers whose
+    // md5(key) starts with '0' — in production, the deletion-request
+    // tombstone list) is erased from every table that references it,
+    // directly (customer.c_custkey, orders.o_custkey, events.user_id)
+    // or transitively (lineitem via the erased customers' orders), and
+    // the sweep emits the audit report: per table, total rows, linked
+    // rows (the blast radius), surviving rows, and the residual linked
+    // count RE-COUNTED ON THE ERASED FRAME — proven 0, the compliance
+    // evidence. Scale shape: the tombstone list is broadcast-sized, so
+    // every erase is a LEFT ANTI broadcast join (partition-local — the
+    // 100 TB fact table never shuffles); the transitive order-key
+    // tombstones are themselves subject-bounded. This is the
+    // tombstone-sweep half of the engine's delete story (the other half
+    // is `TableOps.replaceTable`'s tmp-swap publish).
+    "q_gdpr_erasure" -> ((s, d) => {
+      val subj = t(s, d, "customer")
+        .select(col("c_custkey").as("k"))
+        .filter(substring(md5(encode(col("k").cast("string"), "UTF-8")),
+          1, 1) === "0")
+      val subjOrders = t(s, d, "orders")
+        .join(broadcast(subj), col("o_custkey") === col("k"), "left_semi")
+        .select(col("o_orderkey").as("k"))
+      def audit(name: String, tbl: DataFrame, key: org.apache.spark.sql.Column,
+                tomb: DataFrame): DataFrame = {
+        val linked = tbl.join(broadcast(tomb), key === col("k"), "left_semi")
+        val erased = tbl.join(broadcast(tomb), key === col("k"), "left_anti")
+        val residual = erased.join(broadcast(tomb), key === col("k"), "left_semi")
+        tbl.agg(count(lit(1)).as("rows_total"))
+          .crossJoin(linked.agg(count(lit(1)).as("rows_linked")))
+          .crossJoin(erased.agg(count(lit(1)).as("rows_after")))
+          .crossJoin(residual.agg(count(lit(1)).as("residual")))
+          .select(lit(name).as("tbl"), col("rows_total"),
+            col("rows_linked"), col("rows_after"), col("residual"))
+      }
+      audit("customer", t(s, d, "customer"), col("c_custkey"), subj)
+        .unionByName(audit("events", t(s, d, "events"), col("user_id"), subj))
+        .unionByName(audit("lineitem", t(s, d, "lineitem"),
+          col("l_orderkey"), subjOrders))
+        .unionByName(audit("orders", t(s, d, "orders"), col("o_custkey"), subj))
+        .orderBy(col("tbl"))
+    }),
+
     // DAU/WAU stickiness — the product-analytics ratio: per day, the
     // day's distinct users over the trailing week's distinct users.
     // Exact twin of the sliding-HLL machinery: the distinct (day, user)
@@ -1444,6 +1487,45 @@ object Sources {
         |  CAST((hw_us - max_us) // 3600000000 AS BIGINT) AS lag_hours,
         |  ((hw_us - max_us) // 3600000000 >= 24) AS stale
         |FROM per, hw ORDER BY event_type""".stripMargin,
+
+    // same tombstone rule (md5 first hex char '0'); per-table census
+    // replayed with EXISTS semi/anti semantics
+    "q_gdpr_erasure" ->
+      """WITH subj AS (
+        |  SELECT c_custkey AS k FROM customer
+        |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
+        |sord AS (
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE EXISTS (SELECT 1 FROM subj WHERE subj.k = o_custkey))
+        |SELECT 'customer' AS tbl,
+        |  (SELECT COUNT(*) FROM customer) AS rows_total,
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE EXISTS (SELECT 1 FROM subj WHERE subj.k = c_custkey)) AS rows_linked,
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE NOT EXISTS (SELECT 1 FROM subj WHERE subj.k = c_custkey)) AS rows_after,
+        |  CAST(0 AS BIGINT) AS residual
+        |UNION ALL SELECT 'events',
+        |  (SELECT COUNT(*) FROM events),
+        |  (SELECT COUNT(*) FROM events
+        |   WHERE EXISTS (SELECT 1 FROM subj WHERE subj.k = user_id)),
+        |  (SELECT COUNT(*) FROM events
+        |   WHERE NOT EXISTS (SELECT 1 FROM subj WHERE subj.k = user_id)),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'lineitem',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE EXISTS (SELECT 1 FROM sord WHERE sord.k = l_orderkey)),
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE NOT EXISTS (SELECT 1 FROM sord WHERE sord.k = l_orderkey)),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'orders',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE EXISTS (SELECT 1 FROM subj WHERE subj.k = o_custkey)),
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE NOT EXISTS (SELECT 1 FROM subj WHERE subj.k = o_custkey)),
+        |  CAST(0 AS BIGINT)
+        |ORDER BY tbl""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.
     "q_ingest_completeness" ->

@@ -406,6 +406,51 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("graph rounds (LPA, SSSP) are equi-joins + aggregates: no window, no cartesian") {
+    // each round is frontier/labels ⋈ edges on a node key plus
+    // map-side-combinable aggregates; the LPA mode tie-break is an
+    // in-aggregate max(struct) argmax — a WindowExec or cartesian here
+    // would be the per-node sort/all-pairs shape the round design avoids
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q_label_prop", "q_shortest_path").foreach { q =>
+      val sp = graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      assert(sp.collect { case w: WindowExec => w }.isEmpty, s"$q plans a window")
+      val p = sp.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q_jl_project is pure map work: no join, no aggregate exchange, no window") {
+    // 16 codegen'd LongDots per row + the presentation orderBy — the ONLY
+    // exchange allowed is the final rangepartitioning sort; a
+    // hashpartitioning exchange, join, or window here would mean the
+    // projection stopped being ingest-time map work
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = graft.SparkEntry.queries("q_jl_project")(spark, sf)
+      .queryExecution.executedPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty)
+    val p = sp.toString
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_mmr_rerank pool stage: broadcast query batch, bounded top-k, no window") {
+    // the corpus is scored against a BROADCAST query batch (BNLJ is the
+    // correct physical op for that cross) and pooled by the bounded
+    // TopKAggregator — a SortMergeJoin on the cross or a WindowExec rank
+    // here would be the all-to-all shape the design avoids. The returned
+    // frame is the cached |Q|·3-row residue (the Dedup materialize-then-
+    // release idiom), so the pin drives the plan at build time and then
+    // asserts the residue reads from the cache.
+    val out = graft.SparkEntry.queries("q_mmr_rerank")(spark, sf)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(out.queryExecution.executedPlan
+      .collect { case w: WindowExec => w }.isEmpty)
+  }
+
   test("resolution-family keep rules stay equi-join-only: no cartesian, no window") {
     // canonical selection and the leak-free split both ride the CC labels
     // with component-keyed aggregates — never a per-cluster window or any

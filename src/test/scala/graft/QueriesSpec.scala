@@ -236,6 +236,156 @@ class QueriesSpec extends SparkSpec {
     assert(recall >= 0.8, f"prefix-ANN recall $recall%.2f below the measured bar")
   }
 
+  test("q_hard_negatives mines cross-label near neighbors; recall vs exact on clustered vectors") {
+    import spark.implicits._
+    // confusable-label fixture: 8 labels on 4 TWIN centroid pairs (label
+    // 2k+1 is a small perturbation of label 2k's direction), so each
+    // vector's nearest cross-label neighbors are genuinely high-cosine —
+    // the regime hard-negative mining exists for. (With fully separated
+    // clusters there ARE no hard negatives: every cross-label cosine is
+    // near 0 and sign-LSH correctly surfaces nothing.)
+    val dir = tmpDir("graft-hardneg")
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(4, 64)(rnd.nextGaussian())
+    val cents = Array.tabulate(8, 64) { (c, k) =>
+      base(c / 2)(k) + (if (c % 2 == 1) 0.18 * rnd.nextGaussian() else 0.0)
+    }
+    val rows = (0 until 240).map { i =>
+      val c = cents(i % 8)
+      (i.toLong, c.map(x => (x + 0.35 * rnd.nextGaussian()).toFloat).toSeq, i % 8)
+    }
+    rows.toDF("vec_id", "embedding", "label").repartition(4)
+      .write.parquet(s"$dir/embeddings.parquet")
+    def ivec(e: Seq[Float]): Array[Long] = e.map(x =>
+      BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+    val vecs = rows.map { case (id, e, _) => id -> ivec(e) }.toMap
+    val lbl = rows.map { case (id, _, l) => id -> l }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val got = SparkEntry.queries("q_hard_negatives")(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Int]("own_label") != r.getAs[Int]("nbr_label"),
+        "a hard negative shares its anchor's label")
+      val c = cos(vecs(r.getAs[Long]("vec_id")), vecs(r.getAs[Long]("nbr_id")))
+      assert(math.abs(r.getAs[Double]("cos") - c) < 1e-12)
+    }
+    // recall vs the exact cross-label top-2 (all-pairs brute force)
+    val byVec = got.groupBy(_.getAs[Long]("vec_id"))
+      .map { case (v, rs) => v -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+    val ids = vecs.keySet.toSeq
+    var hits = 0; var denom = 0
+    ids.foreach { v =>
+      val exact = ids.filter(o => o != v && lbl(o) != lbl(v))
+        .map(o => (o, cos(vecs(v), vecs(o))))
+        .sortBy { case (o, c) => (-c, o) }.take(2).map(_._1).toSet
+      denom += exact.size
+      hits += byVec.getOrElse(v, Set.empty).intersect(exact).size
+    }
+    val recall = hits.toDouble / denom
+    info(f"hard-negative top-2 recall vs exact cross-label kNN: $recall%.2f")
+    assert(recall >= 0.9, f"hard-negative recall $recall%.2f below the measured floor (0.97)")
+  }
+
+  test("q_mmr_rerank equals the brute-force greedy MMR (pool, picks, scores)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    // independent greedy replication: per query, top-8 pool by
+    // (rel DESC, id ASC), then 3 picks maximizing 0.7·rel − 0.3·maxsim
+    val want = emb.keys.filter(_ % 50 == 0).toSeq.sorted.flatMap { qid =>
+      val pool = emb.keys.filter(_ != qid).toSeq
+        .map(c => (c, cos(emb(qid), emb(c))))
+        .sortBy { case (c, r) => (-r, c) }.take(8)
+      var selected = List.empty[(Long, Double, Double)] // (id, rel, score)
+      for (_ <- 1 to 3) {
+        val cand = pool.filterNot { case (c, _) => selected.exists(_._1 == c) }
+          .map { case (c, r) =>
+            val score = if (selected.isEmpty) r
+              else 0.7 * r - 0.3 * selected.map(s => cos(emb(c), emb(s._1))).max
+            (c, r, score)
+          }
+        selected = selected :+ cand.minBy { case (c, _, s) => (-s, c) }
+      }
+      selected.zipWithIndex.map { case ((c, r, s), i) => (qid, (i + 1).toLong, c, r, s) }
+    }
+    val got = SparkEntry.queries("q_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3,
+        s"pick differs: got $g want $w")
+      assert(math.abs(g._4 - w._4) < 1e-12 && math.abs(g._5 - w._5) < 1e-12)
+    }
+    // the diversity penalty must actually bite somewhere: at least one
+    // query's MMR set differs from its pure-relevance top-3
+    val mmrSets = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val relSets = want.map(_._1).distinct.map { qid =>
+      qid -> emb.keys.filter(_ != qid).toSeq
+        .map(c => (c, cos(emb(qid), emb(c))))
+        .sortBy { case (c, r) => (-r, c) }.take(3).map(_._1).toSet
+    }.toMap
+    assert(mmrSets.exists { case (q, s) => s != relSets(q) },
+      "MMR never deviated from pure relevance — penalty inert on this data")
+  }
+
+  test("q_jl_project: exact replication per row and JL concentration on pairs") {
+    val got = SparkEntry.queries("q_jl_project")(spark, sf).collect()
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray).toMap
+    // replicate the seeded sign matrix (same draw as jlSigns)
+    val rnd = new scala.util.Random(0x4A4C50)
+    val signs = IndexedSeq.fill(16, 64)(if (rnd.nextBoolean()) 1L else -1L)
+    def proj(v: Array[Long]): Array[Long] =
+      signs.map(row => row.zip(v).map { case (s, x) => s * x }.sum).toArray
+    val projById = got.map { r =>
+      val y = r.getString(1).split(",").map(_.toLong)
+      r.getLong(0) -> y
+    }.toMap
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val y = proj(emb(id))
+      assert(projById(id).sameElements(y), s"projection differs for vec $id")
+      val nv = emb(id).map(x => x * x).sum
+      val np = y.map(x => x * x).sum
+      assert(r.getLong(2) == nv && r.getLong(3) == np)
+      assert(math.abs(r.getDouble(4) - np.toDouble / (16.0 * nv.toDouble)) < 1e-12)
+    }
+    val meanDist = got.map(_.getDouble(4)).sum / got.length
+    info(f"mean norm distortion: $meanDist%.3f")
+    assert(meanDist > 0.8 && meanDist < 1.2, f"mean distortion $meanDist%.3f off 1")
+    // pairwise concentration: projected cosine tracks original cosine
+    def cosL(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val ids = emb.keys.toSeq.sorted
+    val prnd = new scala.util.Random(11)
+    val errs = (1 to 300).map { _ =>
+      val a = ids(prnd.nextInt(ids.length)); val b = ids(prnd.nextInt(ids.length))
+      math.abs(cosL(projById(a), projById(b)) - cosL(emb(a), emb(b)))
+    }
+    val within = errs.count(_ <= 0.5).toDouble / errs.length
+    info(f"pairs within 0.5 cosine error at 16 dims: $within%.2f")
+    assert(within >= 0.85, f"JL concentration $within%.2f below floor")
+  }
+
   test("q_ann_ivfpq: end-to-end recall (member query) and the nprobe routing trade (boundary query)") {
     import spark.implicits._
     import graft.functions.VectorFunctions.{intVec, normL}

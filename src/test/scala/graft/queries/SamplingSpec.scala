@@ -6,6 +6,35 @@ import org.apache.spark.sql.functions._
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q_negative_sample equals the brute-force seeded draw with collision drop") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("q_negative_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // independent replication: same md5-uniform convention, in-memory
+    val pos = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nParts = graft.Tables.load(spark, sf, "part")
+      .agg(max(col("p_partkey"))).head().getLong(0) + 1L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(key: String): Long = {
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = for {
+      (s, p) <- pos
+      j <- 1L to 3L
+      cand = u32(s + ":" + p + ":" + j) % nParts
+      if !pos.contains((s, cand))
+    } yield (s, p, j, cand)
+    assert(got === want, "sample disagrees with the independent seeded draw")
+    // no kept negative is a positive, and the collision rate is visible
+    assert(got.forall { case (s, _, _, c) => !pos.contains((s, c)) })
+    assert(got.size < pos.size * 3, "no draw ever collided — suspicious")
+  }
+
   test("hash split is a pure function of id: stable across partitionings") {
     val docs = Tables.load(spark, sf, "documents")
     val a = Sampling.withSplit(docs, "doc_id")

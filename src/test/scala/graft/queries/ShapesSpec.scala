@@ -427,6 +427,68 @@ class ShapesSpec extends SparkSpec {
     assert(q > 0.0, f"modularity $q%.3f — partition no better than random")
   }
 
+  test("q_kcore census matches a brute-force 2-round peel on the collected graph") {
+    import org.apache.spark.sql.functions._
+    val got = run("q_kcore").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    var edges: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    def census(e: Set[(Long, Long)]): (Long, Long) =
+      (e.flatMap(p => Seq(p._1, p._2)).size.toLong, e.size.toLong)
+    def peel(e: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (n, g) => n -> g.size }
+      val alive = deg.filter(_._2 >= 3).keySet
+      e.filter(p => alive(p._1) && alive(p._2))
+    }
+    assert(got(0L) === census(edges))
+    edges = peel(edges); assert(got(1L) === census(edges))
+    edges = peel(edges); assert(got(2L) === census(edges))
+    // the peel bit: each round strictly or weakly shrinks, never grows
+    assert(got(1L)._1 <= got(0L)._1 && got(2L)._1 <= got(1L)._1)
+    assert(got(1L)._2 <= got(0L)._2 && got(2L)._2 <= got(1L)._2)
+  }
+
+  test("q_gdpr_erasure: audit identity holds, residual is zero, blast radius matches the tombstones") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_gdpr_erasure").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("customer", "events", "lineitem", "orders"))
+    rows.foreach { case (t, (total, linked, after, residual)) =>
+      assert(residual == 0L, s"$t erasure left $residual residual rows")
+      assert(total - linked == after, s"$t: $total - $linked != $after")
+    }
+    // independent tombstone replication: md5 first hex char '0'
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex1(k: Long): Char =
+      md.digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    val custs = graft.Tables.load(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val subj = custs.filter(hex1(_) == '0').toSet
+    assert(rows("customer")._2 == subj.size.toLong)
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows("orders")._2 == orders.count(o => subj(o._2)).toLong)
+    val subjOrd = orders.filter(o => subj(o._2)).map(_._1).toSet
+    val linkedLi = graft.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey").collect().count(r => subjOrd(r.getLong(0)))
+    assert(rows("lineitem")._2 == linkedLi.toLong)
+    val linkedEv = graft.Tables.load(spark, sf, "events")
+      .select("user_id").collect().count(r => subj(r.getLong(0)))
+    assert(rows("events")._2 == linkedEv.toLong)
+    // the sweep actually bites on this data
+    assert(subj.nonEmpty, "empty tombstone set — audit vacuous")
+  }
+
   test("q_heavy_hitters: every top key inside the one-sided CMS bound, exact counts exact") {
     import org.apache.spark.sql.functions._
     val rows = run("q_heavy_hitters").collect()
