@@ -550,6 +550,37 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // RECORD LINKAGE between two catalogs (Fellegi–Sunter blocking +
+    // edit-distance match + best-match resolution) — the entity-matching
+    // shape every ingest-from-N-vendors pipeline runs: parts split into
+    // two "catalogs" by key parity, blocked on the name's LAST TOKEN (the
+    // head noun — the standard cheap blocking key; only same-noun pairs
+    // are ever compared), scored by levenshtein over the full name, kept
+    // at distance ≤ 4, and resolved to ONE best match per left entity via
+    // an in-aggregate min(struct(dist, key)) argmax — no window, no
+    // per-entity collect. At 100 TB the block join IS the partitioning
+    // (skewed block keys salt like any equi-join; see prune.Skew), the
+    // DP cost is bounded by block sizes not the catalog product, and the
+    // argmax is map-side combinable. Distance is the builtin levenshtein
+    // (= DuckDB's), so the oracle matches bit-for-bit.
+    "q_record_linkage" -> ((s, d) => {
+      val parts = t(s, d, "part").select(col("p_partkey"), col("p_name"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val left = parts.filter(pmod(col("p_partkey"), lit(2)) === 1)
+        .select(col("p_partkey").as("l_key"), col("p_name").as("l_name"), col("blk"))
+      val right = parts.filter(pmod(col("p_partkey"), lit(2)) === 0)
+        .select(col("p_partkey").as("r_key"), col("p_name").as("r_name"), col("blk"))
+      left.join(right, "blk")
+        .withColumn("dist", expr("graft_levenshtein(l_name, r_name)").cast("long"))
+        .filter(col("dist") <= 4)
+        .groupBy(col("l_key"), col("l_name"))
+        .agg(min(struct(col("dist"), col("r_key"), col("r_name"))).as("best"))
+        .select(col("l_key"), col("l_name"),
+          col("best.r_key").as("r_key"), col("best.r_name").as("r_name"),
+          col("best.dist").as("dist"))
+        .orderBy(col("l_key"))
+    }),
+
     // 16-bit SimHash fingerprint per document (sign of per-bit weighted
     // token-hash sum). One md5 + one int per token, 16 arithmetic sums in a
     // single per-doc aggregate — no row blow-up, one shuffle. Pair search is
@@ -762,6 +793,21 @@ object Dedup {
          |JOIN documents db ON db.doc_id = pr.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "q_record_linkage" ->
+      s"""WITH p AS (SELECT p_partkey, p_name, sa[len(sa)] AS blk
+         |           FROM (SELECT p_partkey, p_name,
+         |                   string_split(p_name, ' ') AS sa FROM part)),
+         |cand AS (SELECT l.p_partkey AS l_key, l.p_name AS l_name,
+         |           r.p_partkey AS r_key, r.p_name AS r_name,
+         |           CAST(levenshtein(l.p_name, r.p_name) AS BIGINT) AS dist
+         |         FROM p l JOIN p r ON l.blk = r.blk
+         |         WHERE l.p_partkey % 2 = 1 AND r.p_partkey % 2 = 0),
+         |flt AS (SELECT * FROM cand WHERE dist <= 4),
+         |rk AS (SELECT *, ROW_NUMBER() OVER
+         |         (PARTITION BY l_key ORDER BY dist, r_key) AS rn FROM flt)
+         |SELECT l_key, l_name, r_key, r_name, dist FROM rk WHERE rn = 1
+         |ORDER BY l_key""".stripMargin,
 
     "q_minhash_estimate" -> {
       val mins = (0 until Seeds)

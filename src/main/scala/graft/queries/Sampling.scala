@@ -87,6 +87,46 @@ object Sampling {
         .orderBy(col("l_suppkey"), col("pos_part"), col("draw_j"))
     }),
 
+    // SPAN CORRUPTION (T5/UL2 denoising batch construction, Raffel et al.
+    // 2020): tokenize each document, group tokens into fixed 3-token
+    // spans, mask a span iff the seeded md5-uniform of (doc_id, span) is
+    // below 15%, and emit per document the INPUT (each masked span
+    // collapsed to one `<X>` sentinel) and the TARGET (the masked tokens,
+    // in order) — the (input, target) pair a denoising LM trains on.
+    // Determinism: the mask is a pure function of (doc_id, span), so
+    // every rebuild corrupts identically and the oracle replays it
+    // bit-for-bit. Shape at 100 TB: tokenization and the mask decision
+    // are pure in-row map work (the sentinel collapse needs NO window —
+    // a masked span always contains its own first token, which is the
+    // one row that becomes `<X>`), and the reassembly is ONE doc_id
+    // aggregate whose state is the document itself — exactly the
+    // text-sized state any per-doc transform carries.
+    "q_span_corruption" -> ((s, d) => {
+      val uSpan = conv(substring(md5(encode(
+        concat_ws(":", col("doc_id"), col("span")), "UTF-8")), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+        .withColumn("span", expr("pos div 3"))
+        .withColumn("masked", uSpan < lit(0.15))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+          sort_array(collect_list(
+            when(!col("masked"), struct(col("pos"), col("tok").as("t")))
+              .when(col("pos") % 3 === 0, struct(col("pos"), lit("<X>").as("t")))))
+            .as("ain"),
+          sort_array(collect_list(
+            when(col("masked"), struct(col("pos"), col("tok").as("t")))))
+            .as("atg"))
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          expr("array_join(transform(ain, s -> s.t), ' ')").as("input_text"),
+          expr("array_join(transform(atg, s -> s.t), ' ')").as("target_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Split distribution + per-split aggregate — the reproducible
     // train/dev/test assignment every corpus rebuild must preserve.
     "q_hash_split" -> ((s, d) =>
@@ -518,6 +558,28 @@ object Sampling {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM pos p WHERE p.sk = c.sk AND p.pk = c.cand)
          |ORDER BY l_suppkey, pos_part, draw_j""".stripMargin,
+
+    "q_span_corruption" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, pos - 1 AS pos, w[pos] AS tok
+         |  FROM (SELECT doc_id, w, UNNEST(range(1, len(w) + 1)) AS pos
+         |        FROM (SELECT doc_id,
+         |                string_split_regex(lower(trim(text)), '\\s+') AS w
+         |              FROM documents))),
+         |fl AS (
+         |  SELECT doc_id, pos, tok,
+         |    ${sqlBucketN("(doc_id || ':' || (pos // 3))", 8)} / 4294967296.0
+         |      < 0.15 AS masked
+         |  FROM tk)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  COALESCE(string_agg(CASE WHEN NOT masked THEN tok ELSE '<X>' END, ' '
+         |      ORDER BY pos) FILTER (WHERE NOT masked OR pos % 3 = 0),
+         |    '') AS input_text,
+         |  COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE masked),
+         |    '') AS target_text
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_importance_sample" ->
       s"""WITH b AS (SELECT doc_id, n_chars,

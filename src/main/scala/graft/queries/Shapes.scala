@@ -1335,6 +1335,47 @@ object Shapes {
         .orderBy(col("event_type"))
     }),
 
+    // POISSON BOOTSTRAP confidence interval (Chamandy et al. 2012 — the
+    // resampling scheme built for map-reduce): error bars on any metric
+    // without N×B resampled copies. Each of B=32 replicates weights every
+    // order by an independent Poisson(1) draw (≈ sampling with
+    // replacement at scale), realized as a seeded md5-uniform of
+    // (o_orderkey, b) pushed through the Poisson inverse CDF — a pure
+    // in-row CASE, so the resample is rerun-stable and oracle-exact.
+    // Shape at 100 TB: the ×32 fanout is in-row map work, the replicate
+    // estimates are ONE 32-group map-side-combinable aggregate (decimal
+    // sums keep each weighted mean order-free), and the CI is order
+    // statistics over the 32-row estimate table — never a second pass
+    // over the data, never a driver loop. Reported: the exact full-data
+    // mean, the bootstrap median, and the [2nd, 31st] order statistics
+    // (a ~94% CI at B=32).
+    "q_bootstrap_ci" -> ((s, d) => {
+      val u = conv(substring(md5(encode(
+        concat_ws(":", col("o_orderkey"), col("b")), "UTF-8")), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val est = o
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(expr("sequence(0L, 31L)")).as("b"))
+        .withColumn("w",
+          when(u < 0.36787944117144233, 0L)      // P(X=0), X~Poisson(1)
+            .when(u < 0.7357588823428847, 1L)    // + P(X=1)
+            .when(u < 0.9196986029286058, 2L)    // + P(X=2)
+            .when(u < 0.9810118431238462, 3L)    // + P(X=3)
+            .otherwise(4L))                      // tail collapsed to 4
+        .filter(col("w") > 0)
+        .groupBy(col("b"))
+        .agg((Num.dsum(col("w") * col("o_totalprice"))
+          / sum(col("w")).cast("double")).as("est"))
+      val full = o.agg(Num.davg(col("o_totalprice")).as("mean_full"))
+      est.agg(sort_array(collect_list(col("est"))).as("ests"))
+        .crossJoin(broadcast(full))
+        .select(col("mean_full"),
+          element_at(col("ests"), 16).as("boot_med"),
+          element_at(col("ests"), 2).as("ci_lo"),
+          element_at(col("ests"), 31).as("ci_hi"))
+    }),
+
     // 2-D skyline (Pareto frontier): parts no other part beats on BOTH
     // price and size. The O(N²) NOT-EXISTS self-join collapses to sort
     // algebra: per price group take the min size, then a prefix-min over
@@ -2161,6 +2202,33 @@ object Shapes {
          |FROM m WHERE n0 >= 2 AND n1 >= 2
          |ORDER BY event_type""".stripMargin
     },
+
+    "q_bootstrap_ci" ->
+      s"""WITH reps AS (
+         |  SELECT o_orderkey, o_totalprice, UNNEST(range(0, 32)) AS b
+         |  FROM orders),
+         |uw AS (
+         |  SELECT b, o_totalprice,
+         |    ${Sampling.sqlBucketN("(o_orderkey || ':' || b)", 8)}
+         |      / 4294967296.0 AS u
+         |  FROM reps),
+         |w AS (
+         |  SELECT b, o_totalprice,
+         |    CASE WHEN u < 0.36787944117144233 THEN 0
+         |         WHEN u < 0.7357588823428847 THEN 1
+         |         WHEN u < 0.9196986029286058 THEN 2
+         |         WHEN u < 0.9810118431238462 THEN 3
+         |         ELSE 4 END AS w
+         |  FROM uw),
+         |est AS (
+         |  SELECT b, ${Num.sqlDsum("w * o_totalprice")}
+         |    / CAST(SUM(w) AS DOUBLE) AS est
+         |  FROM w WHERE w > 0 GROUP BY b),
+         |arr AS (SELECT list(est ORDER BY est) AS ests FROM est),
+         |f AS (SELECT ${Num.sqlDavg("o_totalprice")} AS mean_full FROM orders)
+         |SELECT mean_full, ests[16] AS boot_med, ests[2] AS ci_lo,
+         |  ests[31] AS ci_hi
+         |FROM arr, f""".stripMargin,
 
     // Strict-dominance NOT EXISTS — the quadratic reference semantics
     // the sort-algebra plan must reproduce exactly.

@@ -639,4 +639,57 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("hashpartitioning(user_id"), p)
   }
+
+  test("q_colbert_maxsim scores against a broadcast query batch, no window, native dots") {
+    // one corpus pass × broadcast |Q|-row batch (BNLJ is the right op for
+    // that residual-condition cross), the 4×4 dot grid in-row via
+    // graft_long_dot, top-5 through the bounded aggregator — a WindowExec
+    // or a corpus-side SortMergeJoin would be the all-to-all shape maxsim
+    // retrieval must avoid
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_colbert_maxsim")(spark, sf)
+      .queryExecution.executedPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty)
+    val p = sp.toString
+    assert(p.contains("graft_long_dot"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_record_linkage blocks on an equi-key and resolves via aggregate argmax, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_record_linkage")(spark, sf)
+      .queryExecution.executedPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty)
+    val p = sp.toString
+    // the block join is an equi-join on blk — never a name-pair cartesian
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_levenshtein"), p)
+  }
+
+  test("q_span_corruption is map work + ONE doc-keyed aggregate: no join, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_span_corruption")(spark, sf)
+      .queryExecution.executedPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty)
+    val p = sp.toString
+    assert(!p.contains("Join"), p)
+    val aggShuffles = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(aggShuffles <= 1, s"expected one doc_id aggregate exchange:\n$p")
+  }
+
+  test("q_bootstrap_ci is in-row fanout + one 32-group aggregate: no window, no fact join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_bootstrap_ci")(spark, sf)
+      .queryExecution.executedPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty)
+    val p = sp.toString
+    // the only join is the broadcast of the 1-row full-data mean
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"non-scalar NLJ: $l")
+    }
+  }
 }

@@ -717,4 +717,46 @@ class QueriesSpec extends SparkSpec {
       assert(got(label)._3 <= 1.0 + 1e-12 && got(label)._3 >= -1.0 - 1e-12)
     }
   }
+
+  test("q_colbert_maxsim equals brute-force late-interaction scoring over the collected corpus") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    def sub(v: Array[Long], m: Int) = v.slice(m * 16, m * 16 + 16)
+    def maxsim(q: Array[Long], d: Array[Long]): Double =
+      (0 until 4).map { mq =>
+        (0 until 4).map(md => cos(sub(q, mq), sub(d, md))).max
+      }.sum
+    val got = SparkEntry.queries("q_colbert_maxsim")(spark, sf).collect()
+    assert(got.length == 15, s"3 queries × top-5, got ${got.length}")
+    Seq(1L, 2L, 3L).foreach { qid =>
+      val want = emb.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, maxsim(emb(qid), v)) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(5)
+      val gotQ = got.filter(_.getLong(0) == qid).sortBy(_.getLong(3))
+      assert(gotQ.length == 5)
+      gotQ.zip(want).foreach { case (r, (id, sc)) =>
+        assert(r.getLong(1) == id, s"q$qid rank ${r.getLong(3)}: " +
+          s"got ${r.getLong(1)} want $id")
+        assert(math.abs(r.getDouble(2) - sc) < 1e-9)
+      }
+      // each of q's sub-vectors found its best doc sub-vector, so the
+      // late-interaction score can only match or beat the aligned
+      // (same-subspace) sum — sanity of the in-row max
+      val best = emb(want.head._1)
+      val aligned = (0 until 4).map(m =>
+        cos(sub(emb(qid), m), sub(best, m))).sum
+      assert(want.head._2 >= aligned - 1e-12)
+    }
+  }
 }

@@ -137,4 +137,42 @@ class DedupSpec extends SparkSpec {
     // default guard admits the test corpus
     assert(graft.SparkEntry.queries("q_dedup_ngram")(spark, sf).count() >= 0)
   }
+
+  test("q_record_linkage equals the brute-force blocked best match on the collected catalogs") {
+    val parts = graft.Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val want = parts.groupBy(_._2.split(" ").last).toSeq.flatMap {
+      case (_, grp) =>
+        val rights = grp.filter(_._1 % 2 == 0)
+        grp.filter(_._1 % 2 == 1).flatMap { case (lk, ln) =>
+          val cands = rights
+            .map { case (rk, rn) => (lev(ln, rn).toLong, rk, rn) }
+            .filter(_._1 <= 4L)
+          if (cands.isEmpty) None
+          else { val b = cands.min; Some((lk, ln, b._2, b._3, b._1)) }
+        }
+    }.toSet
+    val got = graft.SparkEntry.queries("q_record_linkage")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "no links found — blocking too strict for the fixture")
+    // best-match resolution: one row per linked left entity
+    assert(got.map(_._1).size == got.size)
+  }
 }

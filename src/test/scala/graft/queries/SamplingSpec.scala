@@ -35,6 +35,40 @@ class SamplingSpec extends SparkSpec {
     assert(got.size < pos.size * 3, "no draw ever collided — suspicious")
   }
 
+  test("q_span_corruption: input+target reconstruct the doc; one <X> per masked span") {
+    val rows = graft.SparkEntry.queries("q_span_corruption")(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long, span: Long): Double = {
+      val hex = md.digest(s"$id:$span".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    var anyMasked = false
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val orig = docs(id).trim.toLowerCase.split("\\s+").toIndexedSeq
+      assert(r.getLong(1) == orig.length.toLong, s"doc $id n_tokens")
+      // independent replay of the seeded mask decision
+      val masked = orig.indices.filter(p => u(id, p / 3) < 0.15)
+      assert(r.getLong(2) == masked.size.toLong, s"doc $id n_masked")
+      assert(r.getString(4) == masked.map(orig).mkString(" "), s"doc $id target")
+      val wantInput = orig.indices.flatMap { p =>
+        if (u(id, p / 3) >= 0.15) Some(orig(p))
+        else if (p % 3 == 0) Some("<X>") else None
+      }.mkString(" ")
+      assert(r.getString(3) == wantInput, s"doc $id input")
+      // sentinel count = number of distinct masked spans
+      val nSpans = masked.map(_ / 3).distinct.size
+      assert(r.getString(3).split(" ").count(_ == "<X>") == nSpans, s"doc $id spans")
+      anyMasked |= masked.nonEmpty
+    }
+    assert(anyMasked, "no document had any masked span — corruption vacuous")
+  }
+
   test("hash split is a pure function of id: stable across partitionings") {
     val docs = Tables.load(spark, sf, "documents")
     val a = Sampling.withSplit(docs, "doc_id")

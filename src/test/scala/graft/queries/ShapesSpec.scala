@@ -489,6 +489,20 @@ class ShapesSpec extends SparkSpec {
     assert(subj.nonEmpty, "empty tombstone set — audit vacuous")
   }
 
+  test("q_bootstrap_ci: ordered interval brackets the exact mean, width is sane") {
+    val r = run("q_bootstrap_ci").head()
+    val (mf, med, lo, hi) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo < hi, "degenerate interval")
+    assert(lo <= med && med <= hi, "median outside its own order statistics")
+    // the ~94% bootstrap CI brackets the exact full-data mean on this
+    // fixture (deterministic — the resample is seeded)
+    assert(lo <= mf && mf <= hi, s"CI [$lo, $hi] misses exact mean $mf")
+    // Poisson(1) weights keep each replicate near the full mean: the
+    // interval is error-bar-sized, not a pathological blowup
+    assert((hi - lo) / mf < 0.2, s"CI width ${(hi - lo) / mf} of the mean")
+  }
+
   test("q_heavy_hitters: every top key inside the one-sided CMS bound, exact counts exact") {
     import org.apache.spark.sql.functions._
     val rows = run("q_heavy_hitters").collect()
