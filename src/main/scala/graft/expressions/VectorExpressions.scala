@@ -246,6 +246,58 @@ case class EquiDepthBucket(left: Expression, right: Expression)
   override def prettyName: String = "graft_bucket"
 }
 
+/** The library-wide md5-uniform numerator as ONE codegen'd expression.
+  *
+  * Every seeded decision in this engine (splits, draws, noise, masks) is
+  * `conv(substring(md5(s), 1, 8), 16, 10)` — the first 32 bits of the MD5
+  * digest read as an unsigned int. That 4-expression chain materializes a
+  * 32-char hex UTF8String, slices it, and re-parses it through Conv's
+  * arbitrary-base decimal machinery: measured ~17 µs/row inside a hot
+  * fanout (q_bootstrap_ci at sf0.1). The first 8 hex chars ARE the first 4
+  * digest bytes, so this expression returns the identical value —
+  * `((b0·256 + b1)·256 + b2)·256 + b3` — straight from the digest, one
+  * thread-local MessageDigest, no hex detour. BIT-IDENTICAL to the chain
+  * (and to every DuckDB strpos-digit oracle spelling), so consumers can
+  * swap it in without touching their oracles.
+  */
+object Md5U32 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def u32(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+}
+
+case class Md5UInt32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(s: Any): Any =
+    Md5U32.u32(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5U32.u32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5UInt32 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_md5_u32"
+}
+
 /** Registration for graft's native expressions.
   *
   * Preferred route: `spark.sql.extensions=graft.expressions.GraftExtensions`
@@ -258,6 +310,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.levenshteinDescriptor)
     ext.injectFunction(GraftFunctions.nfcDescriptor)
     ext.injectFunction(GraftFunctions.bucketDescriptor)
+    ext.injectFunction(GraftFunctions.md5U32Descriptor)
   }
 }
 
@@ -282,10 +335,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[EquiDepthBucket].getName, "graft_bucket"),
       (children: Seq[Expression]) => EquiDepthBucket(children.head, children(1)))
 
+  val md5U32Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_md5_u32"),
+      new ExpressionInfo(classOf[Md5UInt32].getName, "graft_md5_u32"),
+      (children: Seq[Expression]) => Md5UInt32(children.head))
+
   /** Idempotent session-level registration. */
   def register(spark: SparkSession): Unit =
     Seq(longDotDescriptor, levenshteinDescriptor, nfcDescriptor,
-      bucketDescriptor).foreach { case (fid, info, builder) =>
+      bucketDescriptor, md5U32Descriptor).foreach { case (fid, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(fid)) {
         spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
       }

@@ -680,6 +680,29 @@ class PlanSpec extends SparkSpec {
     assert(aggShuffles <= 1, s"expected one doc_id aggregate exchange:\n$p")
   }
 
+  test("q_dedup_sweep folds pairs once; every NLJ is the 5-row threshold broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_dedup_sweep")(spark, sf)
+      .queryExecution.executedPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty)
+    val p = sp.toString
+    assert(!p.contains("CartesianProduct"), p)
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"non-dimension NLJ: $l")
+    }
+  }
+
+  test("q_dp_quantile touches the data once: histogram aggregate, then bin-table-only work") {
+    val p = plan("q_dp_quantile")
+    // the only window runs over the dense 64-bin grid, never the orders
+    // table: its input must be the grid join, which carries the `cnt`
+    // coalesce — and no sort-merge join or cartesian anywhere
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"non-scalar NLJ: $l")
+    }
+  }
+
   test("q_bootstrap_ci is in-row fanout + one 32-group aggregate: no window, no fact join") {
     import org.apache.spark.sql.execution.window.WindowExec
     val sp = SparkEntry.queries("q_bootstrap_ci")(spark, sf)

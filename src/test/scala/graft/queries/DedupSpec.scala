@@ -138,6 +138,26 @@ class DedupSpec extends SparkSpec {
     assert(graft.SparkEntry.queries("q_dedup_ngram")(spark, sf).count() >= 0)
   }
 
+  test("q_dedup_sweep census equals a replay over q_minhash_estimate's pair table") {
+    val est = graft.SparkEntry.queries("q_minhash_estimate")(spark, sf)
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    val got = graft.SparkEntry.queries("q_dedup_sweep")(spark, sf).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    got.foreach { case (tau, (nPairs, nFlagged, frac)) =>
+      val hits = est.filter(_._3 >= tau)
+      assert(nPairs == hits.length.toLong, s"tau=$tau pairs")
+      val docs = hits.flatMap(p => Seq(p._1, p._2)).distinct.length
+      assert(nFlagged == docs.toLong, s"tau=$tau flagged docs")
+      assert(math.abs(frac - docs.toDouble / nDocs) < 1e-12, s"tau=$tau frac")
+    }
+    // the sweep is monotone: raising tau never flags more
+    val fl = got.map(_._2._2)
+    assert(fl.zip(fl.tail).forall { case (a, b) => a >= b }, fl.mkString(","))
+  }
+
   test("q_record_linkage equals the brute-force blocked best match on the collected catalogs") {
     val parts = graft.Tables.load(spark, sf, "part")
       .select("p_partkey", "p_name").collect()

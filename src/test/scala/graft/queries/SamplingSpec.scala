@@ -69,6 +69,35 @@ class SamplingSpec extends SparkSpec {
     assert(anyMasked, "no document had any masked span — corruption vacuous")
   }
 
+  test("q_dp_quantile: in-memory replay of the exponential mechanism picks the same bin") {
+    val r = graft.SparkEntry.queries("q_dp_quantile")(spark, sf).collect()
+    assert(r.length == 1)
+    val (bin, dpq, n) = (r(0).getLong(1), r(0).getDouble(2), r(0).getLong(3))
+    val vs = graft.Tables.load(spark, sf, "orders")
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    assert(n == vs.length.toLong)
+    val mx = vs.max
+    val cnt = Array.fill(64)(0L)
+    vs.foreach { v => cnt(math.min(math.floor(v / (mx / 64.0)).toLong, 63L).toInt) += 1 }
+    val cum = cnt.scanLeft(0L)(_ + _).tail
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gumbel(b: Int): Double = {
+      val hex = md.digest(s"dpq:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      -math.log(-math.log(u))
+    }
+    val scores = (0 until 64).map { b =>
+      0.5 * (-math.abs(cum(b).toDouble - n.toDouble / 2.0)) / 2.0 + gumbel(b)
+    }
+    val wantBin = scores.indices.maxBy(scores)
+    assert(bin == wantBin.toLong, s"mechanism picked $bin, replay picked $wantBin")
+    assert(math.abs(dpq - (bin + 0.5) * (mx / 64.0)) < 1e-9)
+    // the release is actually useful: the chosen bin's rank error is small
+    assert(math.abs(cum(bin.toInt).toDouble - n / 2.0) <= 0.1 * n,
+      s"released bin rank error ${math.abs(cum(bin.toInt) - n / 2.0)} of $n")
+  }
+
   test("hash split is a pure function of id: stable across partitionings") {
     val docs = Tables.load(spark, sf, "documents")
     val a = Sampling.withSplit(docs, "doc_id")
