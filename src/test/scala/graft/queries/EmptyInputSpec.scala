@@ -26,7 +26,7 @@ class EmptyInputSpec extends SparkSpec {
         "q_split_leakfree", "q_epoch_shuffle",
         "q_token_budget_mix", "q_dedup_cross_source",
         "q_curriculum", "q_kanon_audit", "q_dataset_card",
-        "q_dp_counts").foreach { q =>
+        "q_dp_counts", "q_span_corruption").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
   }
@@ -48,6 +48,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(SparkEntry.queries("q_embed_drift")(spark, dir).collect().isEmpty)
     assert(SparkEntry.queries("q_vector_quality")(spark, dir).collect().isEmpty)
     assert(SparkEntry.queries("q_ann_prefix")(spark, dir).collect().isEmpty)
+    // maxsim retrieval: no vectors → no query batch → empty, not a crash
+    assert(SparkEntry.queries("q_colbert_maxsim")(spark, dir).collect().isEmpty)
   }
 
   test("graph operators degrade to empty results on an empty lineitem shard") {
@@ -59,6 +61,9 @@ class EmptyInputSpec extends SparkSpec {
     Seq("q_label_prop", "q_shortest_path").foreach { q =>
       assert(SparkEntry.queries(q)(spark, dir).collect().isEmpty, q)
     }
+    // the k-core census still reports its 3 rounds — of an empty graph
+    val kc = SparkEntry.queries("q_kcore")(spark, dir).collect()
+    assert(kc.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
   }
 
   test("k-means refuses to train without seed vectors (loud, not empty)") {
