@@ -665,6 +665,79 @@ object Shapes {
         .agg(Num.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("n_rows"))),
 
+    // ROLLING-ORIGIN FORECAST BACKTEST (time-series cross-validation,
+    // Tashman 2000) — the leakage-aware eval discipline for temporal
+    // models, next to q_pit_join (point-in-time features) and
+    // q_pipeline_features (cutoff-gated propensity): for each of the 3
+    // most recent months, fit a linear trend on STRICTLY EARLIER months
+    // only (normal equations via four sums — no iteration), predict the
+    // origin month, report the absolute percentage error. Shape at
+    // 100 TB: the data is touched ONCE (the monthly rollup — map-side
+    // combinable); everything after runs on the model-sized month series
+    // (|months|×3 rows through one conditional aggregate). Exact decimal
+    // sums make the normal equations engine-identical; the double
+    // algebra then follows the same operation order as the oracle.
+    "q_backtest_forecast" -> ((s, d) => {
+      // EXACT-DECIMAL normal equations — the cross-engine float
+      // discipline taken to its conclusion: every sum, product, and
+      // difference up to the final ŷ numerator is exact decimal/integer
+      // (the month index is centered at year-2000 so the magnitudes stay
+      // inside tight decimal widths BOTH engines accept), and the ONLY
+      // inexact step is one decimal→double cast per side of one
+      // division. Plain double algebra here (n·sxy − sx·sy as doubles)
+      // disagreed between engines in the 10th significant digit —
+      // catastrophic cancellation amplifying a double→decimal re-cast of
+      // the aggregated revenue; keeping the algebra exact removes the
+      // entire class.
+      // Decimal→double is only cross-engine-identical when the decimal's
+      // UNSCALED value fits 2^53 (DuckDB converts unscaled/10^scale in
+      // two roundings; Java converts correctly-rounded — they agree iff
+      // the unscaled int→double step is exact). Prices are whole cents,
+      // so every exact-decimal quantity here is rescaled to scale 2
+      // (lossless) right before its ONE double cast, and the month index
+      // is centered so the magnitudes stay far under 2^53 cents.
+      import org.apache.spark.sql.types.DecimalType
+      val d186 = DecimalType(18, 6)
+      val m = t(s, d, "orders")
+        .select(date_trunc("month", col("o_orderdate")).as("mon"),
+          col("o_totalprice"))
+        .groupBy(col("mon"))
+        .agg(sum(col("o_totalprice").cast(d186)).cast(d186).as("rev_d"))
+        .withColumn("t",
+          (year(col("mon")) * 12 + month(col("mon")) - 24020).cast("long"))
+      val origins = m.orderBy(col("t").desc).limit(3)
+        .select(col("t").as("ot"), col("mon").as("origin_mon"),
+          col("rev_d").as("ytrue_d"))
+      m.crossJoin(broadcast(origins))
+        .filter(col("t") < col("ot"))
+        .groupBy(col("ot"), col("origin_mon"), col("ytrue_d"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("t")).as("sx"),
+          sum(col("rev_d")).cast(DecimalType(24, 6)).as("sy"),
+          sum((col("t") * col("rev_d")).cast(DecimalType(20, 6)))
+            .cast(DecimalType(24, 6)).as("sxy"),
+          sum(col("t") * col("t")).as("sxx"))
+        .withColumn("num",
+          ((col("n").cast(DecimalType(4, 0)) * col("sxy"))
+            .cast(DecimalType(38, 6)) -
+            (col("sx").cast(DecimalType(8, 0)) * col("sy"))
+              .cast(DecimalType(38, 6)))
+            .cast(DecimalType(20, 2)))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("b", col("num").cast("double") / col("den").cast("double"))
+        .withColumn("term1",
+          col("sy").cast(DecimalType(18, 2)).cast("double") /
+            col("n").cast("double"))
+        .withColumn("term2", col("ot").cast("double") -
+          col("sx").cast("double") / col("n").cast("double"))
+        .withColumn("y_hat", col("term1") + col("b") * col("term2"))
+        .withColumn("y_true",
+          col("ytrue_d").cast(DecimalType(18, 2)).cast("double"))
+        .select(col("origin_mon"), col("y_true"), col("y_hat"),
+          (abs(col("y_hat") - col("y_true")) / col("y_true")).as("ape"))
+        .orderBy(col("origin_mon"))
+    }),
+
     // TPC-H Q12 shape: urgent-vs-other order counts per line status (this
     // schema has no l_shipmode; l_linestatus is the grouping analog).
     // Both sides project to the join key + one column BEFORE the
@@ -1843,6 +1916,42 @@ object Shapes {
          |  AND l_shipdate < TIMESTAMP '1998-01-01'
          |  AND l_discount BETWEEN 0.05 AND 0.07
          |  AND l_quantity < 24""".stripMargin,
+
+    "q_backtest_forecast" ->
+      s"""WITH m AS (
+         |  SELECT mon, rev_d,
+         |    CAST(year(mon)*12 + month(mon) - 24020 AS BIGINT) AS t
+         |  FROM (SELECT date_trunc('month', o_orderdate) AS mon,
+         |          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+         |               AS DECIMAL(18,6)) AS rev_d
+         |        FROM orders GROUP BY 1)),
+         |org AS (SELECT t AS ot, mon AS origin_mon, rev_d AS ytrue_d
+         |        FROM m ORDER BY t DESC LIMIT 3),
+         |f AS (SELECT ot, origin_mon, ytrue_d,
+         |        CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(t) AS BIGINT) AS sx,
+         |        CAST(SUM(rev_d) AS DECIMAL(24,6)) AS sy,
+         |        CAST(SUM(CAST(t * rev_d AS DECIMAL(20,6))) AS DECIMAL(24,6)) AS sxy,
+         |        CAST(SUM(t*t) AS BIGINT) AS sxx
+         |      FROM m, org WHERE t < ot GROUP BY 1, 2, 3),
+         |h AS (SELECT origin_mon, ytrue_d, ot, n, sx,
+         |        CAST(CAST(CAST(n AS DECIMAL(4,0))*sxy AS DECIMAL(38,6))
+         |             - CAST(CAST(sx AS DECIMAL(8,0))*sy AS DECIMAL(38,6))
+         |             AS DECIMAL(20,2)) AS num,
+         |        n*sxx - sx*sx AS den,
+         |        CAST(sy AS DECIMAL(18,2)) AS sy2
+         |      FROM f),
+         |p AS (SELECT origin_mon, ytrue_d,
+         |        CAST(sy2 AS DOUBLE) / CAST(n AS DOUBLE)
+         |          + (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+         |            * (CAST(ot AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |          AS y_hat
+         |      FROM h)
+         |SELECT origin_mon,
+         |  CAST(CAST(ytrue_d AS DECIMAL(18,2)) AS DOUBLE) AS y_true, y_hat,
+         |  ABS(y_hat - CAST(CAST(ytrue_d AS DECIMAL(18,2)) AS DOUBLE))
+         |    / CAST(CAST(ytrue_d AS DECIMAL(18,2)) AS DOUBLE) AS ape
+         |FROM p ORDER BY origin_mon""".stripMargin,
 
     "q_priority_split" ->
       """SELECT l_linestatus,

@@ -392,6 +392,33 @@ object TextOps {
           length(col("text")).as("chars"))
         .orderBy(col("doc_id"))),
 
+    // HASHING-TRICK featurizer (Weinberger et al. 2009 — the
+    // HashingVectorizer shape): each token lands in one of 256 buckets by
+    // hash, with a ±1 sign drawn from the next hash bit so collisions
+    // cancel in expectation — the fixed-width, vocabulary-free text
+    // featurization that needs NO trained vocab table and therefore no
+    // broadcast at inference. Per document: nonzero width, L1 and
+    // squared-L2 of the signed bucket sums — the feature-vector stats a
+    // training loader QAs before fitting. Shape at 100 TB: one token
+    // explode → one (doc, bucket) aggregate → one doc aggregate, all
+    // map-side combinable, all integer math (oracle-exact), hashing via
+    // the codegen'd graft_md5_u32.
+    "q_feature_hash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tkn"))
+        .withColumn("h", expr("graft_md5_u32(tkn)"))
+        .select(col("doc_id"), (col("h") % 256).as("bkt"),
+          when(expr("(h div 256) % 2") === 0, 1L).otherwise(-1L).as("sgn"))
+        .groupBy(col("doc_id"), col("bkt"))
+        .agg(sum(col("sgn")).as("v"))
+        .filter(col("v") =!= 0)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_nonzero"),
+          sum(abs(col("v"))).as("l1"),
+          sum(col("v") * col("v")).as("l2_sq"))
+        .orderBy(col("doc_id"))),
+
     // Corpus VOCABULARY build — the tokenizer-training precursor: global
     // token counts + document frequencies, deterministically ranked
     // (count desc, token asc) and capped at VocabSize. Scale shape: one
@@ -1085,6 +1112,21 @@ object TextOps {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_tokens,
         |  CAST(length(text) AS INT) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_feature_hash" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tkn
+         |  FROM documents),
+         |hh AS (SELECT doc_id, ${Sampling.sqlBucketN("tkn", 8)} AS h FROM tk),
+         |sg AS (SELECT doc_id, h % 256 AS bkt,
+         |         CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |       FROM hh),
+         |bv AS (SELECT doc_id, bkt, CAST(SUM(sgn) AS BIGINT) AS v
+         |       FROM sg GROUP BY 1, 2)
+         |SELECT doc_id, COUNT(*) AS n_nonzero,
+         |  CAST(SUM(ABS(v)) AS BIGINT) AS l1,
+         |  CAST(SUM(v * v) AS BIGINT) AS l2_sq
+         |FROM bv WHERE v <> 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id,

@@ -703,6 +703,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_backtest_forecast touches the fact table once: month rollup, then series-sized math") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_backtest_forecast")(spark, sf)
+      .queryExecution.executedPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty)
+    val p = sp.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the only join is the 3-row origin dimension crossed in by broadcast
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"non-dimension NLJ: $l")
+    }
+  }
+
+  test("q_feature_hash is explode + two keyed aggregates: no join, no window, native hash") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_feature_hash")(spark, sf)
+      .queryExecution.executedPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty)
+    val p = sp.toString
+    assert(!p.contains("Join"), p)
+    assert(p.contains("graft_md5_u32"), p)
+  }
+
   test("q_bootstrap_ci is in-row fanout + one 32-group aggregate: no window, no fact join") {
     import org.apache.spark.sql.execution.window.WindowExec
     val sp = SparkEntry.queries("q_bootstrap_ci")(spark, sf)

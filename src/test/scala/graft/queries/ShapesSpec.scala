@@ -503,6 +503,39 @@ class ShapesSpec extends SparkSpec {
     assert((hi - lo) / mf < 0.2, s"CI width ${(hi - lo) / mf} of the mean")
   }
 
+  test("q_backtest_forecast equals the in-memory rolling-origin least-squares replay") {
+    import org.apache.spark.sql.functions._
+    val got = run("q_backtest_forecast").collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 3)
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .select(date_trunc("month", col("o_orderdate")).as("mon"), col("o_totalprice"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    // monthly rollup in cents (exact), month index centered like the query
+    val byMon = rows.groupBy(_._1).map { case (mon, g) =>
+      val cents = g.map(x => math.round(x._2 * 100)).sum
+      val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+      cal.setTime(mon)
+      val t = (cal.get(java.util.Calendar.YEAR) * 12 +
+        cal.get(java.util.Calendar.MONTH) + 1 - 24020).toLong
+      (mon, t, cents)
+    }.toSeq.sortBy(_._2)
+    byMon.takeRight(3).foreach { case (mon, ot, ycents) =>
+      val train = byMon.filter(_._2 < ot)
+      val n = train.size.toDouble
+      val sx = train.map(_._2).sum.toDouble
+      val sy = train.map(_._3).sum.toDouble / 100.0
+      val sxy = train.map(x => x._2 * x._3).sum.toDouble / 100.0
+      val sxx = train.map(x => x._2 * x._2).sum.toDouble
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val yHat = sy / n + b * (ot - sx / n)
+      val g = got.find(_._1 == mon).get
+      assert(math.abs(g._3 - yHat) / math.abs(yHat) < 1e-9, s"$mon y_hat")
+      assert(math.abs(g._2 - ycents / 100.0) < 1e-6, s"$mon y_true")
+      assert(g._4 >= 0.0)
+    }
+  }
+
   test("q_heavy_hitters: every top key inside the one-sided CMS bound, exact counts exact") {
     import org.apache.spark.sql.functions._
     val rows = run("q_heavy_hitters").collect()

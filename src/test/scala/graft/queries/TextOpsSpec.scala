@@ -253,4 +253,33 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.length.toLong * 4 >= total,
       "p75 cut must keep at least a quarter of the corpus")
   }
+
+  test("q_feature_hash equals the in-memory hashing-trick replay") {
+    val got = graft.SparkEntry.queries("q_feature_hash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(s: String): Long = {
+      val b = md.digest(s.getBytes("UTF-8"))
+      ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+        ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+    }
+    docs.foreach { case (id, text) =>
+      val buckets = scala.collection.mutable.Map.empty[Long, Long]
+      text.trim.toLowerCase.split("\\s+").foreach { tkn =>
+        val h = u32(tkn)
+        val sgn = if ((h / 256) % 2 == 0) 1L else -1L
+        buckets(h % 256) = buckets.getOrElse(h % 256, 0L) + sgn
+      }
+      val nz = buckets.values.filter(_ != 0L)
+      val want = (nz.size.toLong, nz.map(math.abs).sum, nz.map(v => v * v).sum)
+      assert(got(id) == want, s"doc $id")
+      // signed-sum invariants: every nonzero contributes at least 1 to
+      // both norms, and L1² bounds L2²
+      val (n, l1, l2) = got(id)
+      assert(l1 >= n && l2 >= n && l1 * l1 >= l2)
+    }
+  }
 }
