@@ -119,4 +119,32 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(call_function("graft_bucket", col("x"), lit(Array(1.0))))
       .collect()(0).isNullAt(0))
   }
+
+  test("property: graft_md5_u32 == the conv(substring(md5)) chain on random strings (300 seeded cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    GraftFunctions.register(spark)
+    // alphabet covers the library's actual seed keys (digits + ':') plus
+    // multi-byte UTF-8; the equality must hold for EVERY string because
+    // every oracle spells the chain with strpos-digit sums
+    val strGen = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("0", "7", ":", "a", "dp:", "é", "😀"))
+        .map(_.mkString))
+    val strs = (0 until 300).map(i =>
+      strGen(Gen.Parameters.default, Seed(11L + i)).getOrElse(""))
+    val out = strs.toDF("s").select(
+      col("s"),
+      expr("graft_md5_u32(s)").as("fast"),
+      expr("cast(conv(substring(md5(encode(s, 'UTF-8')), 1, 8), 16, 10) as bigint)")
+        .as("ref"))
+      .as[(String, Long, Long)].collect()
+    out.foreach { case (s, f, r) =>
+      assert(f == r, s"mismatch on \"$s\": digest-read=$f conv-chain=$r")
+    }
+    // full unsigned 32-bit range is reachable (sanity of the byte math)
+    assert(out.forall { case (_, f, _) => f >= 0L && f <= 0xffffffffL })
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(expr("graft_md5_u32(s)")).collect()(0).isNullAt(0))
+  }
 }
