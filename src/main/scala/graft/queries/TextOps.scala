@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.Tables
+import graft.{Num, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -352,6 +352,44 @@ object TextOps {
         .select(col("doc_id"), z.as("logit"), score.as("score"),
           (score >= 0.5).as("model_ok"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MODEL CALIBRATION panel (reliability diagram, DeGroot & Fienberg
+    // 1983) — the model-QA table run before trusting a learned quality
+    // scorer at corpus scale: bin the model's probability into deciles
+    // and compare, per bin, the mean predicted score against the
+    // OBSERVED pass rate of the independent rule gate (q_text_quality's
+    // verdict as the reference label). A well-calibrated scorer tracks
+    // the diagonal; the per-bin gap is the miscalibration the serving
+    // threshold must absorb. Shape at 100 TB: both scorers are pure
+    // in-row map work over one scan, the panel is ONE ≤10-group
+    // map-side-combinable aggregate — no join, no window, no second
+    // pass. Decimal-exact mean keeps the bin means engine-identical.
+    "q_model_calibration" -> ((s, d) => {
+      val wordsD = size(split(trim(col("text")), "\\s+")).cast("double")
+      val punctD = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+        .cast("double")
+      val stopD = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(?:the|and|of|to|is|a)\\b"), lit(0))).cast("double")
+      val charsD = length(col("text")).cast("double")
+      val z = lit(-1.0) + lit(0.004) * wordsD +
+        lit(8.0) * (stopD / wordsD) - lit(12.0) * (punctD / charsD)
+      val score = lit(1.0) / (lit(1.0) + exp(-z))
+      val wordsI = size(split(trim(col("text")), "\\s+"))
+      val punctI = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+      val gateOk = wordsI >= 5 && wordsI <= 1000 &&
+        punctI * 5 < length(col("text"))
+      t(s, d, "documents")
+        .select(score.as("score"), gateOk.as("ok"))
+        .withColumn("decile",
+          least(floor(col("score") * 10), lit(9.0)).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          Num.davg(col("score")).as("mean_score"),
+          (sum(when(col("ok"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("gate_pass_rate"))
+        .withColumn("calib_gap", col("mean_score") - col("gate_pass_rate"))
+        .orderBy(col("decile"))
     }),
 
     // DATASET CARD — the datasheet table a corpus release ships with
@@ -956,6 +994,33 @@ object TextOps {
         |  1.0 / (1.0 + exp(-logit)) AS score,
         |  (1.0 / (1.0 + exp(-logit)) >= 0.5) AS model_ok
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    "q_model_calibration" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS words,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|is|a)\\b')) AS DOUBLE) AS stop,
+         |    CAST(length(text) AS DOUBLE) AS chars,
+         |    (len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 1000
+         |     AND length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) * 5
+         |         < length(text)) AS ok
+         |  FROM documents),
+         |sc AS (SELECT
+         |         1.0 / (1.0 + exp(-(-1.0 + 0.004 * words + 8.0 * (stop / words)
+         |                            - 12.0 * (punct / chars)))) AS score,
+         |         ok
+         |       FROM f),
+         |b AS (SELECT CAST(LEAST(FLOOR(score * 10), 9.0) AS BIGINT) AS decile,
+         |        score, ok
+         |      FROM sc)
+         |SELECT decile, COUNT(*) AS n_docs,
+         |  ${Num.sqlDavg("score")} AS mean_score,
+         |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS gate_pass_rate,
+         |  ${Num.sqlDavg("score")}
+         |    - CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS calib_gap
+         |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
 
     "q_doc_chunks" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

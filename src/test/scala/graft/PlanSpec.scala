@@ -716,6 +716,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_model_calibration is ONE scan + one 10-group aggregate: no join, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_model_calibration")(spark, sf)
+      .queryExecution.executedPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty)
+    val p = sp.toString
+    assert(!p.contains("Join"), p)
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one documents scan, got $scans:\n$p")
+  }
+
   test("q_feature_hash is explode + two keyed aggregates: no join, no window, native hash") {
     import org.apache.spark.sql.execution.window.WindowExec
     val sp = SparkEntry.queries("q_feature_hash")(spark, sf)

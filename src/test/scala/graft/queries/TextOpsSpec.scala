@@ -254,6 +254,35 @@ class TextOpsSpec extends SparkSpec {
       "p75 cut must keep at least a quarter of the corpus")
   }
 
+  test("q_model_calibration equals the panel rebuilt from the two underlying scorers") {
+    val scores = graft.SparkEntry.queries("q_quality_model")(spark, sf)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gates = graft.SparkEntry.queries("q_text_quality")(spark, sf)
+      .select("doc_id", "quality_ok").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = scores.toSeq.groupBy { case (_, sc) =>
+      math.min(math.floor(sc * 10).toLong, 9L)
+    }.map { case (dec, g) =>
+      val n = g.size
+      val pass = g.count { case (id, _) => gates(id) }
+      dec -> (n.toLong, g.map(_._2).sum / n, pass.toDouble / n)
+    }
+    val got = graft.SparkEntry.queries("q_model_calibration")(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum == scores.size.toLong, "docs partitioned")
+    got.foreach { r =>
+      val (dec, n, ms, pr, gap) = (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val (wn, wms, wpr) = want(dec)
+      assert(n == wn, s"decile $dec n")
+      assert(math.abs(ms - wms) < 1e-6, s"decile $dec mean score")
+      assert(math.abs(pr - wpr) < 1e-12, s"decile $dec pass rate")
+      assert(math.abs(gap - (ms - pr)) < 1e-12, s"decile $dec gap")
+      // the bin mean lives inside its own bin (clamped top bin excepted)
+      if (dec < 9) assert(ms >= dec / 10.0 - 1e-9 && ms < (dec + 1) / 10.0 + 1e-9)
+    }
+  }
+
   test("q_feature_hash equals the in-memory hashing-trick replay") {
     val got = graft.SparkEntry.queries("q_feature_hash")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
