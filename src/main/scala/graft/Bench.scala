@@ -113,7 +113,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val common64 = results.collect { case (k, v) if Common64(k) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","common64_s":$common64}"""
+    // Memoized-asset build costs (round-11 verdict #2): each asset is
+    // built once per JVM inside the FIRST repeat's timer and amortized by
+    // every later consumer, so the per-query medians report probe time.
+    // This field carries the first-touch build seconds explicitly (the
+    // sfDir builds overwrite the warmup's sf0.001 entries by name) so the
+    // medians can't be misread as from-cold costs.
+    val assets = graft.Assets.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","common64_s":$common64,"assets_s":$assets}"""
     println(line)
     // sbt wraps stdout in [info] tags, which breaks machine parsing of the
     // metric line — mirror it to a plain file the driver can read directly.

@@ -40,6 +40,12 @@ object Dedup {
 
   private val Seeds = 8 // MinHash seeds; banded 4 × 2
 
+  /** Span length (tokens) for exact substring dedup (q_substring_dedup).
+    * Lee et al. use 50 BPE tokens on real corpora; 5 whitespace tokens
+    * keeps the operator observable on the small-doc fixtures while the
+    * pipeline shape is length-independent. */
+  private val SpanL = 5
+
   /** (doc_id, m0..m7): MinHash signature per document — 8 min-aggregates
     * over 16-char slices of one md5 per shingle. */
   private def signature(ng: DataFrame): DataFrame = {
@@ -80,7 +86,7 @@ object Dedup {
 
   private def signatureTable(s: SparkSession, d: String): DataFrame = {
     val path = sigCache.synchronized {
-      sigCache.getOrElseUpdate(d, {
+      sigCache.getOrElseUpdate(d, graft.Assets.timed("minhash_signatures") {
         val out = java.nio.file.Files.createTempDirectory("graft-minhash-sig").toString
         signature(shinglesRaw(s, d)).write.mode("overwrite").parquet(out)
         out
@@ -200,7 +206,7 @@ object Dedup {
 
   private def labeledDocs(s: SparkSession, d: String): DataFrame = {
     val path = labeledCache.synchronized {
-      labeledCache.getOrElseUpdate(d, {
+      labeledCache.getOrElseUpdate(d, graft.Assets.timed("dedup_components") {
         val out = java.nio.file.Files.createTempDirectory("graft-components").toString
         computeLabeledDocs(s, d).write.mode("overwrite").parquet(out)
         out
@@ -322,6 +328,68 @@ object Dedup {
       perDoc.count()
       sh.unpersist(blocking = false)
       perDoc.orderBy(col("doc_id"))
+    }),
+
+    // EXACT SUBSTRING DEDUP — repeated-span REMOVAL (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better", the
+    // ExactSubstr dedup): where q_dup_spans only SCORES span duplication,
+    // this emits the corpus with every token covered by a CROSS-DOCUMENT
+    // repeated span of >= SpanL tokens excised, keeping the rest of each
+    // document intact. A span is duplicated iff its exact SpanL-token text
+    // occurs in >= 2 distinct documents; coverage is the union of all
+    // duplicated-span occurrences (shingle-anchored — every repeated
+    // region of length >= SpanL is a union of length-SpanL shingle hits,
+    // so anchoring on shingles loses nothing; a distributed suffix array
+    // is unnecessary). Never doc×doc: one shingle-keyed df aggregate, one
+    // shingle-keyed LEFT SEMI back (fanout 1 per occurrence), a bounded
+    // ×SpanL position expansion, one doc-keyed LEFT ANTI + final
+    // aggregate — the q_dup_spans shuffle discipline, linear at corpus
+    // scale even when one hot span is shared by millions of docs (the
+    // semi-join emits occurrences, never pairs).
+    "q_substring_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      // (doc_id, p, k): every SpanL-token shingle with its 1-based start.
+      // Two consumers (df aggregate + semi back): persist once.
+      val sh = docs.filter(size(col("w")) >= SpanL)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(w) - ${SpanL - 1}), " +
+            s"p -> struct(p AS p, concat_ws(' ', slice(w, p, $SpanL)) AS k))"))
+          .as("x"))
+        .select(col("doc_id"), col("x.p").as("p"), col("x.k").as("k"))
+        .persist(StorageLevel.DISK_ONLY)
+      val dupk = sh.groupBy(col("k"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("k"))
+      val starts = sh.join(dupk, Seq("k"), "left_semi")
+        .select(col("doc_id"), col("p")).distinct()
+      // each dup start covers exactly SpanL positions — bounded fanout
+      val covered = starts.select(col("doc_id"),
+          explode(expr(s"sequence(p, p + ${SpanL - 1})")).as("t"))
+        .distinct()
+      val toks = docs.select(col("doc_id"),
+          posexplode(col("w")).as(Seq("i", "tok")))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("t"), col("tok"))
+      val kept = toks.join(covered, Seq("doc_id", "t"), "left_anti")
+      val ka = kept.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(t, tok))), x -> x.tok)"))
+          .as("cleaned"))
+      // LEFT join from the full corpus: a fully-covered doc keeps its row
+      // with cleaned_text = '' (it was removed in toto, the Lee et al.
+      // degenerate case), and docs shorter than SpanL pass through whole
+      val out = docs
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .join(ka, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+        .orderBy(col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      sh.unpersist(blocking = false)
+      out
     }),
 
     // Exact n-gram Jaccard near-dup pairs. Shuffle-aware shape: the
@@ -729,6 +797,38 @@ object Dedup {
          |    / COUNT(*) < 0.9) AS span_ok
          |FROM ng JOIN dfc USING (g)
          |GROUP BY ng.doc_id ORDER BY ng.doc_id""".stripMargin,
+
+    // replays the shingle-anchored span excision: dup keys by distinct-doc
+    // count, start positions via IN (semi), coverage as the bounded
+    // range(p, p+SpanL) expansion, kept tokens via NOT EXISTS (anti),
+    // reassembly ordered by position — 1:1 with the Spark stages
+    "q_substring_dedup" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |          string_split_regex(lower(trim(text)), '\\s+') AS w
+         |        FROM documents),
+         |sh AS (SELECT doc_id, p,
+         |         array_to_string(list_slice(w, p, p + ${SpanL - 1}), ' ') AS k
+         |       FROM toks, UNNEST(range(1, len(w) - ${SpanL - 2})) AS u(p)
+         |       WHERE len(w) >= $SpanL),
+         |dupk AS (SELECT k FROM sh GROUP BY k
+         |         HAVING COUNT(DISTINCT doc_id) >= 2),
+         |starts AS (SELECT DISTINCT doc_id, p FROM sh
+         |           WHERE k IN (SELECT k FROM dupk)),
+         |cov AS (SELECT DISTINCT doc_id, t
+         |        FROM starts, UNNEST(range(p, p + $SpanL)) AS u(t)),
+         |tk AS (SELECT doc_id, t, w[CAST(t AS INTEGER)] AS tok
+         |       FROM toks, UNNEST(range(1, len(w) + 1)) AS u(t)),
+         |kept AS (SELECT tk.doc_id, tk.t, tk.tok FROM tk
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov
+         |           WHERE cov.doc_id = tk.doc_id AND cov.t = tk.t)),
+         |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |              string_agg(tok, ' ' ORDER BY t) AS cleaned
+         |       FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+         |  CAST(len(d.w) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(ka.cleaned, '') AS cleaned_text
+         |FROM toks d LEFT JOIN ka USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $ngCte,

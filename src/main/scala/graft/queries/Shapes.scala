@@ -45,7 +45,7 @@ object Shapes {
 
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val path = edgeCache.synchronized {
-      edgeCache.getOrElseUpdate(d, {
+      edgeCache.getOrElseUpdate(d, graft.Assets.timed("copurchase_edges") {
         val out = java.nio.file.Files.createTempDirectory("graft-copurchase").toString
         val li = t(s, d, "lineitem")
           .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")) &&

@@ -40,7 +40,7 @@ object Sources {
 
   private def layoutOnce(kind: String, d: String)(build: String => Unit): String =
     layoutCache.synchronized {
-      layoutCache.getOrElseUpdate((kind, d), {
+      layoutCache.getOrElseUpdate((kind, d), graft.Assets.timed(s"layout_$kind") {
         val base = java.nio.file.Files.createTempDirectory(s"graft-$kind").toString
         build(base)
         base

@@ -464,6 +464,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_substring_dedup is shingle-keyed end to end: no doc×doc join") {
+    // df aggregate + LEFT SEMI on the shingle key, LEFT ANTI on
+    // (doc_id, t) — a cartesian or nested-loop join anywhere here would
+    // be the all-pairs shape the Lee et al. pipeline exists to avoid
+    val p = plan("q_substring_dedup")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_incremental_dedup admits the batch via an ANTI equi-join, never a cartesian") {
     val p = plan("q_incremental_dedup")
     assert(p.contains("LeftAnti"), p)

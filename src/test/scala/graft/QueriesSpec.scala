@@ -304,7 +304,8 @@ class QueriesSpec extends SparkSpec {
     }
     // independent greedy replication: per query, top-8 pool by
     // (rel DESC, id ASC), then 3 picks maximizing 0.7·rel − 0.3·maxsim
-    val want = emb.keys.filter(_ % 50 == 0).toSeq.sorted.flatMap { qid =>
+    val qids = graft.queries.Similarity.MmrQIds.toSet
+    val want = emb.keys.filter(qids).toSeq.sorted.flatMap { qid =>
       val pool = emb.keys.filter(_ != qid).toSeq
         .map(c => (c, cos(emb(qid), emb(c))))
         .sortBy { case (c, r) => (-r, c) }.take(8)
@@ -757,6 +758,21 @@ class QueriesSpec extends SparkSpec {
       val aligned = (0 until 4).map(m =>
         cos(sub(emb(qid), m), sub(best, m))).sum
       assert(want.head._2 >= aligned - 1e-12)
+    }
+  }
+
+  test("memoized exact-pair asset is identical to a fresh pair scoring") {
+    // the round-12 memoization (q_knn_join / q_label_noise share one
+    // per-dataset parquet): the asset READ must equal a fresh
+    // computeExactPairs run row for row — same pairs, same
+    // exact-integer cosines (doubles compared bitwise)
+    val fresh = graft.queries.Similarity.computeExactPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val asset = graft.queries.Similarity.exactPairs(spark, sf).collect()
+    assert(asset.length == fresh.size)
+    asset.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(fresh(k) == r.getDouble(2), s"pair $k cosine drifted")
     }
   }
 }

@@ -195,4 +195,40 @@ class DedupSpec extends SparkSpec {
     // best-match resolution: one row per linked left entity
     assert(got.map(_._1).size == got.size)
   }
+
+  test("q_substring_dedup excises exactly the planted cross-doc spans") {
+    // Fixture: a 5-token span planted in docs 1 and 2 amid unique context;
+    // doc 3 shares no span; doc 4 is an exact copy of doc 5 (fully
+    // covered); doc 6 is shorter than the span length.
+    val span = "the quick brown fox jumps"
+    val copy = "identical document body repeated verbatim across two docs"
+    val docs = Seq(
+      (1L, s"aaa bbb ccc $span ddd eee fff"),
+      (2L, s"ggg hhh $span iii jjj kkk lll"),
+      (3L, "mmm nnn ooo ppp qqq rrr sss ttt"),
+      (4L, copy),
+      (5L, copy),
+      (6L, "uuu vvv www")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpDir("subdedup")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("q_substring_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the planted span (5 tokens) is removed from BOTH carriers; the
+    // unique context survives in order
+    assert(got(1L) === ((11L, 5L, "aaa bbb ccc ddd eee fff")))
+    assert(got(2L) === ((11L, 5L, "ggg hhh iii jjj kkk lll")))
+    // untouched doc: zero removed, text round-trips (lowered/trimmed)
+    assert(got(3L) === ((8L, 0L, "mmm nnn ooo ppp qqq rrr sss ttt")))
+    // exact copies: every token covered by overlapping dup spans → both
+    // removed in toto (the Lee et al. degenerate case)
+    assert(got(4L) === ((8L, 8L, "")))
+    assert(got(5L) === ((8L, 8L, "")))
+    // shorter than the span: passes through whole
+    assert(got(6L) === ((3L, 0L, "uuu vvv www")))
+  }
 }
