@@ -73,13 +73,16 @@ object Sampling {
       val pos = Tables.load(s, d, "lineitem")
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
         .distinct()
+      // draw in 1..max(p_partkey): part keys are 1-based, so `u % (max+1)`
+      // would emit id 0 — a negative that references no real item
+      // (round-11 advice). 1 + u % max keeps every draw a real part.
       val nParts = Tables.load(s, d, "part")
-        .agg((max(col("p_partkey")) + lit(1L)).as("np"))
+        .agg(max(col("p_partkey")).as("np"))
       val u = expr("graft_md5_u32(concat_ws(':', sk, pk, j))")
       val cand = pos.crossJoin(broadcast(nParts))
         .select(col("sk"), col("pk"), col("np"),
           explode(expr("sequence(1L, 3L)")).as("j"))
-        .withColumn("cand", u % col("np"))
+        .withColumn("cand", lit(1L) + u % col("np"))
       cand
         .join(pos.select(col("sk"), col("pk").as("cand")),
           Seq("sk", "cand"), "left_anti")
@@ -594,11 +597,11 @@ object Sampling {
     "q_negative_sample" ->
       s"""WITH pos AS (
          |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
-         |np AS (SELECT MAX(p_partkey) + 1 AS np FROM part),
+         |np AS (SELECT MAX(p_partkey) AS np FROM part),
          |j3 AS (SELECT UNNEST(range(1, 4)) AS j),
          |cand AS (
          |  SELECT sk, pk, j,
-         |    ${sqlBucketN("(sk || ':' || pk || ':' || j)", 8)} % np.np AS cand
+         |    1 + ${sqlBucketN("(sk || ':' || pk || ':' || j)", 8)} % np.np AS cand
          |  FROM pos, j3, np)
          |SELECT c.sk AS l_suppkey, c.pk AS pos_part, c.j AS draw_j,
          |  c.cand AS neg_part

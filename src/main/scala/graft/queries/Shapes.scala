@@ -696,6 +696,13 @@ object Shapes {
       // so every exact-decimal quantity here is rescaled to scale 2
       // (lossless) right before its ONE double cast, and the month index
       // is centered so the magnitudes stay far under 2^53 cents.
+      // SF HEADROOM (round-11 advice): the largest unscaled magnitude is
+      // num = n·sxy − sx·sy in cents; with |t−center| ≤ ~40, n ≤ 84
+      // months and monthly revenue ≈ sf·6e9 cents, |num| ≲ sf·6e14 —
+      // under 2^53 ≈ 9.0e15 for sf ≤ ~10 (three decades above the tested
+      // fixtures; asserted with extrapolation in ShapesSpec). Past that,
+      // normalize units first (divide sums by n in decimal) — the
+      // 2^53 rule, not DECIMAL(38,6) width, is the binding constraint.
       import org.apache.spark.sql.types.DecimalType
       val d186 = DecimalType(18, 6)
       val m = t(s, d, "orders")
@@ -1998,7 +2005,8 @@ object Shapes {
         |e AS (SELECT a, b, CAST(1.0 AS DOUBLE) / cnt AS w FROM pc
         |      UNION ALL
         |      SELECT b, a, CAST(1.0 AS DOUBLE) / cnt AS w FROM pc),
-        |d0 AS (SELECT MIN(a) AS n, CAST(0 AS DOUBLE) AS dist FROM e),
+        |d0 AS (SELECT MIN(a) AS n, CAST(0 AS DOUBLE) AS dist FROM e
+        |       HAVING MIN(a) IS NOT NULL),
         |r1 AS (SELECT n, MIN(dist) AS dist FROM (
         |         SELECT n, dist FROM d0
         |         UNION ALL

@@ -1503,28 +1503,36 @@ object Sources {
         |   WHERE EXISTS (SELECT 1 FROM subj WHERE subj.k = c_custkey)) AS rows_linked,
         |  (SELECT COUNT(*) FROM customer
         |   WHERE NOT EXISTS (SELECT 1 FROM subj WHERE subj.k = c_custkey)) AS rows_after,
-        |  CAST(0 AS BIGINT) AS residual
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE NOT EXISTS (SELECT 1 FROM subj WHERE subj.k = c_custkey)
+        |     AND EXISTS (SELECT 1 FROM subj WHERE subj.k = c_custkey)) AS residual
         |UNION ALL SELECT 'events',
         |  (SELECT COUNT(*) FROM events),
         |  (SELECT COUNT(*) FROM events
         |   WHERE EXISTS (SELECT 1 FROM subj WHERE subj.k = user_id)),
         |  (SELECT COUNT(*) FROM events
         |   WHERE NOT EXISTS (SELECT 1 FROM subj WHERE subj.k = user_id)),
-        |  CAST(0 AS BIGINT)
+        |  (SELECT COUNT(*) FROM events
+        |   WHERE NOT EXISTS (SELECT 1 FROM subj WHERE subj.k = user_id)
+        |     AND EXISTS (SELECT 1 FROM subj WHERE subj.k = user_id))
         |UNION ALL SELECT 'lineitem',
         |  (SELECT COUNT(*) FROM lineitem),
         |  (SELECT COUNT(*) FROM lineitem
         |   WHERE EXISTS (SELECT 1 FROM sord WHERE sord.k = l_orderkey)),
         |  (SELECT COUNT(*) FROM lineitem
         |   WHERE NOT EXISTS (SELECT 1 FROM sord WHERE sord.k = l_orderkey)),
-        |  CAST(0 AS BIGINT)
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE NOT EXISTS (SELECT 1 FROM sord WHERE sord.k = l_orderkey)
+        |     AND EXISTS (SELECT 1 FROM sord WHERE sord.k = l_orderkey))
         |UNION ALL SELECT 'orders',
         |  (SELECT COUNT(*) FROM orders),
         |  (SELECT COUNT(*) FROM orders
         |   WHERE EXISTS (SELECT 1 FROM subj WHERE subj.k = o_custkey)),
         |  (SELECT COUNT(*) FROM orders
         |   WHERE NOT EXISTS (SELECT 1 FROM subj WHERE subj.k = o_custkey)),
-        |  CAST(0 AS BIGINT)
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE NOT EXISTS (SELECT 1 FROM subj WHERE subj.k = o_custkey)
+        |     AND EXISTS (SELECT 1 FROM subj WHERE subj.k = o_custkey))
         |ORDER BY tbl""".stripMargin,
 
     // Same moment factorization and double-op order as the Spark side.

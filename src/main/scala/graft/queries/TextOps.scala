@@ -28,6 +28,14 @@ object TextOps {
     size(regexp_extract_all(lower(col("text")), lit(s"\\b$pat\\b"), lit(0)))
       .as(s"h_$lang")
 
+  /** Decile thresholds on the logit axis (q_model_calibration): the
+    * score-k/10 boundary is z = ln(k/(10−k)). Shared VERBATIM with the
+    * oracle (Scala's shortest-round-trip Double.toString parses back to
+    * the identical double in DuckDB), so both engines bin on the same
+    * 9 exact literals instead of each calling its own libm exp(). */
+  private val calibThr: Seq[Double] =
+    (1 to 9).map(k => math.log(k.toDouble / (10 - k)))
+
   /** Quality verdict over a `text` column (shared by q_text_quality and the
     * end-to-end corpus pipeline — one definition, no drift). */
   def qualityOkExpr: org.apache.spark.sql.Column = {
@@ -374,15 +382,24 @@ object TextOps {
       val charsD = length(col("text")).cast("double")
       val z = lit(-1.0) + lit(0.004) * wordsD +
         lit(8.0) * (stopD / wordsD) - lit(12.0) * (punctD / charsD)
-      val score = lit(1.0) / (lit(1.0) + exp(-z))
+      val score = lit(1.0) / (lit(1.0) + exp(-col("z")))
       val wordsI = size(split(trim(col("text")), "\\s+"))
       val punctI = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
       val gateOk = wordsI >= 5 && wordsI <= 1000 &&
         punctI * 5 < length(col("text"))
+      // Decile from the LOGIT, not the score (round-11 advice):
+      // floor(score·10) would make the bin depend on the bit-identity of
+      // exp() across libms (each only 1-ulp-accurate) exactly at bin
+      // boundaries; z is pure IEEE arithmetic over integer counts with a
+      // fixed expression tree — bit-identical in both engines — and the
+      // boundaries move to the shared [[calibThr]] double literals
+      // (score ≥ k/10 ⟺ z ≥ ln(k/(10−k))).
       t(s, d, "documents")
-        .select(score.as("score"), gateOk.as("ok"))
-        .withColumn("decile",
-          least(floor(col("score") * 10), lit(9.0)).cast("long"))
+        .select(z.as("z"), gateOk.as("ok"))
+        .withColumn("score", score)
+        .withColumn("decile", calibThr
+          .map(v => when(col("z") >= lit(v), 1L).otherwise(0L))
+          .reduce(_ + _))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),
           Num.davg(col("score")).as("mean_score"),
@@ -1006,12 +1023,15 @@ object TextOps {
          |         < length(text)) AS ok
          |  FROM documents),
          |sc AS (SELECT
-         |         1.0 / (1.0 + exp(-(-1.0 + 0.004 * words + 8.0 * (stop / words)
-         |                            - 12.0 * (punct / chars)))) AS score,
+         |         (-1.0 + 0.004 * words + 8.0 * (stop / words)
+         |           - 12.0 * (punct / chars)) AS z,
          |         ok
          |       FROM f),
-         |b AS (SELECT CAST(LEAST(FLOOR(score * 10), 9.0) AS BIGINT) AS decile,
-         |        score, ok
+         |b AS (SELECT
+         |        CAST(${calibThr.map(v =>
+                   s"(CASE WHEN z >= $v THEN 1 ELSE 0 END)").mkString(" + ")}
+         |          AS BIGINT) AS decile,
+         |        1.0 / (1.0 + exp(-z)) AS score, ok
          |      FROM sc)
          |SELECT decile, COUNT(*) AS n_docs,
          |  ${Num.sqlDavg("score")} AS mean_score,

@@ -15,8 +15,10 @@ class SamplingSpec extends SparkSpec {
     val pos = graft.Tables.load(spark, sf, "lineitem")
       .select(col("l_suppkey"), col("l_partkey")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // draw space is 1..max(p_partkey): part keys are 1-based, id 0 (and
+    // the off-by-one ghost) must never be emitted as a negative
     val nParts = graft.Tables.load(spark, sf, "part")
-      .agg(max(col("p_partkey"))).head().getLong(0) + 1L
+      .agg(max(col("p_partkey"))).head().getLong(0)
     val md = java.security.MessageDigest.getInstance("MD5")
     def u32(key: String): Long = {
       val hex = md.digest(key.getBytes("UTF-8"))
@@ -26,13 +28,15 @@ class SamplingSpec extends SparkSpec {
     val want = for {
       (s, p) <- pos
       j <- 1L to 3L
-      cand = u32(s + ":" + p + ":" + j) % nParts
+      cand = 1L + u32(s + ":" + p + ":" + j) % nParts
       if !pos.contains((s, cand))
     } yield (s, p, j, cand)
     assert(got === want, "sample disagrees with the independent seeded draw")
     // no kept negative is a positive, and the collision rate is visible
     assert(got.forall { case (s, _, _, c) => !pos.contains((s, c)) })
     assert(got.size < pos.size * 3, "no draw ever collided — suspicious")
+    // every emitted negative references a REAL item (round-11 advice)
+    assert(got.forall { case (_, _, _, c) => c >= 1L && c <= nParts })
   }
 
   test("q_span_corruption: input+target reconstruct the doc; one <X> per masked span") {

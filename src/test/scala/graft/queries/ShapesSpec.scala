@@ -534,6 +534,23 @@ class ShapesSpec extends SparkSpec {
       assert(math.abs(g._2 - ycents / 100.0) < 1e-6, s"$mon y_true")
       assert(g._4 >= 0.0)
     }
+    // 2^53 HEADROOM CONTRACT (round-11 advice): the num = n·sxy − sx·sy
+    // decimal must keep its unscaled CENTS under 2^53 for the one
+    // decimal→double cast to be cross-engine bit-identical. Recompute the
+    // exact integer magnitude at this sf and assert it would STILL fit at
+    // 1000× the data (revenue sums scale ~linearly with sf; t is
+    // sf-independent) — the executable form of the documented sf ≤ ~10
+    // bound, with margin.
+    byMon.takeRight(3).foreach { case (_, ot, _) =>
+      val train = byMon.filter(_._2 < ot)
+      val n = BigInt(train.size)
+      val sx = BigInt(train.map(_._2).sum)
+      val syC = train.map(x => BigInt(x._3)).sum
+      val sxyC = train.map(x => BigInt(x._2) * BigInt(x._3)).sum
+      val numCents = (n * sxyC - sx * syC).abs
+      assert(numCents * 1000 < (BigInt(1) << 53),
+        s"num unscaled cents $numCents too close to 2^53 at 1000x scale")
+    }
   }
 
   test("q_heavy_hitters: every top key inside the one-sided CMS bound, exact counts exact") {
