@@ -75,6 +75,26 @@ object Pagination {
     pageAt(spark, Token(destDir, 0L, pageSize, total))
   }
 
+  /** UNORDERED first call — full reference parity for `query_paginated`
+    * on arbitrary SELECTs (bq.py:193-215 pages ANY query because BigQuery
+    * materializes a destination table in whatever order the result
+    * arrived): no sortCols required. zipWithIndex stamps `__idx` in
+    * ARRIVAL (partition) order — still one distributed counting pass +
+    * one map, no global sort, no single-partition window — and the
+    * materialized parquet freezes that order, so pages are stable and
+    * non-overlapping across the cursor's lifetime even though the order
+    * is not semantically meaningful (exactly the reference's contract:
+    * stable within a destination, unspecified across re-runs). */
+  def firstPage(query: DataFrame, pageSize: Int, destDir: String): Page = {
+    val spark = query.sparkSession
+    val indexed = spark.createDataFrame(
+      query.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      query.schema.add(IdxCol, LongType, nullable = false))
+    indexed.write.mode(SaveMode.Overwrite).parquet(destDir)
+    val total = spark.read.parquet(destDir).count() // once; metadata-only scan
+    pageAt(spark, Token(destDir, 0L, pageSize, total))
+  }
+
   /** Continuation call: decode the token, skip the query AND the count
     * entirely (≙ bq.py:198-204), range-read the materialized destination. */
   def nextPage(spark: SparkSession, token: String): Page =

@@ -95,4 +95,31 @@ class PaginationSpec extends SparkSpec {
     assert(p0.rows.count() == 0)
     assert(p0.nextToken.isEmpty)
   }
+
+  test("unordered mode pages an ORDER-BY-free query stably: disjoint pages, full coverage, release") {
+    // full reference parity (bq.py:193-215): any SELECT pages without an
+    // explicit sort — the materialized destination freezes arrival order
+    val df = graft.Tables.load(spark, sf, "nation")
+      .select("n_nationkey", "n_name")
+    val dest = tmpDir("page6") + "/dest"
+    var page = Pagination.firstPage(df, 7, dest)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var tokens = List(page.token)
+    seen ++= page.rows.collect().map(_.getAs[Number](0).longValue)
+    while (page.nextToken.isDefined) {
+      page = Pagination.nextPage(spark, page.nextToken.get)
+      tokens ::= page.token
+      seen ++= page.rows.collect().map(_.getAs[Number](0).longValue)
+    }
+    val all = df.collect().map(_.getAs[Number](0).longValue)
+    // exactly-once coverage: every row on exactly one page
+    assert(seen.sorted === all.sorted.toSeq)
+    assert(seen.size === all.length)
+    // stability: re-reading an earlier page yields the same rows
+    val replay = Pagination.nextPage(spark, tokens.last)
+      .rows.collect().map(_.getAs[Number](0).longValue).toSeq
+    assert(replay === seen.take(replay.size).toSeq)
+    Pagination.release(spark, page.token)
+    assert(!new java.io.File(dest).exists())
+  }
 }
