@@ -136,13 +136,22 @@ object DatasetConvention {
     * partition is ever opened. A missing root or a dataset with no
     * partition files yields an EMPTY DataFrame (≙ the reference returning
     * an empty record list for an empty prefix). Data columns are
-    * JSON-inferred per read, so an empty dataset cannot know them — the
-    * empty result carries ONLY the four convention partition columns
-    * (version, year, month, day), which every non-empty read also has;
-    * referencing a data column on an empty dataset fails exactly like
-    * referencing it on the reference's empty record list would. */
+    * JSON-inferred per read by default, so an empty dataset cannot know
+    * them — the empty result then carries ONLY the four convention
+    * partition columns (version, year, month, day), which every
+    * non-empty read also has; referencing a data column on an empty
+    * dataset fails exactly like referencing it on the reference's empty
+    * record list would.
+    *
+    * `dataSchema`, when given, is used INSTEAD of JSON inference — the
+    * production posture at corpus scale (inference is a full extra pass
+    * over every byte of JSONL) — and makes the empty read schema-total:
+    * a consumer that declares what it expects gets a well-typed empty
+    * frame (data columns + partition columns) from an empty shard
+    * instead of an unresolved-column failure. */
   def read(spark: SparkSession, base: String, dataset: String,
-           version: Option[Int] = None, latestOnly: Boolean = false): DataFrame = {
+           version: Option[Int] = None, latestOnly: Boolean = false,
+           dataSchema: Option[StructType] = None): DataFrame = {
     val root = s"$base/$dataset"
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(root))) return emptyConvention(spark)
@@ -159,19 +168,22 @@ object DatasetConvention {
       .filter(p => !p.stripPrefix(qualifiedRoot).stripPrefix("/").split('/')
         .exists(seg => seg.startsWith(".") || seg.startsWith("_")))
       .toSeq
-    if (allFiles.isEmpty) return emptyConvention(spark)
+    if (allFiles.isEmpty) return emptyConvention(spark, dataSchema)
+    // Explicit schema skips inference entirely (Spark appends the
+    // discovered partition columns to a user schema that omits them).
+    def reader = dataSchema.foldLeft(spark.read.option("basePath", root))(_ schema _)
     if (!latestOnly) {
       // A version that matches no partition of a POPULATED dataset filters
       // to zero rows through the normal read, keeping the data schema —
       // only a dataset with no files at all gets the partition-only frame.
-      val df = spark.read.option("basePath", root).json(root)
+      val df = reader.json(root)
       version.fold(df)(v => df.filter(col("version") === v))
     } else {
       val files = allFiles
         .filter(p => version.forall(v => parsePartition(p).exists(_.version == v)))
       val keep = latestPathFiles(files)
-      if (keep.isEmpty) emptyConvention(spark)
-      else spark.read.option("basePath", root).json(keep: _*)
+      if (keep.isEmpty) emptyConvention(spark, dataSchema)
+      else reader.json(keep: _*)
     }
   }
 
@@ -189,10 +201,11 @@ object DatasetConvention {
     * subtree keeps its own scan (partition discovery under one
     * `version=V` prefix); a later `filter(col("version") === v)` prunes
     * whole branches of the union. */
-  def readVersions(spark: SparkSession, base: String, dataset: String): DataFrame = {
+  def readVersions(spark: SparkSession, base: String, dataset: String,
+                   dataSchema: Option[StructType] = None): DataFrame = {
     val root = s"$base/$dataset"
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(root))) return emptyConvention(spark)
+    if (!fs.exists(new Path(root))) return emptyConvention(spark, dataSchema)
     val versions = fs.listStatus(new Path(root)).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
@@ -207,18 +220,24 @@ object DatasetConvention {
       val hasFiles = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
         .exists(st => !st.getPath.getName.startsWith(".") &&
           !st.getPath.getName.startsWith("_"))
-      if (hasFiles) Some(spark.read.option("basePath", root).json(dir)) else None
+      if (hasFiles)
+        Some(dataSchema.foldLeft(spark.read.option("basePath", root))(_ schema _)
+          .json(dir))
+      else None
     }
-    if (frames.isEmpty) emptyConvention(spark)
+    if (frames.isEmpty) emptyConvention(spark, dataSchema)
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** Empty read result: no rows, just the convention's partition columns —
-    * so `df.filter(col("version") === v)` composes on an empty dataset. */
-  private def emptyConvention(spark: SparkSession): DataFrame =
+  /** Empty read result: no rows, the caller-declared data columns (when
+    * given) + the convention's partition columns — so both
+    * `df.filter(col("version") === v)` and data-column projections
+    * compose on an empty dataset. */
+  private def emptyConvention(spark: SparkSession,
+                              dataSchema: Option[StructType] = None): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-      StructType(Seq("version", "year", "month", "day")
-        .map(StructField(_, IntegerType))))
+      StructType(dataSchema.map(_.fields.toSeq).getOrElse(Seq.empty) ++
+        Seq("version", "year", "month", "day").map(StructField(_, IntegerType))))
 
   /** Small-file compaction for one partition: rewrite its JSONL objects
     * into `targetFiles` files, then swap via rename-aside — the live dir is

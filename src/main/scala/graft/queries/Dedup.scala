@@ -594,8 +594,11 @@ object Dedup {
         .select(col("tau"),
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
-          (coalesce(col("n_flagged"), lit(0L)).cast("double") /
-            col("n_docs").cast("double")).as("frac_flagged"))
+          // empty corpus: 0 docs → 0 flagged → frac 0.0, not an ANSI
+          // divide-by-zero from the census that audits empty shards
+          when(col("n_docs") === 0L, lit(0.0))
+            .otherwise(coalesce(col("n_flagged"), lit(0L)).cast("double") /
+              col("n_docs").cast("double")).as("frac_flagged"))
         .orderBy(col("tau"))
     }),
 

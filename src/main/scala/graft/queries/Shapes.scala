@@ -1480,6 +1480,9 @@ object Shapes {
           / sum(col("w")).cast("double")).as("est"))
       val full = o.agg(Num.davg(col("o_totalprice")).as("mean_full"))
       est.agg(sort_array(collect_list(col("est"))).as("ests"))
+        // empty shard → no replicates → no CI row (not an ANSI
+        // out-of-bounds throw from element_at on [])
+        .filter(size(col("ests")) >= 31)
         .crossJoin(broadcast(full))
         .select(col("mean_full"),
           element_at(col("ests"), 16).as("boot_med"),
@@ -1557,14 +1560,22 @@ object Shapes {
         .join(ord.select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"), "left_anti").count()
       import s.implicits._
+      // empty-shard discipline: SUM/MIN/MAX over zero rows are NULL —
+      // read them as vacuous passes (0 violations; range checks pass by
+      // NaN metric) instead of NPE-ing the audit that exists to catch
+      // exactly such degenerate shards
+      val nulls = if (liAgg.isNullAt(0)) 0L else liAgg.getLong(0)
+      val badEnum = if (liAgg.isNullAt(3)) 0L else liAgg.getLong(3)
+      val qmin = if (liAgg.isNullAt(1)) None else Some(liAgg.getDouble(1))
+      val qmax = if (liAgg.isNullAt(2)) None else Some(liAgg.getDouble(2))
       Seq(
-        ("completeness_l_orderkey", liAgg.getLong(0).toDouble,
-          liAgg.getLong(0) == 0L),
-        ("enum_l_returnflag", liAgg.getLong(3).toDouble,
-          liAgg.getLong(3) == 0L),
+        ("completeness_l_orderkey", nulls.toDouble, nulls == 0L),
+        ("enum_l_returnflag", badEnum.toDouble, badEnum == 0L),
         ("fk_lineitem_orders", orphans.toDouble, orphans == 0L),
-        ("range_l_quantity_max", liAgg.getDouble(2), liAgg.getDouble(2) <= 50.0),
-        ("range_l_quantity_min", liAgg.getDouble(1), liAgg.getDouble(1) >= 1.0),
+        ("range_l_quantity_max", qmax.getOrElse(Double.NaN),
+          qmax.forall(_ <= 50.0)),
+        ("range_l_quantity_min", qmin.getOrElse(Double.NaN),
+          qmin.forall(_ >= 1.0)),
         ("unique_o_orderkey", uniq.getLong(1).toDouble,
           uniq.getLong(0) == uniq.getLong(1)))
         .toDF("check_name", "metric", "ok")
@@ -1655,11 +1666,21 @@ object Shapes {
     "q_bloom_prune" -> ((s, d) => {
       val dim = t(s, d, "customer").filter(col("c_acctbal") > 5000.0)
         .select(col("c_custkey"), col("c_mktsegment"))
-      val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
-      val mightHave = udf((k: Long) => bf.mightContain(k))
+      // Empty dim slice → Spark's treeAggregate returns its UNINITIALIZED
+      // zero-value filter (null bit array — mightContain NPEs). The
+      // correct prune for an empty build side is "nothing passes"; the
+      // emptiness probe rides the same eager pass the filter build
+      // already is.
+      val pruneExpr =
+        if (dim.isEmpty) lit(false)
+        else {
+          val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
+          val mightHave = udf((k: Long) => bf.mightContain(k))
+          mightHave(col("o_custkey"))
+        }
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_totalprice"))
-        .filter(mightHave(col("o_custkey")))
+        .filter(pruneExpr)
         .join(dim, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),

@@ -248,6 +248,40 @@ object Similarity {
         cosine(dotL("va", "vb"), col("na"), col("nb")).as("cos"))
   }
 
+  /** The composed IVF-PQ probe (FAISS IndexIVFPQ shape) at a given probe
+    * width — shared by q_ann_ivfpq (nprobe from conf, default 1) and the
+    * registered q_ann_ivfpq_probe2 point of the recall/cost curve. The
+    * trained coarse quantizer routes the query to its `nprobe` nearest
+    * clusters (at scale: `cluster` is the partition key, the probe reads
+    * nprobe clusters' files), candidates are ADC-scored (4 code lookups,
+    * never a full-vector dot), the ADC top-10·nprobe pay the exact
+    * rerank. Map + TakeOrdered; no window, no corpus shuffle. */
+  private def ivfpqQuery(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val iv = intVecs(s, d)
+    val coarse = graft.operators.KMeans.model(iv, (1L to 8L).toSeq, updates = 2)
+    val assigned = iv
+      .withColumn("cluster", graft.operators.KMeans.centArgmax(coarse))
+    val q = assigned.filter(col("vec_id") === 0)
+      .withColumn("qclusters", graft.operators.KMeans.centTopN(coarse, nprobe))
+      .select(col("v").as("qv"), col("nv").as("nq"), col("qclusters"))
+    val cand = assigned.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(array_contains(col("qclusters"), col("cluster")))
+    val coded = pqScored(cand, pqModels(iv))
+    // rerank budget scales with the probe width (FAISS-style): nprobe
+    // cells yield nprobe× candidates, so a FIXED ADC cut would dilute
+    // recall as nprobe grows instead of trading cost for it
+    val top = coded
+      .select(col("vec_id") +: col("cluster") +: col("v") +: col("nv") +:
+        col("nq") +: col("qv") +: col("adc") +:
+        (0 until PqM).map(m => col(s"code$m")): _*)
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(10 * nprobe)
+    top.select(col("vec_id"), col("cluster"), col("code0"), col("code1"),
+        col("code2"), col("code3"), col("adc"),
+        cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+  }
+
   /** Per-label 5-NN majority-vote flag census over a neighbor table —
     * the shared back half of q_label_noise (exact neighbors) and
     * q_label_noise_ann (multi-table LSH neighbors). Vectors absent from
@@ -572,33 +606,16 @@ object Similarity {
     // PQ training, ADC, and rerank). Probe plan: map (in-row assignment +
     // codes + ADC) → TakeOrdered; no window, no corpus shuffle (PlanSpec
     // pins it).
-    "q_ann_ivfpq" -> ((s, d) => {
-      val nprobe = s.conf.get("graft.ann.ivfpq.nprobe", "1").toInt
-      val iv = intVecs(s, d)
-      val coarse = graft.operators.KMeans.model(iv, (1L to 8L).toSeq, updates = 2)
-      val assigned = iv
-        .withColumn("cluster", graft.operators.KMeans.centArgmax(coarse))
-      val q = assigned.filter(col("vec_id") === 0)
-        .withColumn("qclusters", graft.operators.KMeans.centTopN(coarse, nprobe))
-        .select(col("v").as("qv"), col("nv").as("nq"), col("qclusters"))
-      val cand = assigned.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .filter(array_contains(col("qclusters"), col("cluster")))
-      val coded = pqScored(cand, pqModels(iv))
-      // rerank budget scales with the probe width (FAISS-style): nprobe
-      // cells yield nprobe× candidates, so a FIXED ADC cut would dilute
-      // recall as nprobe grows instead of trading cost for it. nprobe=1
-      // keeps the oracled top-10.
-      val top = coded
-        .select(col("vec_id") +: col("cluster") +: col("v") +: col("nv") +:
-          col("nq") +: col("qv") +: col("adc") +:
-          (0 until PqM).map(m => col(s"code$m")): _*)
-        .orderBy(col("adc").desc, col("vec_id").asc).limit(10 * nprobe)
-      top.select(col("vec_id"), col("cluster"), col("code0"), col("code1"),
-          col("code2"), col("code3"), col("adc"),
-          cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
-    }),
+    "q_ann_ivfpq" -> ((s, d) =>
+      ivfpqQuery(s, d, s.conf.get("graft.ann.ivfpq.nprobe", "1").toInt)),
+
+    // The REGISTERED nprobe=2 point of the IVF-PQ recall/cost curve
+    // (round-11 verdict #9): the knob and the QueriesSpec recall curve
+    // existed; gating the second probe width makes the trade an
+    // oracle-verified artifact instead of a spec-only claim. Router emits
+    // the top-2 coarse clusters, candidates ~double, ADC budget widens to
+    // 10·nprobe, output stays the exact top-5.
+    "q_ann_ivfpq_probe2" -> ((s, d) => ivfpqQuery(s, d, nprobe = 2)),
 
     // PREFIX-DIMENSION ANN (truncated-dimension / "Matryoshka"-style
     // two-stage retrieval, Kusupati et al. 2022): rank the corpus by
@@ -1294,6 +1311,56 @@ object Similarity {
        |        WHERE CAST(dot AS DOUBLE) /
        |          (SQRT(CAST(a.nv AS DOUBLE)) * SQRT(CAST(b.nv AS DOUBLE))) >= $SemTau)""".stripMargin
 
+  /** The composed IVF-PQ oracle at a given probe width: the router CTE
+    * ranks ALL coarse clusters for the query by the SAME (cos DESC, cid
+    * ASC) rule as KMeans.centTopN and keeps `nprobe`; the ADC cut is
+    * 10*nprobe (the Spark side's FAISS-style budget). At nprobe=1 the
+    * router reduces exactly to asg3's argmax cluster. */
+  private def ivfpqOracle(nprobe: Int): String =
+    s"""WITH $pqCtes,
+       |$kmPrefix,
+       |${kmRoundCtes(3, sumsAtLast = false)},
+       |qc AS (SELECT cid AS qcl FROM (
+       |         SELECT d.cid, ROW_NUMBER() OVER (ORDER BY
+       |           CAST(d.dot AS DOUBLE) / (SQRT(CAST(vn.nv AS DOUBLE)) * SQRT(CAST(n.cn AS DOUBLE))) DESC,
+       |           d.cid ASC) AS rn
+       |         FROM dot3 d JOIN vn USING (vec_id) JOIN nrm3 n ON n.cid = d.cid
+       |         WHERE d.vec_id = 0) z
+       |       WHERE rn <= $nprobe),
+       |cand AS (SELECT a.vec_id, a.cluster FROM asg3 a
+       |         WHERE a.vec_id <> 0
+       |           AND a.cluster IN (SELECT qcl FROM qc)),
+       |ccn AS (SELECT m, cid, SUM(s * s) AS cn FROM pcent2 GROUP BY 1, 2),
+       |qsv AS (SELECT m, v FROM sv WHERE vec_id = 0),
+       |qsn AS (SELECT m, nv FROM sn WHERE vec_id = 0),
+       |qdot AS (SELECT c.m, c.cid, SUM(q.v[c.pos] * c.s) AS dot
+       |         FROM pcent2 c JOIN qsv q ON q.m = c.m GROUP BY 1, 2),
+       |term AS (SELECT a.vec_id, cd.cluster, a.m, a.code,
+       |           CAST(d.dot AS DOUBLE) / (SQRT(CAST(qs.nv AS DOUBLE)) * SQRT(CAST(cc.cn AS DOUBLE))) AS t
+       |         FROM pasg3 a
+       |         JOIN cand cd ON cd.vec_id = a.vec_id
+       |         JOIN qdot d ON d.m = a.m AND d.cid = a.code
+       |         JOIN qsn qs ON qs.m = a.m
+       |         JOIN ccn cc ON cc.m = a.m AND cc.cid = a.code),
+       |adct AS (SELECT vec_id, MAX(cluster) AS cluster,
+       |           MAX(CASE WHEN m = 0 THEN code END) AS code0,
+       |           MAX(CASE WHEN m = 1 THEN code END) AS code1,
+       |           MAX(CASE WHEN m = 2 THEN code END) AS code2,
+       |           MAX(CASE WHEN m = 3 THEN code END) AS code3,
+       |           ((MAX(CASE WHEN m = 0 THEN t END) + MAX(CASE WHEN m = 1 THEN t END))
+       |             + MAX(CASE WHEN m = 2 THEN t END)) + MAX(CASE WHEN m = 3 THEN t END) AS adc
+       |         FROM term GROUP BY vec_id),
+       |top AS (SELECT * FROM adct ORDER BY adc DESC, vec_id ASC LIMIT ${10 * nprobe}),
+       |qv AS (SELECT v FROM iv WHERE vec_id = 0),
+       |qn AS (SELECT SUM(v[i] * v[i]) AS nq FROM qv, idx),
+       |rr AS (SELECT t.vec_id, t.cluster, t.code0, t.code1, t.code2, t.code3, t.adc,
+       |         SUM(iv.v[i] * q.v[i]) AS dot, SUM(iv.v[i] * iv.v[i]) AS nv
+       |       FROM top t JOIN iv ON iv.vec_id = t.vec_id, qv q, idx
+       |       GROUP BY 1, 2, 3, 4, 5, 6, 7)
+       |SELECT rr.vec_id, rr.cluster, rr.code0, rr.code1, rr.code2, rr.code3, rr.adc,
+       |  CAST(rr.dot AS DOUBLE) / (SQRT(CAST(rr.nv AS DOUBLE)) * SQRT(CAST(qn.nq AS DOUBLE))) AS cos
+       |FROM rr, qn ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_embed_quantize" ->
       s"""WITH iv AS (SELECT vec_id, ${sqlIntVec("embedding")} AS v FROM embeddings),
@@ -1548,43 +1615,13 @@ object Similarity {
     // rerank CTEs are q_ann_pq's verbatim (pqCtes → pasg3 codes under
     // pcent2) — composition only restricts the ADC scoring to the query
     // cluster's members and carries `cluster` through to the output.
-    "q_ann_ivfpq" ->
-      s"""WITH $pqCtes,
-         |$kmPrefix,
-         |${kmRoundCtes(3, sumsAtLast = false)},
-         |qc AS (SELECT cluster AS qcl FROM asg3 WHERE vec_id = 0),
-         |cand AS (SELECT a.vec_id, a.cluster FROM asg3 a, qc
-         |         WHERE a.cluster = qc.qcl AND a.vec_id <> 0),
-         |ccn AS (SELECT m, cid, SUM(s * s) AS cn FROM pcent2 GROUP BY 1, 2),
-         |qsv AS (SELECT m, v FROM sv WHERE vec_id = 0),
-         |qsn AS (SELECT m, nv FROM sn WHERE vec_id = 0),
-         |qdot AS (SELECT c.m, c.cid, SUM(q.v[c.pos] * c.s) AS dot
-         |         FROM pcent2 c JOIN qsv q ON q.m = c.m GROUP BY 1, 2),
-         |term AS (SELECT a.vec_id, cd.cluster, a.m, a.code,
-         |           CAST(d.dot AS DOUBLE) / (SQRT(CAST(qs.nv AS DOUBLE)) * SQRT(CAST(cc.cn AS DOUBLE))) AS t
-         |         FROM pasg3 a
-         |         JOIN cand cd ON cd.vec_id = a.vec_id
-         |         JOIN qdot d ON d.m = a.m AND d.cid = a.code
-         |         JOIN qsn qs ON qs.m = a.m
-         |         JOIN ccn cc ON cc.m = a.m AND cc.cid = a.code),
-         |adct AS (SELECT vec_id, MAX(cluster) AS cluster,
-         |           MAX(CASE WHEN m = 0 THEN code END) AS code0,
-         |           MAX(CASE WHEN m = 1 THEN code END) AS code1,
-         |           MAX(CASE WHEN m = 2 THEN code END) AS code2,
-         |           MAX(CASE WHEN m = 3 THEN code END) AS code3,
-         |           ((MAX(CASE WHEN m = 0 THEN t END) + MAX(CASE WHEN m = 1 THEN t END))
-         |             + MAX(CASE WHEN m = 2 THEN t END)) + MAX(CASE WHEN m = 3 THEN t END) AS adc
-         |         FROM term GROUP BY vec_id),
-         |top AS (SELECT * FROM adct ORDER BY adc DESC, vec_id ASC LIMIT 10),
-         |qv AS (SELECT v FROM iv WHERE vec_id = 0),
-         |qn AS (SELECT SUM(v[i] * v[i]) AS nq FROM qv, idx),
-         |rr AS (SELECT t.vec_id, t.cluster, t.code0, t.code1, t.code2, t.code3, t.adc,
-         |         SUM(iv.v[i] * q.v[i]) AS dot, SUM(iv.v[i] * iv.v[i]) AS nv
-         |       FROM top t JOIN iv ON iv.vec_id = t.vec_id, qv q, idx
-         |       GROUP BY 1, 2, 3, 4, 5, 6, 7)
-         |SELECT rr.vec_id, rr.cluster, rr.code0, rr.code1, rr.code2, rr.code3, rr.adc,
-         |  CAST(rr.dot AS DOUBLE) / (SQRT(CAST(rr.nv AS DOUBLE)) * SQRT(CAST(qn.nq AS DOUBLE))) AS cos
-         |FROM rr, qn ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q_ann_ivfpq" -> ivfpqOracle(1),
+
+    // the registered nprobe=2 point of the recall/cost curve: the router
+    // emits the query's TOP-2 coarse clusters (same cos DESC, cid ASC
+    // rule as centTopN), candidates double, the ADC cut widens to
+    // 10*nprobe (the FAISS-style budget), the final top-5 is unchanged
+    "q_ann_ivfpq_probe2" -> ivfpqOracle(2),
 
     "q_semantic_dedup" -> {
       // assignment = asg3 (the model after 2 updates, as in the trained

@@ -58,7 +58,12 @@ object Sources {
       DatasetConvention.append(
         t(s, d, "documents").select(col("doc_id"), col("text"), col("n_chars")),
         base, "docs", version = 1, ts = Instant.parse("2024-01-15T00:00:00Z"))
-      DatasetConvention.read(s, base, "docs", version = Some(1))
+      // declared schema: no JSON inference pass (the corpus-scale
+      // posture), and an empty shard reads back as a well-typed empty
+      // frame instead of an unresolved-column failure
+      DatasetConvention.read(s, base, "docs", version = Some(1),
+          dataSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, n_chars BIGINT")))
         .select(col("doc_id"), col("text"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -217,7 +222,13 @@ object Sources {
             col("l_extendedprice"))
           .write.mode("overwrite").partitionBy("l_returnflag").orc(b)
       }
-      s.read.orc(base)
+      // explicit schema (the q_csv_roundtrip discipline): an empty shard
+      // writes zero ORC files, and a schema-less read of a fileless dir
+      // throws UNABLE_TO_INFER_SCHEMA instead of degrading to empty
+      s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+            "l_returnflag STRING"))
+        .orc(base)
         .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), Num.dsum(col("l_extendedprice")).as("rev"))
@@ -284,7 +295,12 @@ object Sources {
         docs.filter(col("n_chars") % 2 =!= 0)
           .select(col("doc_id"), col("text"), col("lang"), col("n_chars")),
         base, "docs", version = 2, ts = Instant.parse("2024-02-20T00:00:00Z"))
-      DatasetConvention.readVersions(s, base, "docs")
+      // the union schema, declared: v1 rows read NULL for the columns
+      // their schema predates (same values as per-version inference +
+      // unionByName), and an empty dataset degrades schema-total
+      DatasetConvention.readVersions(s, base, "docs",
+          dataSchema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")))
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
           col("version"))
         .orderBy(col("doc_id"))

@@ -362,6 +362,50 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // PREFERENCE-PAIR batch construction (the RLHF/DPO loader shape):
+    // per prompt-group — here the (lang, source) slice — emit ONE
+    // (chosen, rejected) document pair: the group's best and worst under
+    // the verified q_quality_model scorer. Composition discipline: the
+    // scorer is the same literal-weight logistic (pure codegen'd map
+    // work), the pair selection is TWO in-aggregate argmaxes per group
+    // (max/min over struct — the library's distributed-argmax idiom, no
+    // window, no per-group sort), so the whole query is one scan + one
+    // |groups|-sized aggregate at any scale. Ordering runs on the LOGIT
+    // (bit-identical IEEE arithmetic over integer counts in both
+    // engines), never on the exp'd score (1-ulp libm risk — the
+    // q_model_calibration lesson); ties break on doc_id. Groups need
+    // ≥ 2 docs (chosen ≠ rejected by construction).
+    "q_preference_pairs" -> ((s, d) => {
+      val words = size(split(trim(col("text")), "\\s+")).cast("double")
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+        .cast("double")
+      val stop = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(?:the|and|of|to|is|a)\\b"), lit(0))).cast("double")
+      val chars = length(col("text")).cast("double")
+      val z = lit(-1.0) + lit(0.004) * words +
+        lit(8.0) * (stop / words) - lit(12.0) * (punct / chars)
+      val sig = lit(1.0) / (lit(1.0) + exp(-col("z")))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), z.as("z"))
+        .withColumn("score", sig)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          // ties: chosen → lowest doc_id, rejected → HIGHEST doc_id, so
+          // an all-tied group still yields a valid (distinct) pair
+          max(struct(col("z"), negate(col("doc_id")).as("nid"),
+            col("doc_id"), col("score"))).as("ch"),
+          min(struct(col("z"), negate(col("doc_id")).as("nid"),
+            col("doc_id"), col("score"))).as("rj"))
+        .filter(col("n_docs") >= 2)
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("ch.doc_id").as("chosen_id"),
+          col("rj.doc_id").as("rejected_id"),
+          col("ch.score").as("chosen_score"),
+          col("rj.score").as("rejected_score"),
+          (col("ch.z") - col("rj.z")).as("margin_logit"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // MODEL CALIBRATION panel (reliability diagram, DeGroot & Fienberg
     // 1983) — the model-QA table run before trusting a learned quality
     // scorer at corpus scale: bin the model's probability into deciles
@@ -1011,6 +1055,38 @@ object TextOps {
         |  1.0 / (1.0 + exp(-logit)) AS score,
         |  (1.0 / (1.0 + exp(-logit)) >= 0.5) AS model_ok
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // same logit features; chosen/rejected replayed as ROW_NUMBER windows
+    // with the exact tie rules (z DESC, id ASC) / (z ASC, id DESC)
+    "q_preference_pairs" ->
+      s"""WITH f AS (SELECT doc_id, lang, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS words,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|is|a)\\b')) AS DOUBLE) AS stop,
+         |    CAST(length(text) AS DOUBLE) AS chars
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang, source,
+         |         (-1.0 + 0.004 * words + 8.0 * (stop / words)
+         |           - 12.0 * (punct / chars)) AS z
+         |       FROM f),
+         |ch AS (SELECT lang, source, doc_id, z, ROW_NUMBER() OVER (
+         |         PARTITION BY lang, source ORDER BY z DESC, doc_id ASC) AS rk
+         |       FROM sc),
+         |rj AS (SELECT lang, source, doc_id, z, ROW_NUMBER() OVER (
+         |         PARTITION BY lang, source ORDER BY z ASC, doc_id DESC) AS rk
+         |       FROM sc),
+         |cnt AS (SELECT lang, source, COUNT(*) AS n_docs
+         |        FROM sc GROUP BY 1, 2)
+         |SELECT c.lang, c.source, cnt.n_docs,
+         |  c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+         |  1.0 / (1.0 + exp(-c.z)) AS chosen_score,
+         |  1.0 / (1.0 + exp(-r.z)) AS rejected_score,
+         |  c.z - r.z AS margin_logit
+         |FROM ch c
+         |JOIN rj r ON r.lang = c.lang AND r.source = c.source AND r.rk = 1
+         |JOIN cnt ON cnt.lang = c.lang AND cnt.source = c.source
+         |WHERE c.rk = 1 AND cnt.n_docs >= 2
+         |ORDER BY c.lang, c.source""".stripMargin,
 
     "q_model_calibration" ->
       s"""WITH f AS (SELECT doc_id,

@@ -311,4 +311,38 @@ class TextOpsSpec extends SparkSpec {
       assert(l1 >= n && l2 >= n && l1 * l1 >= l2)
     }
   }
+
+  test("q_preference_pairs pairs best vs worst per group; ties split to distinct docs") {
+    import spark.implicits._
+    // (en, A): doc 1 is clearly best (long, stopword-dense, no punct),
+    // doc 2 clearly worst (short, punct-heavy), doc 3 in between.
+    // (en, B): two IDENTICAL texts -> logit tie -> chosen = lower id,
+    // rejected = higher id (still a valid distinct pair).
+    // (fr, C): singleton group -> excluded (n_docs < 2).
+    val good = ("the and of to is a " * 20).trim
+    val bad = "!!! ??? ;;; ::: x"
+    val mid = "the cat sat on the mat and looked to the door of a house"
+    val same = "the same words every time and a few of them to it is"
+    val docs = Seq(
+      (1L, good, "en", "A"), (2L, bad, "en", "A"), (3L, mid, "en", "A"),
+      (10L, same, "en", "B"), (11L, same, "en", "B"),
+      (20L, mid, "fr", "C")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpDir("prefpairs")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_preference_pairs")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(got.keySet === Set(("en", "A"), ("en", "B")))
+    val a = got(("en", "A"))
+    assert(a._1 === 3L) // n_docs
+    assert(a._2 === 1L && a._3 === 2L, s"chosen/rejected: $a")
+    assert(a._4 > a._5, "chosen_score must exceed rejected_score")
+    assert(a._6 > 0.0, "margin_logit must be positive")
+    val b = got(("en", "B"))
+    assert(b._2 === 10L && b._3 === 11L, s"tie pair: $b")
+    assert(b._6 === 0.0, "identical texts -> zero margin")
+  }
 }
