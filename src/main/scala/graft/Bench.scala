@@ -90,10 +90,6 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // JIT/session warmup at the smallest scale so measured numbers reflect
-    // steady-state execution, not first-query class loading.
-    selected.foreach { case (n, fn) => runOnce(n, fn, "/root/testdata/sf0.001") }
-
     // Host-load self-identification (round-8 verdict: two rounds of bench
     // artifacts were inflated ~1.9× by co-tenant load and nothing in the
     // artifact said so). Record /proc/loadavg before and after: a run whose
@@ -103,6 +99,17 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
+
+    // Captured BEFORE the warmup: loadavg_start (below) is taken after
+    // this JVM's own 250-query warmup pass and so reads ≈ its own thread
+    // count even on an idle box — loadavg_launch is the co-tenant
+    // evidence (round-11 verdict #6: a quiet-box run must be provable
+    // from the artifact).
+    val loadLaunch = loadavg()
+
+    // JIT/session warmup at the smallest scale so measured numbers reflect
+    // steady-state execution, not first-query class loading.
+    selected.foreach { case (n, fn) => runOnce(n, fn, "/root/testdata/sf0.001") }
 
     val loadStart = loadavg()
     val results = selected.map { case (name, fn) =>
@@ -121,7 +128,7 @@ object Bench {
     // medians can't be misread as from-cold costs.
     val assets = graft.Assets.snapshot.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","common64_s":$common64,"assets_s":$assets}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","loadavg_launch":"$loadLaunch","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","common64_s":$common64,"assets_s":$assets}"""
     println(line)
     // sbt wraps stdout in [info] tags, which breaks machine parsing of the
     // metric line — mirror it to a plain file the driver can read directly.

@@ -832,12 +832,13 @@ object Similarity {
     // embarrassingly parallel at 100 TB — and the bounded
     // TopKAggregator keeps 8 candidates per query with ≤8 rows per
     // (query × map task) of shuffle. Everything after the pool is
-    // pool-sized (|Q|·8 rows, |Q|·8² pairwise sims): the greedy runs as
-    // MmrK−1 driver-free rounds of equi-join + in-aggregate max(struct)
-    // argmax — rounds over k, never over data (the KMeans-loop idiom),
-    // no window, no per-query collect. Deterministic: exact integer
-    // cosines, (score DESC, cand ASC) tie rule — the unrolled DuckDB
-    // oracle replays every pick bit-for-bit.
+    // pool-sized (|Q|·8 rows) — request-batch-scale MODEL STATE, so the
+    // greedy runs locally on the collected pool (the KMeans k×d collect
+    // precedent) instead of paying MmrK−1 rounds of Spark scheduling
+    // latency on 80-row frames. Deterministic: exact integer cosines,
+    // (score DESC, cand ASC) tie rule, the identical IEEE expression
+    // shapes — the unrolled DuckDB oracle replays every pick
+    // bit-for-bit.
     "q_mmr_rerank" -> ((s, d) => {
       import s.implicits._
       val iv = intVecs(s, d)
@@ -854,53 +855,52 @@ object Similarity {
         .agg(topk)
         .flatMap { case (qid, tops) => tops.map { case (r, c) => (qid, c, r) } }
         .toDF("qid", "cand", "rel")
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val cv = iv.select(col("vec_id").as("cand"), col("v").as("cv"),
-        col("nv").as("cn"))
-      val pv = pool.join(cv, "cand")
-      val sims = pv.select(col("qid"), col("cand").as("ca"),
-          col("cv").as("va"), col("cn").as("na"))
-        .join(pv.select(col("qid"), col("cand").as("cb"),
-          col("cv").as("vb"), col("cn").as("nb")), "qid")
-        .filter(col("ca") =!= col("cb"))
-        .select(col("qid"), col("ca"), col("cb"),
-          cosine(dotL("va", "vb"), col("na"), col("nb")).as("sim"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      // per-query argmax by (score DESC, cand ASC) — in-aggregate
-      // max(struct), the library's distributed-argmax idiom (no window)
-      def pick(scored: DataFrame, rnk: Int): DataFrame =
-        scored.groupBy("qid")
-          .agg(max(struct(col("score"), negate(col("cand")).as("nc"),
-            col("cand"), col("rel"))).as("m"))
-          .select(col("qid"), col("m.cand").as("sel"), col("m.rel").as("rel"),
-            col("m.score").as("score"), lit(rnk.toLong).as("rnk"))
-      var selected = pick(pool.withColumn("score", col("rel")), 1)
-      for (k <- 2 to MmrK) {
-        val selSet = selected.select(col("qid"), col("sel"))
-        val remaining = pool.join(selSet.withColumnRenamed("sel", "cand"),
-          Seq("qid", "cand"), "left_anti")
-        val scored = remaining
-          .join(sims.join(selSet, sims("qid") === selSet("qid") &&
-              col("cb") === col("sel"))
-            .select(sims("qid"), col("ca").as("cand"), col("sim")),
-            Seq("qid", "cand"))
-          .groupBy(col("qid"), col("cand"), col("rel"))
-          .agg(max(col("sim")).as("msim"))
-          .withColumn("score",
-            lit(MmrLam) * col("rel") - lit(MmrDivW) * col("msim"))
-        selected = selected.union(pick(scored, k))
+      // BOUNDED MODEL-STATE COLLECT (the KMeans k×d precedent): the pool
+      // is |Q|·MmrPool rows BY CONSTRUCTION (|Q| a fixed request batch,
+      // MmrPool = 8), i.e. serving-request-sized, independent of corpus
+      // size — so the greedy tail runs locally in one pass instead of
+      // MmrK−1 rounds of pool-sized Spark jobs whose cost was pure
+      // scheduling latency. Arithmetic is the exact expression shapes the
+      // distributed rounds used (dot→double / (sqrt·sqrt), 0.7·rel −
+      // 0.3·maxsim, score DESC / cand ASC ties), so the unrolled DuckDB
+      // oracle still replays every pick bit-for-bit. At 100 TB the
+      // distributed parts — ONE corpus pass against the broadcast batch
+      // and the bounded TopKAggregator — are unchanged.
+      val poolRows = pool.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val candIds = poolRows.map(_._2).distinct.toSeq
+      val vecs =
+        if (candIds.isEmpty) Map.empty[Long, (Array[Long], Long)]
+        else iv.filter(col("vec_id").isin(candIds: _*))
+          .select(col("vec_id"), col("v"), col("nv")).collect()
+          .map(r => r.getLong(0) ->
+            (r.getSeq[Long](1).toArray, r.getLong(2))).toMap
+      def cosL(a: Long, b: Long): Double = {
+        val (va, na) = vecs(a); val (vb, nb) = vecs(b)
+        var dot = 0L; var i = 0
+        while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+        dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
       }
-      // materialize the |Q|·MmrK-row result, then release the pool-sized
-      // scaffolding (the Dedup residue idiom): the returned cached frame
-      // is the only thing the caller re-reads
-      val out = selected.select(col("qid").as("query_id"), col("rnk"),
-          col("sel").as("vec_id"), col("rel"), col("score"))
-        .orderBy(col("query_id"), col("rnk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      pool.unpersist(blocking = false)
-      sims.unpersist(blocking = false)
-      out
+      val picks = poolRows.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        val cands = rows.map { case (_, c, r) => (c, r) }.toSeq
+        var selected = Vector.empty[(Long, Double, Double)] // (sel, rel, score)
+        for (_ <- 1 to MmrK) {
+          val remaining = cands.filterNot { case (c, _) =>
+            selected.exists(_._1 == c) }
+          if (remaining.nonEmpty) {
+            val scoredK = remaining.map { case (c, r) =>
+              val score =
+                if (selected.isEmpty) r
+                else MmrLam * r - MmrDivW * selected.map(sl => cosL(c, sl._1)).max
+              (c, r, score)
+            }
+            selected = selected :+ scoredK.minBy { case (c, _, sc) => (-sc, c) }
+          }
+        }
+        selected.zipWithIndex.map { case ((c, r, sc), i) =>
+          (qid, (i + 1).toLong, c, r, sc) }
+      }.sortBy { case (qid, rnk, _, _, _) => (qid, rnk) }
+      picks.toDF("query_id", "rnk", "vec_id", "rel", "score")
     }),
 
     // JOHNSON-LINDENSTRAUSS RANDOM PROJECTION — 64 → 16 dims against a

@@ -435,20 +435,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
-  test("q_mmr_rerank pool stage: broadcast query batch, bounded top-k, no window") {
-    // the corpus is scored against a BROADCAST query batch (BNLJ is the
-    // correct physical op for that cross) and pooled by the bounded
-    // TopKAggregator — a SortMergeJoin on the cross or a WindowExec rank
-    // here would be the all-to-all shape the design avoids. The returned
-    // frame is the cached |Q|·3-row residue (the Dedup materialize-then-
-    // release idiom), so the pin drives the plan at build time and then
-    // asserts the residue reads from the cache.
+  test("q_mmr_rerank: result is the request-batch-bounded local residue, no window anywhere") {
+    // the corpus is scored against a BROADCAST fixed query batch and
+    // pooled by the bounded TopKAggregator (both run at build time); the
+    // greedy tail then works on the COLLECTED |Q|·8 pool — model-state
+    // scale by construction — so the returned frame must be a local
+    // |Q|·3-row result (LocalTableScan/LocalRelation), and nothing in
+    // its lineage may be a WindowExec rank or a per-candidate sort.
     val out = graft.SparkEntry.queries("q_mmr_rerank")(spark, sf)
     val p = out.queryExecution.executedPlan.toString
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"), p)
     import org.apache.spark.sql.execution.window.WindowExec
     assert(out.queryExecution.executedPlan
       .collect { case w: WindowExec => w }.isEmpty)
+    // bounded: exactly |Q| queries × 3 picks
+    assert(out.count() ===
+      graft.queries.Similarity.MmrQIds.size.toLong * 3L)
   }
 
   test("resolution-family keep rules stay equi-join-only: no cartesian, no window") {
@@ -462,6 +464,17 @@ class PlanSpec extends SparkSpec {
         l => assert(l.contains("Cross"), s"$q plans a non-scalar NLJ: $l")
       }
     }
+  }
+
+  test("q_preference_pairs is one scan + one group aggregate: no window, no join") {
+    // both picks are in-aggregate argmaxes (max/min over struct) — a
+    // WindowExec or a self-join here would be the per-group sort the
+    // design avoids
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("q_preference_pairs")(spark, sf)
+      .queryExecution.executedPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty)
+    assert(!sp.toString.contains("Join"), sp.toString)
   }
 
   test("q_substring_dedup is shingle-keyed end to end: no doc×doc join") {
