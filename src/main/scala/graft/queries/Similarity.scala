@@ -588,6 +588,32 @@ object Similarity {
         .limit(5)
     }),
 
+    // IVF INDEX-HEALTH panel — the operational dashboard a production
+    // vector store watches next to the index itself: per-cluster
+    // occupancy of the trained coarse quantizer, each cluster's corpus
+    // share, and its imbalance factor (size / ideal size, k=8). Skewed
+    // clusters are the IVF failure mode — a 10× cluster makes every
+    // probe routed to it 10× more expensive and starves recall
+    // elsewhere — so the panel is what triggers retraining. One in-row
+    // assignment pass (literal-centroid argmax against the memoized
+    // model) + ONE k-group aggregate; the 1-row total is a broadcast
+    // scalar join. Map-side combined, no window, identical at 100 TB.
+    "q_ann_index_stats" -> ((s, d) => {
+      val iv = intVecs(s, d)
+      val assigned = iv
+        .withColumn("cluster", graft.operators.KMeans.centArgmax(coarseModel(s, d)))
+      val tot = assigned.agg(count(lit(1)).as("n_total"))
+      assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(tot))
+        .select(col("cluster"), col("n_vecs"),
+          (col("n_vecs").cast("double") / col("n_total").cast("double"))
+            .as("share"),
+          (col("n_vecs").cast("double") * lit(8.0) /
+            col("n_total").cast("double")).as("imbalance"))
+        .orderBy(col("cluster"))
+    }),
+
     // PRODUCT-QUANTIZATION ANN (ADC probe + exact rerank) — the third
     // member of the index family (LSH buckets → IVF clusters → PQ codes),
     // the compression leg a vector store ships alongside coarse IVF
@@ -1649,6 +1675,21 @@ object Similarity {
     // rerank CTEs are q_ann_pq's verbatim (pqCtes → pasg3 codes under
     // pcent2) — composition only restricts the ADC scoring to the query
     // cluster's members and carries `cluster` through to the output.
+    // index-health replay: asg3 IS the trained assignment; counts per
+    // cluster, the 1-row total as a scalar cross, same double op order
+    "q_ann_index_stats" ->
+      s"""WITH $ivCte,
+         |$kmPrefix,
+         |${kmRoundCtes(3, sumsAtLast = false)},
+         |tot AS (SELECT COUNT(*) AS n_total FROM asg3)
+         |SELECT a.cluster, COUNT(*) AS n_vecs,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS share,
+         |  CAST(COUNT(*) AS DOUBLE) * 8.0 / CAST(tot.n_total AS DOUBLE)
+         |    AS imbalance
+         |FROM asg3 a, tot
+         |GROUP BY a.cluster, tot.n_total
+         |ORDER BY a.cluster""".stripMargin,
+
     "q_ann_ivfpq" -> ivfpqOracle(1),
 
     // the registered nprobe=2 point of the recall/cost curve: the router
