@@ -588,6 +588,47 @@ object Similarity {
         .limit(5)
     }),
 
+    // RETRIEVAL-EVAL panel — recall@5 of each ANN family against the
+    // exact brute-force top-5, AS A GATED QUERY (the q_ann_index_stats
+    // "measurement as a query" theme): the recall/cost trade of every
+    // index family is an oracle-verified artifact, not a spec-only
+    // number. Composes the REGISTERED family queries verbatim (ivf
+    // trained probe, LSH bucket, matryoshka prefix) so the panel can
+    // never drift from what the engine actually serves; the exact
+    // ground truth is ONE corpus pass whose top-5 ids are model-state
+    // scale (collected, the MMR-pool precedent), and each leg is then a
+    // 5-row aggregate. At 100 TB: the eval corpus pass is the one
+    // deliberate full scan an index-quality audit pays. NOTE on the
+    // numbers: the standard table's vectors are UNIFORM RANDOM, where
+    // low ANN recall is the true answer (no neighborhood structure to
+    // index — the panel honestly exposes it); the ≥0.8 recalls on
+    // CLUSTERED data are measured in QueriesSpec on the planted-cluster
+    // fixture. Watching this panel drop on real data is exactly the
+    // signal it exists to produce.
+    "q_ann_recall_panel" -> ((s, d) => {
+      val iv = intVecs(s, d)
+      val qv = iv.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nv").as("nq"))
+      val exactIds = iv.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      def leg(family: String, res: DataFrame): DataFrame =
+        res.select(col("vec_id"))
+          .agg(sum(when(col("vec_id").isin(exactIds: _*), 1L).otherwise(0L))
+            .as("h"))
+          .select(lit(family).as("family"), lit(5L).as("k"),
+            coalesce(col("h"), lit(0L)).as("hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0))
+              .as("recall"))
+      leg("ivf_trained", queries("q_ann_ivf_trained")(s, d))
+        .unionByName(leg("lsh", queries("q_ann_lsh")(s, d)))
+        .unionByName(leg("prefix", queries("q_ann_prefix")(s, d)))
+        .orderBy(col("family"))
+    }),
+
     // IVF INDEX-HEALTH panel — the operational dashboard a production
     // vector store watches next to the index itself: per-cluster
     // occupancy of the trained coarse quantizer, each cluster's corpus
@@ -1675,6 +1716,100 @@ object Similarity {
     // rerank CTEs are q_ann_pq's verbatim (pqCtes → pasg3 codes under
     // pcent2) — composition only restricts the ADC scoring to the query
     // cluster's members and carries `cluster` through to the output.
+    // recall panel replay: exact top-5 + each family's verbatim chain
+    // (ivf-trained probe under asg3, LSH buckets, prefix two-stage) with
+    // namespaced CTEs, then per-family IN-counts — same tie rules, same
+    // LIMIT 5 everywhere, so the id sets match the Spark legs exactly
+    "q_ann_recall_panel" ->
+      s"""WITH $ivCte,
+         |$kmPrefix,
+         |${kmRoundCtes(3, sumsAtLast = false)},
+         |xq AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+         |xsc AS (SELECT iv.vec_id,
+         |          SUM(iv.v[i] * q.qv[i]) AS dot,
+         |          SUM(iv.v[i] * iv.v[i]) AS nv,
+         |          SUM(q.qv[i] * q.qv[i]) AS nq
+         |        FROM iv, xq q, idx WHERE iv.vec_id <> 0 GROUP BY iv.vec_id),
+         |xtop AS (SELECT vec_id FROM (
+         |           SELECT vec_id, CAST(dot AS DOUBLE) /
+         |             (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
+         |           FROM xsc) ORDER BY cos DESC, vec_id ASC LIMIT 5),
+         |vq AS (SELECT iv.v AS qv, a.cluster AS qc
+         |       FROM iv JOIN asg3 a USING (vec_id) WHERE iv.vec_id = 0),
+         |vsc AS (SELECT iv.vec_id,
+         |          SUM(iv.v[i] * q.qv[i]) AS dot,
+         |          SUM(iv.v[i] * iv.v[i]) AS nv,
+         |          SUM(q.qv[i] * q.qv[i]) AS nq
+         |        FROM iv JOIN asg3 a USING (vec_id), vq q, idx
+         |        WHERE a.cluster = q.qc AND iv.vec_id <> 0
+         |        GROUP BY iv.vec_id),
+         |vtop AS (SELECT vec_id FROM (
+         |           SELECT vec_id, CAST(dot AS DOUBLE) /
+         |             (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
+         |           FROM vsc) ORDER BY cos DESC, vec_id ASC LIMIT 5),
+         |lpl AS (SELECT UNNEST(range(0, ${PLANES})) AS p),
+         |ldots AS (SELECT iv.vec_id, p,
+         |            SUM(iv.v[i] * (CASE WHEN ((p+1)*(i+3)) % 7 < 3
+         |              THEN 1 ELSE -1 END)) AS dp
+         |          FROM iv, lpl, idx GROUP BY iv.vec_id, p),
+         |lbk AS (SELECT vec_id,
+         |          CAST(SUM(CASE WHEN dp >= 0 THEN CAST(POWER(2, p) AS BIGINT)
+         |            ELSE 0 END) AS BIGINT) AS bucket
+         |        FROM ldots GROUP BY vec_id),
+         |lq AS (SELECT iv.v AS qv, lbk.bucket AS qbucket
+         |       FROM iv JOIN lbk USING (vec_id) WHERE vec_id = 0),
+         |lsc AS (SELECT iv.vec_id,
+         |          SUM(iv.v[i] * q.qv[i]) AS dot,
+         |          SUM(iv.v[i] * iv.v[i]) AS nv,
+         |          SUM(q.qv[i] * q.qv[i]) AS nq
+         |        FROM iv JOIN lbk USING (vec_id), lq q, idx
+         |        WHERE lbk.bucket = q.qbucket AND iv.vec_id <> 0
+         |        GROUP BY iv.vec_id),
+         |ltop AS (SELECT vec_id FROM (
+         |           SELECT vec_id, CAST(dot AS DOUBLE) /
+         |             (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
+         |           FROM lsc) ORDER BY cos DESC, vec_id ASC LIMIT 5),
+         |ppidx AS (SELECT UNNEST(range(1, 17)) AS i),
+         |ppsc AS (SELECT iv.vec_id,
+         |           SUM(iv.v[i] * q.qv[i]) AS pdot,
+         |           SUM(iv.v[i] * iv.v[i]) AS np,
+         |           SUM(q.qv[i] * q.qv[i]) AS nqp
+         |         FROM iv, xq q, ppidx GROUP BY iv.vec_id),
+         |pcand AS (SELECT vec_id,
+         |            CAST(pdot AS DOUBLE)
+         |              / (SQRT(CAST(np AS DOUBLE)) * SQRT(CAST(nqp AS DOUBLE))) AS pcos
+         |          FROM ppsc WHERE vec_id <> 0
+         |          ORDER BY pcos DESC, vec_id ASC LIMIT 50),
+         |prr AS (SELECT iv.vec_id,
+         |          SUM(iv.v[i] * q.qv[i]) AS dot,
+         |          SUM(iv.v[i] * iv.v[i]) AS nv,
+         |          SUM(q.qv[i] * q.qv[i]) AS nq
+         |        FROM iv JOIN pcand USING (vec_id), xq q, idx
+         |        GROUP BY iv.vec_id),
+         |ptop AS (SELECT vec_id FROM (
+         |           SELECT vec_id, CAST(dot AS DOUBLE) /
+         |             (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
+         |           FROM prr) ORDER BY cos DESC, vec_id ASC LIMIT 5)
+         |SELECT * FROM (
+         |  SELECT 'ivf_trained' AS family, CAST(5 AS BIGINT) AS k,
+         |    (SELECT COUNT(*) FROM vtop
+         |     WHERE vec_id IN (SELECT vec_id FROM xtop)) AS hits,
+         |    CAST((SELECT COUNT(*) FROM vtop
+         |     WHERE vec_id IN (SELECT vec_id FROM xtop)) AS DOUBLE) / 5.0 AS recall
+         |  UNION ALL
+         |  SELECT 'lsh', CAST(5 AS BIGINT),
+         |    (SELECT COUNT(*) FROM ltop
+         |     WHERE vec_id IN (SELECT vec_id FROM xtop)),
+         |    CAST((SELECT COUNT(*) FROM ltop
+         |     WHERE vec_id IN (SELECT vec_id FROM xtop)) AS DOUBLE) / 5.0
+         |  UNION ALL
+         |  SELECT 'prefix', CAST(5 AS BIGINT),
+         |    (SELECT COUNT(*) FROM ptop
+         |     WHERE vec_id IN (SELECT vec_id FROM xtop)),
+         |    CAST((SELECT COUNT(*) FROM ptop
+         |     WHERE vec_id IN (SELECT vec_id FROM xtop)) AS DOUBLE) / 5.0
+         |) ORDER BY family""".stripMargin,
+
     // index-health replay: asg3 IS the trained assignment; counts per
     // cluster, the 1-row total as a scalar cross, same double op order
     "q_ann_index_stats" ->
