@@ -34,9 +34,28 @@ object Dedup {
           "concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"))
         .as("g"))
 
-  /** doc_id, g: distinct whitespace-token 3-gram shingles per document. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    shinglesRaw(s, d).distinct()
+  /** doc_id, g: distinct whitespace-token 3-gram shingles per document —
+    * MATERIALIZED ONCE per dataset dir per JVM (the [[signatureTable]]
+    * asset discipline applied one stage earlier): six registered queries
+    * consume the distinct-shingle table (ngram/capped/containment/
+    * estimate/sweep's Jaccard sides, ssjoin's prefix machinery), and each
+    * was re-running the tokenize→explode→corpus-wide distinct shuffle
+    * per query. A real pipeline shingles the corpus once and every dedup
+    * stage reads that artifact. Same lifecycle as the other assets:
+    * immutable dataset dirs, shutdown sweep, build cost ledgered in
+    * [[graft.Assets]] (bench `assets_s`). */
+  private val ngCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    val path = ngCache.synchronized {
+      ngCache.getOrElseUpdate(d, graft.Assets.timed("shingle_table") {
+        val out = java.nio.file.Files.createTempDirectory("graft-shingles").toString
+        shinglesRaw(s, d).distinct().write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+    s.read.parquet(path)
+  }
 
   private val Seeds = 8 // MinHash seeds; banded 4 × 2
 
@@ -194,7 +213,7 @@ object Dedup {
   private val labeledCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val labeledSweeper: Unit = sys.addShutdownHook {
-    (labeledCache.values ++ sigCache.values).foreach { p =>
+    (labeledCache.values ++ sigCache.values ++ ngCache.values).foreach { p =>
       try {
         val root = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.exists(root))
@@ -627,6 +646,60 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), cm.as("common"),
           ca.as("contain_a"), cb.as("contain_b"),
           (greatest(ca, cb) >= 0.9).as("contained"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // PREFIX-FILTERED exact set-similarity self-join (AllPairs/PPJoin —
+    // Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06): the SAME exact
+    // shingle-Jaccard ≥ 1/2 contract as q_dedup_ngram — identical
+    // columns, identical rows, spec-proven equal — WITHOUT the uncapped
+    // shingle self-join that forces q_dedup_ngram's scale guard, and
+    // without MinHash's approximation. Under any fixed total shingle
+    // order (here df ASC, shingle ASC — rarest first, the
+    // candidate-minimizing choice), two sets with J ≥ t MUST share an
+    // element among their first |x| − ⌈t·|x|⌉ + 1: J ≥ t ⟹ |A∩B| ≥
+    // t·|A∪B| ≥ ⌈t·|A|⌉, and if A's prefix missed A∩B entirely the
+    // intersection would have to fit in the suffix of size ⌈t·|A|⌉ − 1.
+    // So candidates come from an equi-join on PREFIX shingles only,
+    // tightened by the J ≥ 1/2 length filter (|a| ≤ 2|b| ∧ |b| ≤ 2|a|),
+    // then exact Jaccard verifies each candidate. Output ≡ the
+    // brute-force join for ANY total order (each engine's candidate set
+    // independently covers all qualifying pairs — cross-engine collation
+    // cannot matter). Every cut is exact integer arithmetic (⌈x/2⌉ =
+    // (x+1) div 2; 2·common ≥ union) — no float boundary; only the
+    // reported jaccard divides. At 100 TB: the per-doc rarity window is
+    // doc-bounded, the shingle-df table is corpus-orders smaller than
+    // the corpus, and each doc joins ONLY through its rarest-half
+    // shingles — the df-bounded keys — where the baseline's uncapped
+    // self-join explodes on every hot shingle in the corpus.
+    "q_ssjoin_prefix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ng = shingles(s, d).persist(StorageLevel.DISK_ONLY)
+      val sz = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val dfx = ng.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+      val pfx = ng.join(dfx, "g").join(sz, "doc_id")
+        .withColumn("r", row_number().over(byRarity))
+        .filter(col("r") <= expr("sz - ((sz + 1) div 2) + 1"))
+        .select(col("doc_id"), col("g"), col("sz"))
+        .persist(StorageLevel.DISK_ONLY) // both sides of the candidate join
+      val cand = pfx.select(col("doc_id").as("doc_a"), col("g"), col("sz").as("sa"))
+        .join(pfx.select(col("doc_id").as("doc_b"), col("g"), col("sz").as("sb")),
+          Seq("g"))
+        .filter(col("doc_a") < col("doc_b") &&
+          col("sa") <= col("sb") * 2 && col("sb") <= col("sa") * 2)
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val common = cand
+        .join(ng.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+        .join(ng.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+      common // a J ≥ 1/2 pair shares ≥ 1 shingle, so inner on common is lossless
+        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("n_a")), "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("n_b")), "doc_b")
+        .filter(col("common") * 2 >= col("n_a") + col("n_b") - col("common"))
+        .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
+          (col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common")).cast("double")).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1078,6 +1151,36 @@ object Dedup {
          |JOIN cnt cb ON cb.doc_id = pr.doc_b
          |ORDER BY pr.doc_a, pr.doc_b""".stripMargin
     },
+
+    // the oracle replays the whole prefix-filter pipeline — df-ranked
+    // per-doc shingle prefixes, length-filtered candidate join,
+    // exact-integer Jaccard threshold (2·common ≥ union, no float
+    // boundary); output contract identical to q_dedup_ngram's
+    "q_ssjoin_prefix" ->
+      s"""WITH $ngCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM ng GROUP BY 1),
+         |dfx AS (SELECT g, COUNT(*) AS df FROM ng GROUP BY 1),
+         |rk AS (SELECT n.doc_id, n.g, s.sz,
+         |    ROW_NUMBER() OVER (PARTITION BY n.doc_id ORDER BY d.df, n.g) AS r
+         |  FROM ng n JOIN dfx d USING (g) JOIN sz s USING (doc_id)),
+         |pfx AS (SELECT doc_id, g, sz FROM rk
+         |  WHERE r <= sz - ((sz + 1) // 2) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pfx a JOIN pfx b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    AND a.sz <= b.sz * 2 AND b.sz <= a.sz * 2),
+         |cm AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+         |  FROM cand c
+         |  JOIN ng na ON na.doc_id = c.doc_a
+         |  JOIN ng nb ON nb.doc_id = c.doc_b AND nb.g = na.g
+         |  GROUP BY 1, 2)
+         |SELECT cm.doc_a, cm.doc_b, cm.common, sa.sz AS n_a, sb.sz AS n_b,
+         |  CAST(cm.common AS DOUBLE)
+         |    / CAST(sa.sz + sb.sz - cm.common AS DOUBLE) AS jaccard
+         |FROM cm
+         |JOIN sz sa ON sa.doc_id = cm.doc_a
+         |JOIN sz sb ON sb.doc_id = cm.doc_b
+         |WHERE cm.common * 2 >= sa.sz + sb.sz - cm.common
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id,

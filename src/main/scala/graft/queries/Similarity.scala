@@ -223,8 +223,19 @@ object Similarity {
     * in [[graft.Assets]] for the bench artifact's assets_s field. */
   private val pairCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The top-5 exact neighbor table derived from [[exactPairs]], itself
+    * memoized: both exact-kNN consumers run the SAME bounded top-k
+    * aggregation over the same pair table (q_knn_join wants k=3,
+    * q_label_noise k=5), and the TopKAggregator's order is total and
+    * deterministic (cos DESC, nbr ASC) — so the top-3 is literally rows
+    * rnk ≤ 3 of the top-5. One aggregation pass per JVM builds the
+    * (vec_id, nbr_id, cos, rnk≤5) asset; every consumer and bench repeat
+    * probes the N×5-row parquet. Same lifecycle as the pair asset:
+    * immutable dataset dirs, shutdown sweep, build cost ledgered. */
+  private val nbrCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
   private val pairSweeper: Unit = sys.addShutdownHook {
-    pairCache.values.foreach { p =>
+    (pairCache.values ++ nbrCache.values).foreach { p =>
       try {
         val root = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.exists(root))
@@ -239,6 +250,23 @@ object Similarity {
       pairCache.getOrElseUpdate(d, graft.Assets.timed("exact_pairs") {
         val out = java.nio.file.Files.createTempDirectory("graft-exactpairs").toString
         computeExactPairs(s, d).write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+    s.read.parquet(path)
+  }
+
+  /** One full neighbor-table build (the path [[neighborTable]] amortizes) —
+    * exposed for the PlanSpec pin on the BUILD plan (bounded partial top-k,
+    * no window sort) now that the registered queries' own plans are probes. */
+  private[graft] def computeNeighbors(s: SparkSession, d: String): DataFrame =
+    topKNeighbors(s, exactPairs(s, d), 5)
+
+  private[graft] def neighborTable(s: SparkSession, d: String): DataFrame = {
+    val path = nbrCache.synchronized {
+      nbrCache.getOrElseUpdate(d, graft.Assets.timed("knn_neighbors") {
+        val out = java.nio.file.Files.createTempDirectory("graft-knnnbrs").toString
+        computeNeighbors(s, d).write.mode("overwrite").parquet(out)
         out
       })
     }
@@ -840,7 +868,11 @@ object Similarity {
         s"q_knn_join is the exact all-pairs kNN baseline: $nVecs vectors " +
           s"exceed the guard ($maxVecs). Use q_knn_join_ann at corpus scale, " +
           "or raise graft.knn.exact.maxVecs explicitly.")
-      topKNeighbors(s, exactPairs(s, d), 3)
+      // rnk ≤ 3 of the memoized top-5 asset IS TopKAggregator(3): the
+      // aggregator's (cos DESC, nbr ASC) order is total, so a k-prefix is
+      // rank-stable — one aggregation pass serves both exact-kNN queries.
+      neighborTable(s, d).filter(col("rnk") <= 3)
+        .orderBy(col("vec_id"), col("rnk"))
     }),
 
     // LABEL-NOISE audit (confident-learning style): flag every vector
@@ -865,7 +897,7 @@ object Similarity {
         s"q_label_noise scores exact all-pairs kNN: $nVecs vectors exceed " +
           s"the guard ($maxVecs). Swap in ANN candidates at corpus scale, " +
           "or raise graft.knn.exact.maxVecs explicitly.")
-      labelNoiseCensus(s, d, topKNeighbors(s, exactPairs(s, d), 5))
+      labelNoiseCensus(s, d, neighborTable(s, d))
     }),
 
     // The AT-SCALE twin of q_label_noise — the documented ANN swap,

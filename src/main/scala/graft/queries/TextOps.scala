@@ -693,6 +693,46 @@ object TextOps {
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(20)),
 
+    // RETRIEVAL-QUALITY evaluation panel (nDCG@10 / MRR@10 / P@10) — the
+    // IR eval every retrieval stack ships next to its index: the BM25 run
+    // is scored against graded relevance rel = n_terms (how many of the 3
+    // query terms the doc matches; the ideal ranking is the same pool
+    // re-sorted by grade). Both rankings are TakeOrdered top-10 cuts
+    // (never a global sort over the run); the 10-row DCG folds are
+    // driver-size. DCG gain 2^rel − 1 is exact-integer; the only
+    // float work is the shared ln() and the final divisions, computed
+    // identically in both engines (the q_bm25 precedent proves the score
+    // column matches bit-for-bit, so the rank cut is identical too).
+    // At 100 TB: the run is term-matched docs only (inverted-index
+    // shape), both cuts are top-k — evaluation cost is O(run), driver
+    // cost is O(10).
+    "q_retrieval_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val run = bm25Scored(s, d)
+      val n = run.agg(count(lit(1)).as("n_run"))
+      // 10-row frames: the window runs AFTER the TakeOrdered cut
+      val top = run.orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      val ideal = run.orderBy(col("n_terms").desc, col("doc_id").asc).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n_terms").desc, col("doc_id").asc)))
+      def dcg = sum((pow(lit(2.0), col("n_terms").cast("double")) - lit(1.0)) *
+        log(lit(2.0)) / log(col("rnk").cast("double") + lit(1.0)))
+      val dcg10 = top.agg(coalesce(dcg, lit(0.0)).as("dcg10"),
+        coalesce(max(when(col("n_terms") === 3,
+          lit(1.0) / col("rnk").cast("double"))), lit(0.0)).as("mrr10"),
+        coalesce(sum(when(col("n_terms") === 3, 1L).otherwise(0L)), lit(0L))
+          .as("full_hits"))
+      val idcg10 = ideal.agg(coalesce(dcg, lit(0.0)).as("idcg10"))
+      n.crossJoin(dcg10).crossJoin(idcg10)
+        .select(col("n_run"), col("dcg10"), col("idcg10"),
+          when(col("idcg10") === 0.0, lit(0.0))
+            .otherwise(col("dcg10") / col("idcg10")).as("ndcg10"),
+          col("mrr10"),
+          (col("full_hits").cast("double") / lit(10.0)).as("p_at_10"))
+    }),
+
     // Bigram language model: P(w2|w1) = c(w1,w2) / Σ_w c(w1,w), top 20
     // bigrams by count — the n-gram LM table behind perplexity-style
     // quality filters (CCNet-shape). Bigrams come from one in-row
@@ -982,7 +1022,7 @@ object TextOps {
     * aggregate — never a corpus-wide score sort (consumers TakeOrdered
     * their k). */
   private[queries] val Bm25Terms = Seq("hash", "join", "spark")
-  private[queries] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val qTerms = Bm25Terms
     val docs = t(s, d, "documents")
     val tok = docs.select(col("doc_id"),
@@ -1347,6 +1387,36 @@ object TextOps {
       s"""WITH $bm25Ctes
          |SELECT doc_id, n_terms, bm25 FROM bscore
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // replays the run ranking, both top-10 cuts, and the DCG folds;
+    // gain 2^rel − 1 is exact-integer, ln() matches the q_bm25 precedent
+    "q_retrieval_eval" ->
+      s"""WITH $bm25Ctes,
+         |top AS (SELECT n_terms, ROW_NUMBER() OVER (
+         |    ORDER BY bm25 DESC, doc_id ASC) AS rnk
+         |  FROM bscore ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+         |ideal AS (SELECT n_terms, ROW_NUMBER() OVER (
+         |    ORDER BY n_terms DESC, doc_id ASC) AS rnk
+         |  FROM bscore ORDER BY n_terms DESC, doc_id ASC LIMIT 10),
+         |d AS (SELECT
+         |    COALESCE(SUM((POWER(2.0, CAST(n_terms AS DOUBLE)) - 1.0)
+         |      * LN(2.0) / LN(CAST(rnk AS DOUBLE) + 1.0)), 0.0) AS dcg10,
+         |    COALESCE(MAX(CASE WHEN n_terms = 3
+         |      THEN 1.0 / CAST(rnk AS DOUBLE) END), 0.0) AS mrr10,
+         |    COALESCE(SUM(CASE WHEN n_terms = 3 THEN 1 ELSE 0 END), 0)
+         |      AS full_hits
+         |  FROM top),
+         |i AS (SELECT
+         |    COALESCE(SUM((POWER(2.0, CAST(n_terms AS DOUBLE)) - 1.0)
+         |      * LN(2.0) / LN(CAST(rnk AS DOUBLE) + 1.0)), 0.0) AS idcg10
+         |  FROM ideal),
+         |n AS (SELECT COUNT(*) AS n_run FROM bscore)
+         |SELECT n.n_run, d.dcg10, i.idcg10,
+         |  CASE WHEN i.idcg10 = 0.0 THEN 0.0
+         |       ELSE d.dcg10 / i.idcg10 END AS ndcg10,
+         |  d.mrr10,
+         |  CAST(d.full_hits AS DOUBLE) / 10.0 AS p_at_10
+         |FROM n, d, i""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH toks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w

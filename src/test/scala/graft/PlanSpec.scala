@@ -173,8 +173,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("q_knn_join pairs via block equi-join and aggregates top-k partially (no window sort)") {
+  test("q_knn_join probes the memoized neighbor asset with the rank filter pushed down") {
     val p = plan("q_knn_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p) // probe = scan + pushed filter + sort
+    // the top-3 cut reaches the parquet scan, not a post-scan Filter only
+    assert(p.contains("LessThanOrEqual(rnk,3)"), p)
+  }
+
+  test("q_ssjoin_prefix: prefix-token equi-join only — no cartesian, windows are doc-partitioned") {
+    val p = plan("q_ssjoin_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the only window is the per-doc rarity rank — bounded by doc length,
+    // never a global or vocab-wide frame
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("doc_id#"), s"non-doc-partitioned window: $l")
+    }
+  }
+
+  test("q_retrieval_eval cuts both rankings with TakeOrdered — no global sort of the run") {
+    val p = plan("q_retrieval_eval")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("neighbor-asset BUILD pairs via block equi-join and aggregates top-k partially") {
+    // the plan q_knn_join/q_label_noise amortize: still bounded partial
+    // top-k over the block-partitioned pair table — never a window sort
+    val p = graft.queries.Similarity.computeNeighbors(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p) // bounded partial top-k, not row_number
     assert(p.contains("ObjectHashAggregate"), p) // typed Aggregator w/ partial merge

@@ -775,4 +775,60 @@ class QueriesSpec extends SparkSpec {
       assert(fresh(k) == r.getDouble(2), s"pair $k cosine drifted")
     }
   }
+
+  test("memoized neighbor asset: q_knn_join == TopKAggregator(3) over fresh pairs") {
+    // the k-prefix claim behind the shared top-5 asset: filtering the
+    // memoized table at rnk <= 3 must equal a direct top-3 aggregation
+    // (total order cos DESC, nbr ASC makes the prefix rank-stable)
+    import spark.implicits._
+    val fresh = graft.queries.Similarity.computeExactPairs(spark, sf)
+      .flatMap { r =>
+        val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b, c), (b, a, c))
+      }.collect().toSeq
+      .groupBy(_._1).toSeq.flatMap { case (vid, rows) =>
+        rows.sortBy { case (_, nbr, cos) => (-cos, nbr) }.take(3).zipWithIndex
+          .map { case ((_, nbr, cos), i) => (vid, nbr, cos, (i + 1).toLong) }
+      }.toSet
+    val got = SparkEntry.queries("q_knn_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == fresh, s"asset probe diverged: ${got.diff(fresh).take(5)} vs ${fresh.diff(got).take(5)}")
+  }
+
+  test("q_ssjoin_prefix equals the guarded quadratic baseline q_dedup_ngram exactly") {
+    // the prefix filter's losslessness, proven against the registered
+    // brute-force operator itself: same columns, same rows, same counts —
+    // q_ssjoin_prefix IS q_dedup_ngram without the scale guard
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val brute = rows("q_dedup_ngram")
+    val pp = rows("q_ssjoin_prefix")
+    assert(pp == brute,
+      s"prefix join diverged from the baseline: extra=${pp.diff(brute).take(5)} missing=${brute.diff(pp).take(5)}")
+    assert(brute.nonEmpty, "fixture has no qualifying pair — spec is vacuous")
+  }
+
+  test("q_retrieval_eval replays from the full BM25 run") {
+    val run = graft.queries.TextOps.bm25Scored(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def dcg(ranked: Seq[Long]): Double =
+      ranked.zipWithIndex.map { case (rel, i) =>
+        (math.pow(2.0, rel.toDouble) - 1.0) * math.log(2.0) / math.log(i + 2.0)
+      }.sum
+    val top = run.sortBy { case (id, _, s) => (-s, id) }.take(10)
+    val ideal = run.sortBy { case (id, nt, _) => (-nt, id) }.take(10)
+    val want = dcg(top.map(_._2))
+    val wantIdeal = dcg(ideal.map(_._2))
+    val got = SparkEntry.queries("q_retrieval_eval")(spark, sf).collect().head
+    assert(got.getLong(0) == run.length)
+    assert(math.abs(got.getDouble(1) - want) < 1e-9, s"dcg10 ${got.getDouble(1)} != $want")
+    assert(math.abs(got.getDouble(2) - wantIdeal) < 1e-9)
+    val ndcg = got.getDouble(3)
+    assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-12, s"ndcg10 out of range: $ndcg")
+    val mrr = top.zipWithIndex.collectFirst {
+      case ((_, 3L, _), i) => 1.0 / (i + 1) }.getOrElse(0.0)
+    assert(math.abs(got.getDouble(4) - mrr) < 1e-12)
+    assert(got.getDouble(5) == top.count(_._2 == 3L) / 10.0)
+  }
 }
