@@ -1174,6 +1174,55 @@ object Similarity {
     "q_semantic_dedup" -> ((s, d) =>
       semanticVerdict(s, d).orderBy(col("vec_id"))),
 
+    // CORPUS CARTOGRAPHY (the data-map panel): label each trained
+    // k-means cluster of the embedding space with its top-3
+    // distinguishing TERMS — cluster-level TF-IDF over the documents
+    // joined by vec_id = doc_id (the corpus convention). tf counts a
+    // term's occurrences inside the cluster, df counts how many of the
+    // k=8 clusters carry the term, score = tf·ln(k/df); terms in every
+    // cluster are dropped up front (ln(k/k) = 0 — they distinguish
+    // nothing). RANKING runs on exact DECIMAL products of tf and the 7
+    // idf values embedded as shared literals (idfLits — the calibration
+    // thresholds discipline): ln(8), ln(4), ln(2) are rationally
+    // related, so live-libm scoring can REAL-tie across different
+    // (tf, df) pairs and a 1-ulp ln() disagreement would flip the rank
+    // cut between engines; the literal products make the order
+    // bit-identical by construction. The ranking window is partitioned
+    // by cluster over the SCORED VOCABULARY — vocab-bounded frames,
+    // corpus-orders smaller than the document table (the q_tfidf
+    // discipline). Training is the memoized coarse quantizer
+    // (assignment = in-row literal-centroid argmax, no join); the
+    // oracle replays Lloyd via the shared kmPrefix/kmRoundCtes chain.
+    // The panel every corpus curation writeup ships: what IS each
+    // region of the embedding space about.
+    "q_cluster_topics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = intVecs(s, d)
+        .withColumn("cluster", graft.operators.KMeans.centArgmax(coarseModel(s, d)))
+        .select(col("vec_id").as("doc_id"), col("cluster"))
+      // BIGRAM terms: the fixture's unigram vocabulary is 31 tokens, all
+      // present in every cluster (df = k for every term — an honest
+      // empty panel); bigrams carry the distinguishing phrases
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> " +
+            "concat_ws(' ', element_at(w, i), element_at(w, i+1)))")).as("term"))
+      val ct = tok.join(assigned, "doc_id")
+        .groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfx = ct.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val byCluster = Window.partitionBy(col("cluster"))
+        .orderBy(col("score_d").desc, col("term").asc)
+      ct.join(dfx, "term").filter(col("df") < 8)
+        .withColumn("score_d", expr(s"CAST(tf AS DECIMAL(20, 0)) * ($idfCase)"))
+        .withColumn("rnk", row_number().over(byCluster).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("cluster"), col("term"), col("tf"), col("df"),
+          col("score_d").cast("double").as("score"), col("rnk"))
+        .orderBy(col("cluster"), col("rnk"))
+    }),
+
     // END-TO-END vector-corpus build — the embedding-side capstone
     // mirroring q_pipeline_corpus: semantic-dedup the space (trained
     // k-means clusters, within-cluster cos prune), keep the survivors,
@@ -1301,6 +1350,16 @@ object Similarity {
 
   /** SemDeDup cosine threshold — same τ as the near-dup family. */
   private val SemTau = 0.4
+
+  /** q_cluster_topics idf weights ln(8/df), df = 1..7, as SHARED DECIMAL
+    * literals (one generator feeds the Spark expression AND the oracle
+    * SQL — the calibration-thresholds discipline): ranking on exact
+    * decimal products sidesteps both the rational ln-tie class
+    * (1·ln8 = 3·ln2 across different (tf, df) pairs) and cross-libm
+    * 1-ulp drift at the rank cut. */
+  private val idfCase: String = (1 to 7).map { df =>
+    s"WHEN df = $df THEN CAST(${"%.15f".format(math.log(8.0 / df))} AS DECIMAL(16, 15))"
+  }.mkString("CASE ", " ", " END")
 
   /** k-means oracle scaffolding shared by q_kmeans_train and
     * q_ann_ivf_trained: per-vector norms + seed centroids as per-dim rows. */
@@ -1873,6 +1932,34 @@ object Similarity {
          |FROM asg3 g LEFT JOIN dup d USING (vec_id)
          |ORDER BY g.vec_id""".stripMargin
     },
+
+    // Lloyd replayed via the shared chain; ranking on the same DECIMAL
+    // idf-literal products as the Spark side (idfCase is ONE generator)
+    "q_cluster_topics" ->
+      s"""WITH $ivCte,
+         |$kmPrefix,
+         |${kmRoundCtes(3, sumsAtLast = false)},
+         |toksct AS (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents),
+         |tok AS (SELECT doc_id,
+         |    UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS term
+         |  FROM toksct WHERE len(w) >= 2),
+         |ct AS (SELECT a.cluster, t.term, COUNT(*) AS tf
+         |       FROM tok t JOIN asg3 a ON a.vec_id = t.doc_id
+         |       GROUP BY 1, 2),
+         |dfx AS (SELECT term, COUNT(*) AS df FROM ct GROUP BY 1),
+         |sc AS (SELECT ct.cluster, ct.term, ct.tf, dfx.df,
+         |         CAST(ct.tf AS DECIMAL(20, 0)) * ($idfCase) AS score_d
+         |       FROM ct JOIN dfx USING (term) WHERE dfx.df < 8),
+         |r AS (SELECT cluster, term, tf, df, score_d,
+         |        ROW_NUMBER() OVER (PARTITION BY cluster
+         |          ORDER BY score_d DESC, term ASC) AS rnk
+         |      FROM sc)
+         |SELECT cluster, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, CAST(score_d AS DOUBLE) AS score,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY cluster, rnk""".stripMargin,
 
     "q_pipeline_vectors" -> {
       s"""WITH $semCtes,

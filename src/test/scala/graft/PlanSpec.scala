@@ -181,13 +181,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LessThanOrEqual(rnk,3)"), p)
   }
 
-  test("q_ssjoin_prefix: prefix-token equi-join only — no cartesian, windows are doc-partitioned") {
+  test("q_ssjoin_prefix: prefix-token equi-join only — no cartesian, no window in the probe") {
     val p = plan("q_ssjoin_prefix")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the only window is the per-doc rarity rank — bounded by doc length,
-    // never a global or vocab-wide frame
+    assert(!p.contains("windowspecdefinition"), p) // ranks live in the index asset
+  }
+
+  test("ssjoin prefix-index BUILD windows are doc-partitioned only") {
+    // the asset build's rarity rank is a per-doc frame — bounded by doc
+    // length, never a global or vocab-wide window
+    val p = graft.queries.Dedup.computePrefixIndex(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    val w = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(w.nonEmpty, p)
+    w.foreach(l => assert(l.contains("doc_id#"), s"non-doc-partitioned window: $l"))
+  }
+
+  test("q_cluster_topics assigns map-side and windows only the scored vocabulary by cluster") {
+    val p = plan("q_cluster_topics")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the only window ranks within a cluster — never a global frame
     p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
-      assert(l.contains("doc_id#"), s"non-doc-partitioned window: $l")
+      assert(l.contains("cluster#"), s"non-cluster-partitioned window: $l")
     }
   }
 

@@ -809,6 +809,28 @@ class QueriesSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture has no qualifying pair — spec is vacuous")
   }
 
+  test("q_cluster_topics: 3 terms per occupied cluster, ranked by the literal-idf product") {
+    val rows = SparkEntry.queries("q_cluster_topics")(spark, sf).collect()
+    assert(rows.nonEmpty, "empty panel — bigram vocabulary collapsed")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.length <= 3, s"cluster $c emitted ${rs.length} rows")
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+        (1 to rs.length).map(_.toLong), s"cluster $c ranks broken")
+      // df < k always (ubiquitous terms distinguish nothing)
+      rs.foreach(r => assert(r.getAs[Long]("df") < 8))
+      // score replays as tf * ln(8/df) to literal precision
+      rs.foreach { r =>
+        val want = BigDecimal(r.getAs[Long]("tf")) *
+          BigDecimal("%.15f".format(math.log(8.0 / r.getAs[Long]("df"))))
+        assert(math.abs(r.getAs[Double]("score") - want.toDouble) < 1e-9)
+      }
+      // within a cluster, scores are non-increasing by rank
+      val sorted = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("score"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q_retrieval_eval replays from the full BM25 run") {
     val run = graft.queries.TextOps.bm25Scored(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

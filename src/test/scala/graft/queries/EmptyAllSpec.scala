@@ -38,7 +38,8 @@ class EmptyAllSpec extends SparkSpec {
     "q_ann_recall_panel" -> "seed ids",
     "q_ann_ivf_trained" -> "seed ids",
     "q_pipeline_vectors" -> "seed ids",
-    "q_semantic_dedup" -> "seed ids")
+    "q_semantic_dedup" -> "seed ids",
+    "q_cluster_topics" -> "seed ids")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"empty input: $name") {
