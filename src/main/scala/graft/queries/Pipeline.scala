@@ -34,7 +34,7 @@ object Pipeline {
     "q_pipeline_corpus" -> ((s, d) => {
       val verdict = Dedup.queries("q_dedup_resolve")(s, d)
         .filter(col("keep") === 1L).select(col("doc_id"))
-      val lmOk = TextOps.docPerplexity(Tables.load(s, d, "documents"))
+      val lmOk = TextOps.docPerplexity(s, d)
         .filter(col("ppl") <= TextOps.PplMax).select(col("doc_id"))
       Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"),

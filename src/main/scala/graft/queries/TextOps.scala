@@ -121,8 +121,42 @@ object TextOps {
     * never explode rows. The per-doc log-prob sum goes through
     * DECIMAL(28,12) so it is order-independent and bit-identical across
     * engines (the [[graft.Num]] exact-sum discipline); docs with < 2
-    * tokens have no bigrams and are absent by definition. */
-  def docPerplexity(docs: DataFrame): DataFrame = {
+    * tokens have no bigrams and are absent by definition.
+    *
+    * MEMOIZED per dataset dir (the labeledDocs discipline applied to the
+    * LM gate): the scored table is the narrow per-doc artifact a real
+    * pipeline trains/scores once and every downstream gate reads — both
+    * consumers (q_lm_perplexity, the q_pipeline_corpus capstone) probe
+    * one parquet instead of re-training the LM and re-scoring the
+    * corpus. Build cost ledgered; temp dirs swept at JVM shutdown. NOT
+    * applied to q_bigram_lm, whose registered output IS the training. */
+  private val pplCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val pplSweeper: Unit = sys.addShutdownHook {
+    pplCache.values.foreach { p =>
+      try {
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  private[graft] def docPerplexity(s: SparkSession, d: String): DataFrame = {
+    val path = pplCache.synchronized {
+      pplCache.getOrElseUpdate(d, graft.Assets.timed("bigram_ppl") {
+        val out = java.nio.file.Files.createTempDirectory("graft-ppl").toString
+        computeDocPerplexity(graft.Tables.load(s, d, "documents"))
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+    s.read.parquet(path)
+  }
+
+  /** One full train+score build (the path [[docPerplexity]] amortizes). */
+  private[graft] def computeDocPerplexity(docs: DataFrame): DataFrame = {
     val bg = docs
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .filter(size(col("w")) >= 2)
@@ -222,7 +256,7 @@ object TextOps {
     // quality gate q_bigram_lm's table exists for; also the fourth stage
     // of q_pipeline_corpus).
     "q_lm_perplexity" -> ((s, d) =>
-      docPerplexity(t(s, d, "documents"))
+      docPerplexity(s, d)
         .withColumn("lm_ok", col("ppl") <= PplMax)
         .orderBy(col("doc_id"))),
 
