@@ -256,8 +256,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
-  test("q_lm_perplexity scores via the (w1, w2) equi-join, never a cartesian, and prunes to (doc_id, text)") {
+  test("q_lm_perplexity probes the memoized per-doc score asset — no join in the probe") {
     val p = plan("q_lm_perplexity")
+    assert(!p.contains("Join"), p) // probe = narrow asset scan + verdict map
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("LM-score BUILD scores via the (w1, w2) equi-join, never a cartesian, and prunes to (doc_id, text)") {
+    // the plan the ppl asset amortizes (q_lm_perplexity + the pipeline gate)
+    val p = graft.queries.TextOps.computeDocPerplexity(
+      Tables.load(spark, sf, "documents")).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(read.contains("doc_id") && read.contains("text"), read)
