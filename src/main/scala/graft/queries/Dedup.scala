@@ -447,6 +447,57 @@ object Dedup {
       out
     }),
 
+    // WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    // MOSS local fingerprinting scheme): per document, hash every
+    // 3-token gram, slide a w=4 window over the gram-hash sequence, and
+    // keep the minimum hash of each full window; the distinct selected
+    // hashes are the document's fingerprints. Guarantees: any shared run
+    // of >= w+k-1 = 7 tokens yields at least one shared fingerprint, at
+    // expected density 2/(w+1) — position-robust local dedup evidence
+    // that rolling-hash q_fingerprint (global) and q_dup_spans (df
+    // scoring) don't provide. Output: the top-50 document pairs by
+    // shared-fingerprint count with containment-normalized score. Scale
+    // shape: fingerprint selection is PURE IN-ROW array work (hash +
+    // window-min + distinct inside one transform chain — no per-doc
+    // window shuffle, no posexplode of raw grams); the cross-doc stage
+    // joins on the fingerprint with a df cap (2..64) so a stop-gram
+    // fingerprint can never create a quadratic join task — the
+    // q_dedup_ngram_capped discipline. md5-based hash keeps the oracle
+    // bit-identical; swap xxhash64 at production scale, same pipeline.
+    "q_winnowing" -> ((s, d) => {
+      val fps = t(s, d, "documents")
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+        .filter(size(col("w")) >= 6) // k + w - 1: at least one full window
+        .select(col("doc_id"), expr( // gram hashes, each md5 computed once
+          "transform(sequence(1, size(w) - 2), i -> " +
+            "cast(conv(substr(md5(concat_ws(' ', element_at(w, i), " +
+            "element_at(w, i+1), element_at(w, i+2))), 1, 8), 16, 10) " +
+            "as bigint))").as("hs"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(hs) - 3), j -> " +
+            "array_min(slice(hs, j, 4))))")).as("fp"))
+        .persist(StorageLevel.DISK_ONLY) // df agg + per-doc counts + join
+      val perDoc = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 64).select(col("fp"))
+      val capped = fps.join(keep, Seq("fp"), "left_semi")
+      val pairs = capped.as("a").join(capped.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      val out = pairs
+        .join(perDoc.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+        .join(perDoc.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+          (col("shared").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double")).as("score"))
+        .orderBy(col("shared").desc, col("doc_a"), col("doc_b")).limit(50)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      fps.unpersist(blocking = false)
+      out
+    }),
+
     // Exact n-gram Jaccard near-dup pairs. Shuffle-aware shape: the
     // self-join is on the shingle (a bounded-fanout key), never a cross
     // join; counts are per-pair aggregates.
@@ -947,6 +998,45 @@ object Dedup {
          |  COALESCE(ka.cleaned, '') AS cleaned_text
          |FROM toks d LEFT JOIN ka USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // replays winnowing with a per-doc window-min over the gram-hash
+    // sequence (the oracle's window twin of Spark's in-row array
+    // pipeline); full windows only (i <= n_grams - 3), then the same
+    // df-capped fingerprint join
+    "q_winnowing" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |          string_split_regex(lower(trim(text)), '\\s+') AS w
+         |        FROM documents),
+         |g AS (SELECT doc_id, i,
+         |        w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)]
+         |          || ' ' || w[CAST(i + 2 AS INTEGER)] AS gt
+         |      FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+         |      WHERE len(w) >= 6),
+         |h AS (SELECT doc_id, i, (${Sampling.sqlBucketN("gt", 8)}) AS h,
+         |        COUNT(*) OVER (PARTITION BY doc_id) AS ng
+         |      FROM g),
+         |w1 AS (SELECT doc_id, i, ng,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |       FROM h),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM w1 WHERE i <= ng - 3),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+         |keep AS (SELECT fp FROM fps GROUP BY fp
+         |         HAVING COUNT(*) BETWEEN 2 AND 64),
+         |cap AS (SELECT doc_id, fp FROM fps
+         |        WHERE fp IN (SELECT fp FROM keep)),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         COUNT(*) AS shared
+         |       FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |r AS (SELECT doc_a, doc_b, shared, pa.n_fp AS n_a, pb.n_fp AS n_b,
+         |        CAST(shared AS DOUBLE)
+         |          / CAST(LEAST(pa.n_fp, pb.n_fp) AS DOUBLE) AS score,
+         |        ROW_NUMBER() OVER (ORDER BY shared DESC, doc_a, doc_b) AS rk
+         |      FROM pr JOIN pd pa ON pr.doc_a = pa.doc_id
+         |              JOIN pd pb ON pr.doc_b = pb.doc_id)
+         |SELECT doc_a, doc_b, shared, n_a, n_b, score
+         |FROM r WHERE rk <= 50 ORDER BY shared DESC, doc_a, doc_b""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $ngCte,

@@ -507,6 +507,43 @@ object Sampling {
           col("n"))
     }),
 
+    // DP TOP-K release — the third canonical DP primitive here: publish
+    // the k most frequent tokens by Laplace-noised count, but ONLY those
+    // whose noisy count clears a release threshold τ (the stability-based
+    // heavy-hitters mechanism, cf. Wilson et al. 2020, "Differentially
+    // Private SQL with Bounded User Contribution") — how a corpus ships a
+    // vocabulary without certifying any rare, possibly-identifying
+    // string. Same seeded Laplace draw as q_dp_counts (md5-uniform →
+    // inverse CDF) at scale 2/ε. NOT real DP, twice over and disclosed:
+    // the draw is a deterministic function of the token (which is what
+    // makes the release oracle-reproducible), and per-document token
+    // contribution is unbounded (a real release clips per-user
+    // contribution first); the aggregate/noise/threshold/top-k shape is
+    // the production one. Scale: one in-row tokenize + one token-keyed
+    // map-side-combined aggregate; noise, threshold, and ranking all run
+    // on the |vocab|-sized scoreboard, and the rank window sees only the
+    // ≤ k survivors of orderBy().limit() — no corpus-wide window, no
+    // join, no second pass over the data.
+    "q_dp_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = (conv(substring(md5(encode(
+        concat(lit("dptk:"), col("token")), "UTF-8")), 1, 8), 16, 10)
+        .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+      val c = u - lit(0.5)
+      val noise = when(c < 0, lit(1.0)).otherwise(lit(-1.0)) *
+        log(lit(1.0) - lit(2.0) * abs(c)) * lit(4.0) // scale 2/ε, ε = 0.5
+      Tables.load(s, d, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_true"))
+        .withColumn("n_dp", col("n_true").cast("double") + noise)
+        .filter(col("n_dp") >= lit(20.0))
+        .orderBy(col("n_dp").desc, col("token")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_dp").desc, col("token"))).cast("long"))
+        .orderBy(col("rank"))
+    }),
+
     // K-ANONYMITY AUDIT — the release-governance gate: any combination of
     // quasi-identifiers (language, source, coarse length bucket) shared
     // by fewer than k=5 documents could single out a contributor, so the
@@ -778,6 +815,24 @@ object Sampling {
          |SELECT lang, n_true, noise,
          |  CAST(n_true AS DOUBLE) + noise AS n_dp
          |FROM n ORDER BY lang""".stripMargin,
+
+    "q_dp_topk" ->
+      s"""WITH tok AS (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS token
+         |  FROM documents),
+         |g AS (SELECT token, COUNT(*) AS n_true FROM tok GROUP BY 1),
+         |u AS (SELECT token, n_true,
+         |        ((${sqlBucketN("'dptk:' || token", 8)}) + 0.5) / 4294967296.0 - 0.5 AS c
+         |      FROM g),
+         |n AS (SELECT token, n_true,
+         |        (CASE WHEN c < 0 THEN 1.0 ELSE -1.0 END)
+         |          * ln(1.0 - 2.0 * abs(c)) * 4.0 AS noise
+         |      FROM u),
+         |t AS (SELECT token, n_true, CAST(n_true AS DOUBLE) + noise AS n_dp FROM n),
+         |r AS (SELECT token, n_true, n_dp,
+         |        ROW_NUMBER() OVER (ORDER BY n_dp DESC, token) AS rank
+         |      FROM t WHERE n_dp >= 20.0)
+         |SELECT token, n_true, n_dp, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "q_dp_quantile" ->
       s"""WITH v AS (SELECT o_totalprice AS v FROM orders),

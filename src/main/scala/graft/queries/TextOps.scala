@@ -487,6 +487,54 @@ object TextOps {
         .orderBy(col("decile"))
     }),
 
+    // GATE ATTRIBUTION — the filter-funnel ablation panel every corpus
+    // build reads before shipping: for each quality gate, how many docs
+    // fail it at all, how many docs ONLY it rejects (its unique
+    // contribution), and how many docs would pass if it were dropped
+    // (the marginal recovery). This is the standard diagnosis for "which
+    // filter is eating my data" (cf. Gopher/RefinedWeb filtering
+    // ablations). Gate predicates are the integer-exact ones shared with
+    // q_text_quality. Shape at 100 TB: per-doc booleans are pure in-row
+    // map work over ONE scan; everything collapses into a single global
+    // aggregate (map-side combined, 13 sums), and the 4-row unpivot +
+    // rate arithmetic happen on that 1-row model-sized frame — no join,
+    // no window, no second pass over the corpus.
+    "q_gate_attribution" -> ((s, d) => {
+      val words = size(split(trim(col("text")), "\\s+"))
+      val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+      val stop = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(?:the|and|of|to|is|a)\\b"), lit(0)))
+      val p = Seq(
+        "g1_min_words" -> (words >= 5),
+        "g2_max_words" -> (words <= 1000),
+        "g3_punct" -> (punct * 5 < length(col("text"))),
+        "g4_stopword" -> (stop >= 1))
+      val flagged = t(s, d, "documents").select(
+        p.map { case (n, c) => when(c, 1L).otherwise(0L).as(n) }: _*)
+      def s0(c: org.apache.spark.sql.Column) = coalesce(sum(c), lit(0L))
+      val passAll = p.map(g => col(g._1)).reduce(_ * _)
+      val aggCols = p.map { case (n, _) =>
+        val others = p.filter(_._1 != n).map(g => col(g._1)).reduce(_ * _)
+        struct(
+          s0(lit(1L) - col(n)).as("n_fail"),
+          s0((lit(1L) - col(n)) * others).as("n_only_fail"),
+          s0(others).as("n_pass_without")).as(n)
+      } ++ Seq(s0(passAll).as("n_pass_all"), count(lit(1)).as("n_docs"))
+      val one = flagged.agg(aggCols.head, aggCols.tail: _*)
+      one.select(explode(array(p.map { case (n, _) =>
+          struct(lit(n).as("gate"), col(s"$n.n_fail").as("n_fail"),
+            col(s"$n.n_only_fail").as("n_only_fail"),
+            col(s"$n.n_pass_without").as("n_pass_without"))
+        }: _*)).as("g"), col("n_pass_all"), col("n_docs"))
+        .select(col("g.gate").as("gate"), col("g.n_fail").as("n_fail"),
+          col("g.n_only_fail").as("n_only_fail"),
+          col("g.n_pass_without").as("n_pass_without"),
+          col("n_pass_all"), col("n_docs"),
+          ((col("g.n_pass_without") - col("n_pass_all")).cast("double") /
+            col("n_docs").cast("double")).as("marginal_rate"))
+        .orderBy(col("gate"))
+    }),
+
     // DATASET CARD — the datasheet table a corpus release ships with
     // (Gebru et al., "Datasheets for Datasets"): per-(lang, source)
     // census with corpus shares. Two aggregates — one grouped (map-side
@@ -1191,6 +1239,39 @@ object TextOps {
          |    - CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
          |      / CAST(COUNT(*) AS DOUBLE) AS calib_gap
          |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q_gate_attribution" -> {
+      val unions = Seq(
+        ("g1_min_words", Seq("g2", "g3", "g4")),
+        ("g2_max_words", Seq("g1", "g3", "g4")),
+        ("g3_punct", Seq("g1", "g2", "g4")),
+        ("g4_stopword", Seq("g1", "g2", "g3"))).map { case (name, others) =>
+        val g = name.take(2)
+        val oth = others.mkString(" * ")
+        s"""SELECT '$name' AS gate,
+           |  CAST(COALESCE(SUM(1 - $g), 0) AS BIGINT) AS n_fail,
+           |  CAST(COALESCE(SUM((1 - $g) * $oth), 0) AS BIGINT) AS n_only_fail,
+           |  CAST(COALESCE(SUM($oth), 0) AS BIGINT) AS n_pass_without,
+           |  CAST(COALESCE(SUM(g1 * g2 * g3 * g4), 0) AS BIGINT) AS n_pass_all,
+           |  COUNT(*) AS n_docs,
+           |  CAST(COALESCE(SUM($oth), 0) - COALESCE(SUM(g1 * g2 * g3 * g4), 0)
+           |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS marginal_rate
+           |FROM f""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\n")
+      s"""WITH f AS (SELECT
+         |    CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 5
+         |         THEN 1 ELSE 0 END AS g1,
+         |    CASE WHEN len(string_split_regex(trim(text), '\\s+')) <= 1000
+         |         THEN 1 ELSE 0 END AS g2,
+         |    CASE WHEN length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) * 5
+         |           < length(text) THEN 1 ELSE 0 END AS g3,
+         |    CASE WHEN len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|is|a)\\b')) >= 1
+         |         THEN 1 ELSE 0 END AS g4
+         |  FROM documents)
+         |SELECT gate, n_fail, n_only_fail, n_pass_without, n_pass_all, n_docs,
+         |  marginal_rate
+         |FROM ($unions) ORDER BY gate""".stripMargin
+    },
 
     "q_doc_chunks" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -448,6 +448,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_winnowing selects fingerprints in-row: no per-doc window, fp-keyed equi-joins only") {
+    val p = plan("q_winnowing")
+    // fingerprint selection (hash → window-min → distinct) is one
+    // transform chain inside the row — a WindowExec here would mean the
+    // per-doc gram sort shuffle the in-row design exists to avoid
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_gate_attribution is one scan + one global aggregate — no join, no window") {
+    val p = plan("q_gate_attribution")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && !read.contains("lang"), read)
+  }
+
+  test("q_dp_topk: token-keyed aggregate + scoreboard ranking — no join, rank window is post-limit") {
+    val p = plan("q_dp_topk")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k collapse before the rank window
+  }
+
   test("q_agg_stats computes all six moments in ONE aggregate pass (no window, no join)") {
     val p = plan("q_agg_stats")
     assert(p.contains("HashAggregate"), p)

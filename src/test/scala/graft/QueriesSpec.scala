@@ -853,4 +853,65 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(got.getDouble(4) - mrr) < 1e-12)
     assert(got.getDouble(5) == top.count(_._2 == 3L) / 10.0)
   }
+
+  test("q_gate_attribution: unique rejections ARE the marginal recovery (n_only_fail = n_pass_without - n_pass_all)") {
+    val rows = SparkEntry.queries("q_gate_attribution")(spark, sf).collect()
+    assert(rows.length == 4)
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("n_only_fail") <= r.getAs[Long]("n_fail"))
+      assert(r.getAs[Long]("n_pass_without") >= r.getAs[Long]("n_pass_all"))
+      // a doc recovered by dropping gate g = a doc passing all others but
+      // failing g = a doc ONLY g rejects — the panel's defining identity
+      assert(r.getAs[Long]("n_only_fail") ==
+        r.getAs[Long]("n_pass_without") - r.getAs[Long]("n_pass_all"),
+        s"identity broken for ${r.getAs[String]("gate")}")
+    }
+  }
+
+  test("q_dp_topk releases a ranked, thresholded scoreboard") {
+    val rows = SparkEntry.queries("q_dp_topk")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ==
+      (1 to rows.length).map(_.toLong))
+    val dps = rows.map(_.getAs[Double]("n_dp")).toSeq
+    assert(dps.zip(dps.tail).forall { case (a, b) => a >= b }, dps)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("n_dp") >= 20.0) // release threshold held
+      assert(r.getAs[String]("token").matches("[a-z]+"))
+    }
+  }
+
+  test("q_winnowing catches a shared 10-token run at different offsets (the w+k-1 guarantee)") {
+    import spark.implicits._
+    val dir = tmpDir("graft-winnow")
+    val shared = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha bravo charlie delta echo foxtrot $shared golf hotel", "en", "s0"),
+      (1L, s"india juliet $shared kilo lima mike november oscar papa", "en", "s0"),
+      (2L, "quebec romeo sierra tango uniform victor whiskey xray yankee zulu", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    docs.write.parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q_winnowing")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // 10 >= w + k - 1 = 7: the shared run MUST yield a shared fingerprint
+    assert(pairs.contains((0L, 1L)), s"guaranteed pair missed: $pairs")
+    // doc 2 shares no 3-gram with anyone — it cannot appear in any pair
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs)
+  }
+
+  test("q_winnowing scores are containment-bounded on the sf corpus") {
+    val rows = SparkEntry.queries("q_winnowing")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val (sh, na, nb) = (r.getAs[Long]("shared"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(sh >= 1 && sh <= math.min(na, nb), r.toString)
+      val score = r.getAs[Double]("score")
+      assert(score > 0.0 && score <= 1.0, r.toString)
+      assert(math.abs(score - sh.toDouble / math.min(na, nb)) < 1e-12)
+    }
+  }
 }
