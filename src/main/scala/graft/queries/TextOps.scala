@@ -530,8 +530,10 @@ object TextOps {
           col("g.n_only_fail").as("n_only_fail"),
           col("g.n_pass_without").as("n_pass_without"),
           col("n_pass_all"), col("n_docs"),
-          ((col("g.n_pass_without") - col("n_pass_all")).cast("double") /
-            col("n_docs").cast("double")).as("marginal_rate"))
+          // empty-shard floor (EmptyAllSpec): ANSI div throws on 0 docs
+          when(col("n_docs") === 0, lit(0.0)).otherwise(
+            (col("g.n_pass_without") - col("n_pass_all")).cast("double") /
+              col("n_docs").cast("double")).as("marginal_rate"))
         .orderBy(col("gate"))
     }),
 
