@@ -608,6 +608,27 @@ object Dedup {
     // Output: (doc_id, component = min doc_id in its component, keep = 1
     // iff the doc is its component's representative) — |keep=1| + |keep=0|
     // = |docs| by construction.
+    // CLUSTER-SIZE CENSUS over the resolved components — the governance
+    // panel read before any dedup ships: how many clusters of each size,
+    // how many docs they bind, and each size class's corpus share. A
+    // heavy tail here (one giant component) means the LSH threshold is
+    // too loose; all-singletons means it's too tight. Pure PROBE of the
+    // memoized [[labeledDocs]] asset (the fourth consumer): two keyed
+    // aggregates over the narrow labeling + a 1-row broadcast for the
+    // share — size-of-histogram output, no corpus rescan, no window.
+    "q_dedup_cluster_stats" -> ((s, d) => {
+      val sz = labeledDocs(s, d)
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      val tot = sz.agg(sum(col("size")).as("tot_docs"))
+      sz.groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .select(col("size"), col("n_clusters"),
+          (col("size") * col("n_clusters")).as("n_docs"),
+          ((col("size") * col("n_clusters")).cast("double") /
+            col("tot_docs").cast("double")).as("doc_share"))
+        .orderBy(col("size"))
+    }),
+
     "q_dedup_resolve" -> ((s, d) =>
       // All the loop mechanics — data-sized shuffle width, pre-partitioned
       // cached edges, eager checkpoints with plan truncation, loop-scoped
@@ -1083,6 +1104,18 @@ object Dedup {
          |JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "q_dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $resolveCtes,
+         |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component
+         |        FROM (SELECT DISTINCT doc_id FROM documents) d
+         |        LEFT JOIN comp c ON c.doc = d.doc_id),
+         |sz AS (SELECT component, COUNT(*) AS size FROM lab GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(size) AS BIGINT) AS tot_docs FROM sz)
+         |SELECT size, COUNT(*) AS n_clusters,
+         |  CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(size * COUNT(*) AS DOUBLE) / CAST(tot_docs AS DOUBLE) AS doc_share
+         |FROM sz, tot GROUP BY size, tot_docs ORDER BY size""".stripMargin,
 
     "q_dedup_resolve" ->
       s"""WITH RECURSIVE $resolveCtes

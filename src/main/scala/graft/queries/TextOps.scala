@@ -575,6 +575,34 @@ object TextOps {
           length(col("text")).as("chars"))
         .orderBy(col("doc_id"))),
 
+    // TOKENIZER FERTILITY panel — the per-language tokenizer-efficiency
+    // census (fertility = subword tokens per word; chars per token):
+    // the standard diagnostic for how fairly one tokenizer taxes each
+    // language's context budget (cf. multilingual-tokenizer fertility
+    // analyses around mBERT/XLM-R). Composes the two verified q_token_count
+    // segmentations; integer sums per lang, ratios on the |langs|-sized
+    // aggregate. One scan + one map-side-combined aggregate — no join,
+    // no window, the identical plan at 100 TB.
+    "q_tokenizer_fertility" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ws"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"),
+          sum(col("chars")).as("chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"), col("chars"),
+          (col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+            .as("fertility"),
+          (col("chars").cast("double") / col("bpe_tokens").cast("double"))
+            .as("chars_per_token"))
+        .orderBy(col("lang"))),
+
     // HASHING-TRICK featurizer (Weinberger et al. 2009 — the
     // HashingVectorizer shape): each token lands in one of 256 buckets by
     // hash, with a ±1 sign drawn from the next hash bit so collisions
@@ -1430,6 +1458,20 @@ object TextOps {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_tokens,
         |  CAST(length(text) AS INT) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      """WITH f AS (SELECT lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe,
+        |    CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(chars) AS BIGINT) AS chars,
+        |  CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility,
+        |  CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE) AS chars_per_token
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_feature_hash" ->
       s"""WITH tk AS (

@@ -470,6 +470,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // top-k collapse before the rank window
   }
 
+  test("q_tokenizer_fertility is one scan + one lang-keyed aggregate — no join, no window") {
+    val p = plan("q_tokenizer_fertility")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("lang") && read.contains("text"), read)
+  }
+
+  test("q_dedup_cluster_stats probes the component asset: aggregates only, no corpus window") {
+    val p = plan("q_dedup_cluster_stats")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_agg_stats computes all six moments in ONE aggregate pass (no window, no join)") {
     val p = plan("q_agg_stats")
     assert(p.contains("HashAggregate"), p)

@@ -902,6 +902,41 @@ class QueriesSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs)
   }
 
+  test("q_dedup_cluster_stats partitions the corpus and agrees with q_dedup_resolve") {
+    val stats = SparkEntry.queries("q_dedup_cluster_stats")(spark, sf).collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(math.abs(stats.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-9)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("size") >= 1 && r.getAs[Long]("n_clusters") >= 1)
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("size") * r.getAs[Long]("n_clusters"))
+    }
+    // the census replays exactly from the resolution query's components
+    val want = SparkEntry.queries("q_dedup_resolve")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("component")).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, g) => sz -> g.size.toLong }
+    assert(stats.map(r => r.getAs[Long]("size") -> r.getAs[Long]("n_clusters"))
+      .toMap == want)
+  }
+
+  test("q_tokenizer_fertility replays from q_token_count's per-doc segmentations") {
+    val perDoc = SparkEntry.queries("q_token_count")(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = perDoc.groupBy(r => docs(r.getAs[Long]("doc_id")))
+    val got = SparkEntry.queries("q_tokenizer_fertility")(spark, sf).collect()
+    assert(got.map(_.getAs[String]("lang")).toSet == want.keySet)
+    got.foreach { r =>
+      val g = want(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == g.length)
+      assert(r.getAs[Long]("ws_tokens") == g.map(_.getAs[Int]("ws_tokens").toLong).sum)
+      assert(r.getAs[Long]("bpe_tokens") == g.map(_.getAs[Int]("bpe_tokens").toLong).sum)
+      assert(r.getAs[Double]("fertility") >= 1.0) // every word is >= 1 subword
+    }
+  }
+
   test("q_winnowing scores are containment-bounded on the sf corpus") {
     val rows = SparkEntry.queries("q_winnowing")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)
