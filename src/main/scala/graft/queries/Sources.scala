@@ -890,6 +890,63 @@ object Sources {
         .orderBy(col("bin"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov — the binning-free complement to
+    // q_psi_drift: D = max over x of |F_A(x) − F_R(x)| between the
+    // extendedprice distributions of returned ('R') and accepted ('A')
+    // lineitems. PSI needs a bin design and misses drift inside a bin;
+    // KS compares the FULL empirical CDFs, at the price of an ordered
+    // pass. That pass is the q_gini distributed-ECDF discipline: group
+    // by value (map-side combined — the ECDF only moves at distinct
+    // values), rangeBucket the value axis, cumulate inside buckets in
+    // parallel, and carry cross-bucket offsets as a broadcast exclusive
+    // prefix of the tiny per-bucket count table — no task ever sorts the
+    // full value column. The statistic stays INTEGER until the exit:
+    // D·nA·nR = max|cumA·nR − cumR·nA| in DECIMAL(19,0) products (past
+    // 2^53 at 100 TB), one double division at the end, and the 95%
+    // rejection verdict from the asymptotic critical value
+    // c(.05)=1.358 — every input to that compare is bit-identical
+    // IEEE arithmetic in both engines (sqrt is correctly rounded).
+    "q_ks_test" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val g = t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_extendedprice").as("v"))
+        .agg(sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("a_n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r_n"))
+        .withColumn("rb", Num.rangeBucket(col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wB = Window.orderBy(col("rb")).rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = g.groupBy(col("rb"))
+        .agg(sum(col("a_n")).as("ba"), sum(col("r_n")).as("br"))
+        .withColumn("aprev", coalesce(sum(col("ba")).over(wB), lit(0L)))
+        .withColumn("rprev", coalesce(sum(col("br")).over(wB), lit(0L)))
+        .select(col("rb"), col("aprev"), col("rprev"))
+      // ECDF is right-continuous: the step at x includes x, so the
+      // in-bucket window runs to CURRENT ROW (vs the exclusive prefix
+      // q_auc uses for strictly-below counts).
+      val wIn = Window.partitionBy(col("rb")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = g.agg(sum(col("a_n")).as("na"), sum(col("r_n")).as("nr"))
+      g.withColumn("ca", sum(col("a_n")).over(wIn))
+        .withColumn("cr", sum(col("r_n")).over(wIn))
+        .join(broadcast(bpre), "rb")
+        .crossJoin(broadcast(tot))
+        .select(col("na"), col("nr"),
+          abs((col("aprev") + col("ca")).cast(d19) * col("nr").cast(d19) -
+            (col("rprev") + col("cr")).cast(d19) * col("na").cast(d19))
+            .as("diff"))
+        .groupBy(col("na"), col("nr"))
+        .agg(max(col("diff")).as("dmax"))
+        .select(col("na").as("n_a"), col("nr").as("n_r"),
+          (col("dmax").cast("double") /
+            (col("na").cast("double") * col("nr").cast("double"))).as("d_stat"))
+        .withColumn("crit_95", lit(1.358) *
+          sqrt((col("n_a") + col("n_r")).cast("double") /
+            (col("n_a").cast("double") * col("n_r").cast("double"))))
+        .withColumn("reject_95", col("d_stat") > col("crit_95"))
+    }),
+
     // Gini concentration — how unequal is revenue across suppliers (the
     // Lorenz-curve scalar): G = Σ(2i−n−1)·x_i / (n·Σx) over ascending
     // per-supplier revenue. The global rank is computed DISTRIBUTED with
@@ -1695,6 +1752,33 @@ object Sources {
          |        / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))))
          |    AS psi_term
          |FROM counts, tot ORDER BY bin""".stripMargin
+    },
+
+    "q_ks_test" -> {
+      """WITH g AS (SELECT l_extendedprice AS v,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r_n
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+        |c AS (SELECT
+        |        SUM(a_n) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |        SUM(r_n) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+        |      FROM g),
+        |tot AS (SELECT CAST(SUM(a_n) AS BIGINT) AS na,
+        |               CAST(SUM(r_n) AS BIGINT) AS nr FROM g),
+        |m AS (SELECT na, nr,
+        |        MAX(ABS(CAST(ca AS DECIMAL(19,0)) * CAST(nr AS DECIMAL(19,0))
+        |          - CAST(cr AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0)))) AS dmax
+        |      FROM c, tot GROUP BY na, nr)
+        |SELECT na AS n_a, nr AS n_r,
+        |  CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nr AS DOUBLE)) AS d_stat,
+        |  1.358 * sqrt(CAST(na + nr AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nr AS DOUBLE))) AS crit_95,
+        |  CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nr AS DOUBLE))
+        |    > 1.358 * sqrt(CAST(na + nr AS DOUBLE)
+        |        / (CAST(na AS DOUBLE) * CAST(nr AS DOUBLE))) AS reject_95
+        |FROM m""".stripMargin
     },
 
     "q_gini" ->

@@ -36,6 +36,22 @@ object TextOps {
   private val calibThr: Seq[Double] =
     (1 to 9).map(k => math.log(k.toDouble / (10 - k)))
 
+  /** Quality-model logit over a `text` column (shared by
+    * q_model_calibration and q_auc — one definition, no drift): pure IEEE
+    * arithmetic over integer counts with a fixed expression tree, so both
+    * engines produce bit-identical doubles; the libm-dependent exp() is
+    * applied only AFTER binning/ranking decisions are made on z. */
+  def qualityLogitExpr: org.apache.spark.sql.Column = {
+    val wordsD = size(split(trim(col("text")), "\\s+")).cast("double")
+    val punctD = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+      .cast("double")
+    val stopD = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(?:the|and|of|to|is|a)\\b"), lit(0))).cast("double")
+    val charsD = length(col("text")).cast("double")
+    lit(-1.0) + lit(0.004) * wordsD +
+      lit(8.0) * (stopD / wordsD) - lit(12.0) * (punctD / charsD)
+  }
+
   /** Quality verdict over a `text` column (shared by q_text_quality and the
     * end-to-end corpus pipeline — one definition, no drift). */
   def qualityOkExpr: org.apache.spark.sql.Column = {
@@ -452,14 +468,7 @@ object TextOps {
     // map-side-combinable aggregate — no join, no window, no second
     // pass. Decimal-exact mean keeps the bin means engine-identical.
     "q_model_calibration" -> ((s, d) => {
-      val wordsD = size(split(trim(col("text")), "\\s+")).cast("double")
-      val punctD = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
-        .cast("double")
-      val stopD = size(regexp_extract_all(lower(col("text")),
-        lit("\\b(?:the|and|of|to|is|a)\\b"), lit(0))).cast("double")
-      val charsD = length(col("text")).cast("double")
-      val z = lit(-1.0) + lit(0.004) * wordsD +
-        lit(8.0) * (stopD / wordsD) - lit(12.0) * (punctD / charsD)
+      val z = qualityLogitExpr
       val score = lit(1.0) / (lit(1.0) + exp(-col("z")))
       val wordsI = size(split(trim(col("text")), "\\s+"))
       val punctI = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
@@ -485,6 +494,67 @@ object TextOps {
             count(lit(1)).cast("double")).as("gate_pass_rate"))
         .withColumn("calib_gap", col("mean_score") - col("gate_pass_rate"))
         .orderBy(col("decile"))
+    }),
+
+    // ROC AUC of the quality logit as an English detector — the
+    // ranking-power scalar next to q_model_calibration's reliability
+    // panel (calibration says "are the probabilities honest", AUC says
+    // "does the score ORDER positives above negatives at all"). The
+    // label is the corpus's own lang tag (lang = 'en'): z's stopword
+    // term counts ENGLISH stopwords, so AUC measures exactly how much
+    // language signal leaks into the quality score — the standard bias
+    // audit before gating a multilingual corpus on an English-trained
+    // scorer. (The rule gate itself is useless as the label here: it
+    // passes every sf document, making that AUC vacuous.) Rank-based
+    // (Mann–Whitney U): AUC is invariant to any monotone transform of
+    // the score, so it is computed on the logit z directly — pure IEEE
+    // arithmetic over integer counts with a fixed expression tree,
+    // bit-identical across engines, never exp() (the q_model_calibration
+    // lesson). Tie-aware via the grouped half-credit formulation
+    // pos_z · (2·cumneg_below + neg_z), INTEGER to the end; the one
+    // double division happens at the exit. Distribution shape: one
+    // per-doc map pass, one groupBy(z) (map-side combined), and the
+    // cumulative negative count via the q_gini rangeBucket discipline —
+    // per-bucket windows for the bulk plus a prefix window over the tiny
+    // bucket frame; NO global single-partition row sort at any scale.
+    // Products run in DECIMAL(19,0)×DECIMAL(19,0)→(38,0): at 100 TB
+    // pos·cumneg exceeds 2^53 and a double sum would silently round.
+    "q_auc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val z = qualityLogitExpr
+      // z > -13 always (the negative terms are bounded: punct/chars ≤ 1,
+      // stop/words ≥ 0), so z+16 is safely in rangeBucket's non-negative
+      // contract; equal z → same bucket, bucket order = value order.
+      val grouped = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(z.as("z"), (col("lang") === "en").as("ok"))
+        .groupBy(col("z"))
+        .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("pos_z"),
+          sum(when(col("ok"), 0L).otherwise(1L)).as("neg_z"))
+        .withColumn("rb", Num.rangeBucket(col("z") + lit(16.0)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val wB = Window.orderBy(col("rb")).rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = grouped.groupBy(col("rb")).agg(sum(col("neg_z")).as("bneg"))
+        .withColumn("bprev", coalesce(sum(col("bneg")).over(wB), lit(0L)))
+        .select(col("rb"), col("bprev"))
+      val wIn = Window.partitionBy(col("rb")).orderBy(col("z"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grouped
+        .withColumn("cumloc", coalesce(sum(col("neg_z")).over(wIn), lit(0L)))
+        .join(broadcast(bpre), "rb")
+        .select(col("pos_z"), col("neg_z"),
+          (col("pos_z").cast(d19) *
+            (lit(2L) * (col("bprev") + col("cumloc")) + col("neg_z")).cast(d19))
+            .as("half2"))
+        .agg(sum(col("pos_z")).as("n_pos"), sum(col("neg_z")).as("n_neg"),
+          sum(col("half2")).as("s2"))
+        .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+        .select(col("n_pos"), col("n_neg"),
+          (col("s2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+            .as("auc"))
+        .withColumn("gini_coef", lit(2.0) * col("auc") - lit(1.0))
     }),
 
     // GATE ATTRIBUTION — the filter-funnel ablation panel every corpus
@@ -1269,6 +1339,37 @@ object TextOps {
          |    - CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
          |      / CAST(COUNT(*) AS DOUBLE) AS calib_gap
          |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q_auc" ->
+      """WITH f AS (SELECT
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS words,
+        |    CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|is|a)\b')) AS DOUBLE) AS stop,
+        |    CAST(length(text) AS DOUBLE) AS chars,
+        |    (lang = 'en') AS ok
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |g AS (SELECT
+        |        (-1.0 + 0.004 * words + 8.0 * (stop / words)
+        |          - 12.0 * (punct / chars)) AS z,
+        |        CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS pos_z,
+        |        CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS neg_z
+        |      FROM f GROUP BY 1),
+        |c AS (SELECT pos_z, neg_z,
+        |        COALESCE(SUM(neg_z) OVER (ORDER BY z
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |      FROM g),
+        |a AS (SELECT CAST(SUM(pos_z) AS BIGINT) AS n_pos,
+        |        CAST(SUM(neg_z) AS BIGINT) AS n_neg,
+        |        SUM(CAST(pos_z AS DECIMAL(19,0))
+        |            * CAST(2 * cumneg + neg_z AS DECIMAL(19,0))) AS s2
+        |      FROM c)
+        |SELECT n_pos, n_neg,
+        |  CAST(s2 AS DOUBLE)
+        |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+        |  2.0 * (CAST(s2 AS DOUBLE)
+        |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0
+        |    AS gini_coef
+        |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
 
     "q_gate_attribution" -> {
       val unions = Seq(

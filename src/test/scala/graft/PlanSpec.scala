@@ -96,7 +96,8 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     Seq("q_gini" -> "rb", "q_pareto_8020" -> "rb",
         "q_skyline" -> "rb", "q_zipf_fit" -> "c",
-        "q_vocab_coverage" -> "c").foreach { case (q, bucket) =>
+        "q_vocab_coverage" -> "c",
+        "q_auc" -> "rb", "q_ks_test" -> "rb").foreach { case (q, bucket) =>
       val sp = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val wins = sp.collect { case w: WindowExec => w }
       assert(wins.exists(_.partitionSpec.nonEmpty),

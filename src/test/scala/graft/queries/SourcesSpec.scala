@@ -407,4 +407,36 @@ class SourcesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_ks_test: hand-computed D on a planted fixture; identical samples give D = 0") {
+    import spark.implicits._
+    // A = {1,2,3,4}, R = {3,4,5,6}: the ECDFs diverge most on [2,4] where
+    // F_A − F_R = 0.5 (e.g. at x=2: 2/4 vs 0/4), so D = 0.5 exactly.
+    val d1 = tmpDir("ks-fix")
+    (Seq(1.0, 2.0, 3.0, 4.0).map(("A", _)) ++ Seq(3.0, 4.0, 5.0, 6.0).map(("R", _)))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.parquet(s"$d1/lineitem.parquet")
+    val r1 = SparkEntry.queries("q_ks_test")(spark, d1).collect()
+    assert(r1.length == 1)
+    assert(r1(0).getAs[Long]("n_a") == 4L && r1(0).getAs[Long]("n_r") == 4L)
+    assert(r1(0).getAs[Double]("d_stat") == 0.5, r1(0).toString)
+    // the asymptotic 95% bar at n=4+4 is 1.358·sqrt(8/16) ≈ 0.96 > 0.5
+    assert(!r1(0).getAs[Boolean]("reject_95"))
+    // same values in both classes -> the ECDFs coincide everywhere
+    val d2 = tmpDir("ks-same")
+    Seq(1.0, 2.0, 3.0).flatMap(v => Seq(("A", v), ("R", v)))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.parquet(s"$d2/lineitem.parquet")
+    val r2 = SparkEntry.queries("q_ks_test")(spark, d2).collect()(0)
+    assert(r2.getAs[Double]("d_stat") == 0.0, r2.toString)
+    // disjoint supports -> total separation, D = 1, decisively rejected
+    val d3 = tmpDir("ks-disjoint")
+    (Seq.tabulate(40)(i => ("A", i.toDouble)) ++
+      Seq.tabulate(40)(i => ("R", 1000.0 + i)))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.parquet(s"$d3/lineitem.parquet")
+    val r3 = SparkEntry.queries("q_ks_test")(spark, d3).collect()(0)
+    assert(r3.getAs[Double]("d_stat") == 1.0, r3.toString)
+    assert(r3.getAs[Boolean]("reject_95"))
+  }
 }

@@ -345,4 +345,54 @@ class TextOpsSpec extends SparkSpec {
     assert(b._2 === 10L && b._3 === 11L, s"tie pair: $b")
     assert(b._6 === 0.0, "identical texts -> zero margin")
   }
+
+  test("q_auc matches the O(n²) pairwise Mann-Whitney definition") {
+    // The query computes AUC via the grouped rank formulation (distributed,
+    // tie-aware); the DEFINITION is the mean over all (pos, neg) pairs of
+    // [z_p > z_n] with half-credit on ties. Brute-force the definition over
+    // the same per-doc logits and demand agreement — formula vs meaning.
+    val rows = graft.Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(TextOps.qualityLogitExpr.as("z"), (col("lang") === "en").as("ok"))
+      .collect()
+    val pos = rows.filter(_.getBoolean(1)).map(_.getDouble(0))
+    val neg = rows.filterNot(_.getBoolean(1)).map(_.getDouble(0))
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture corpus lost its class balance")
+    var s = 0.0
+    for (p <- pos; n <- neg)
+      s += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val expected = s / (pos.length.toDouble * neg.length.toDouble)
+    val r = SparkEntry.queries("q_auc")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_pos") == pos.length.toLong)
+    assert(r(0).getAs[Long]("n_neg") == neg.length.toLong)
+    assert(math.abs(r(0).getAs[Double]("auc") - expected) < 1e-12,
+      s"auc ${r(0).getAs[Double]("auc")} vs pairwise $expected")
+    assert(math.abs(r(0).getAs[Double]("gini_coef") -
+      (2.0 * expected - 1.0)) < 1e-12)
+  }
+
+  test("q_auc is 1.0 on a perfectly separated fixture and 0.5 on a fully tied one") {
+    import spark.implicits._
+    // long clean English text scores high z; punctuation-heavy short text
+    // scores low — planted so every 'en' doc outranks every non-en doc
+    val hi = ("the cat and the dog went to the house of the friend and " * 6).trim
+    val lo = "%%%% @@@@ !!!! ???? &&&& ####"
+    val sep = ((1 to 4).map(i => (i.toLong, hi, "en")) ++
+      (5 to 8).map(i => (i.toLong, lo, "de"))).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")).cast("long"))
+    val d1 = tmpDir("auc-sep")
+    sep.write.parquet(s"$d1/documents.parquet")
+    val r1 = SparkEntry.queries("q_auc")(spark, d1).collect()(0)
+    assert(r1.getAs[Double]("auc") == 1.0, r1.toString)
+    // identical text in both classes -> every pair ties -> exactly 0.5
+    val tied = ((1 to 3).map(i => (i.toLong, hi, "en")) ++
+      (4 to 6).map(i => (i.toLong, hi, "fr"))).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")).cast("long"))
+    val d2 = tmpDir("auc-tied")
+    tied.write.parquet(s"$d2/documents.parquet")
+    val r2 = SparkEntry.queries("q_auc")(spark, d2).collect()(0)
+    assert(r2.getAs[Double]("auc") == 0.5, r2.toString)
+    assert(r2.getAs[Double]("gini_coef") == 0.0)
+  }
 }
