@@ -557,6 +557,47 @@ object TextOps {
         .withColumn("gini_coef", lit(2.0) * col("auc") - lit(1.0))
     }),
 
+    // GATE AGREEMENT — do the rule gate and the learned scorer make the
+    // SAME call on the same documents? The two-rater audit (Cohen 1960;
+    // McNemar 1947) a pipeline runs before swapping gates: the 2×2
+    // confusion matrix between the rule verdict and the scorer at its
+    // serving threshold (score ≥ 0.5 ⟺ z ≥ 0 — decided on the logit
+    // axis in exact IEEE arithmetic, the q_model_calibration lesson),
+    // chance-corrected agreement κ = (p_o − p_e)/(1 − p_e), and
+    // McNemar's χ² = (b−c)²/(b+c) on the discordant cells — the paired
+    // test for "is one gate systematically stricter". Shape at 100 TB:
+    // per-doc booleans are in-row map work over ONE text-only scan; the
+    // matrix is a single global 4-sum aggregate (map-side combined) and
+    // every statistic is computed on that 1-row frame from integer
+    // counts — no join, no window, no second pass.
+    "q_gate_agreement" -> ((s, d) => {
+      val aGate = qualityOkExpr
+      val bGate = qualityLogitExpr >= lit(0.0)
+      val m = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(aGate.as("a"), bGate.as("b"))
+        .agg(sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both_pass"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n_rule_only"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n_model_only"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n_both_fail"))
+      val n = (col("n_both_pass") + col("n_rule_only") +
+        col("n_model_only") + col("n_both_fail")).cast("double")
+      val po = (col("n_both_pass") + col("n_both_fail")).cast("double") / n
+      val pa1 = (col("n_both_pass") + col("n_rule_only")).cast("double") / n
+      val pb1 = (col("n_both_pass") + col("n_model_only")).cast("double") / n
+      val pe = pa1 * pb1 + (lit(1.0) - pa1) * (lit(1.0) - pb1)
+      val bc = col("n_rule_only") + col("n_model_only")
+      val bmc = (col("n_rule_only") - col("n_model_only")).cast("double")
+      m.select(col("n_both_pass"), col("n_rule_only"),
+        col("n_model_only"), col("n_both_fail"),
+        po.as("p_agree"),
+        // κ is 0/0 when both raters are constant AND equal (p_e = 1):
+        // agreement is then perfect, so release 1.0, not NaN
+        when(lit(1.0) - pe === lit(0.0), lit(1.0))
+          .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"),
+        when(bc === 0L, lit(0.0))
+          .otherwise(bmc * bmc / bc.cast("double")).as("mcnemar_chi2"))
+    }),
+
     // GATE ATTRIBUTION — the filter-funnel ablation panel every corpus
     // build reads before shipping: for each quality gate, how many docs
     // fail it at all, how many docs ONLY it rejects (its unique
@@ -1370,6 +1411,46 @@ object TextOps {
         |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0
         |    AS gini_coef
         |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
+
+    "q_gate_agreement" ->
+      """WITH f AS (SELECT
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS words,
+        |    CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|is|a)\b')) AS DOUBLE) AS stop,
+        |    CAST(length(text) AS DOUBLE) AS chars,
+        |    (len(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 1000
+        |     AND length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) * 5
+        |         < length(text)) AS a
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT a,
+        |        ((-1.0 + 0.004 * words + 8.0 * (stop / words)
+        |          - 12.0 * (punct / chars)) >= 0.0) AS b
+        |      FROM f),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pass,
+        |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_only,
+        |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_model_only,
+        |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_fail
+        |  FROM g),
+        |k AS (SELECT n_both_pass, n_rule_only, n_model_only, n_both_fail,
+        |    CAST(n_both_pass + n_rule_only + n_model_only + n_both_fail AS DOUBLE) AS n,
+        |    CAST(n_both_pass + n_both_fail AS DOUBLE)
+        |      / CAST(n_both_pass + n_rule_only + n_model_only + n_both_fail AS DOUBLE) AS po,
+        |    CAST(n_both_pass + n_rule_only AS DOUBLE)
+        |      / CAST(n_both_pass + n_rule_only + n_model_only + n_both_fail AS DOUBLE) AS pa1,
+        |    CAST(n_both_pass + n_model_only AS DOUBLE)
+        |      / CAST(n_both_pass + n_rule_only + n_model_only + n_both_fail AS DOUBLE) AS pb1
+        |  FROM m)
+        |SELECT n_both_pass, n_rule_only, n_model_only, n_both_fail,
+        |  po AS p_agree,
+        |  CASE WHEN 1.0 - (pa1 * pb1 + (1.0 - pa1) * (1.0 - pb1)) = 0.0 THEN 1.0
+        |       ELSE (po - (pa1 * pb1 + (1.0 - pa1) * (1.0 - pb1)))
+        |            / (1.0 - (pa1 * pb1 + (1.0 - pa1) * (1.0 - pb1))) END AS kappa,
+        |  CASE WHEN n_rule_only + n_model_only = 0 THEN 0.0
+        |       ELSE CAST(n_rule_only - n_model_only AS DOUBLE)
+        |            * CAST(n_rule_only - n_model_only AS DOUBLE)
+        |            / CAST(n_rule_only + n_model_only AS DOUBLE) END AS mcnemar_chi2
+        |FROM k""".stripMargin,
 
     "q_gate_attribution" -> {
       val unions = Seq(

@@ -372,6 +372,34 @@ class TextOpsSpec extends SparkSpec {
       (2.0 * expected - 1.0)) < 1e-12)
   }
 
+  test("q_gate_agreement: hand-computed matrix, kappa and McNemar on a planted fixture") {
+    import spark.implicits._
+    // four doc archetypes hitting each confusion cell:
+    val bothPass = "the cat and the dog went to the house of the friend and" // rule ok, z≈3.97
+    val ruleOnly = "cat dog house friend river bank today"                   // rule ok, z≈−0.97
+    val modelOnly = "the of to is"                                           // <5 words, z=7.0
+    val bothFail = "%%%% @@@@"                                               // <5 words, z<0
+    // multiplicities 3/2/1/2 → po=5/8, pa1=5/8, pb1=1/2, pe=1/2,
+    // kappa=(5/8−1/2)/(1/2)=0.25, McNemar=(2−1)²/(2+1)=1/3
+    val docs = (Seq.fill(3)(bothPass) ++ Seq.fill(2)(ruleOnly) ++
+      Seq(modelOnly) ++ Seq.fill(2)(bothFail)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en") }
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpDir("gate-agree")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_gate_agreement")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_both_pass") == 3L, r(0).toString)
+    assert(r(0).getAs[Long]("n_rule_only") == 2L, r(0).toString)
+    assert(r(0).getAs[Long]("n_model_only") == 1L, r(0).toString)
+    assert(r(0).getAs[Long]("n_both_fail") == 2L, r(0).toString)
+    assert(r(0).getAs[Double]("p_agree") == 0.625)
+    assert(r(0).getAs[Double]("kappa") == 0.25)
+    assert(r(0).getAs[Double]("mcnemar_chi2") == 1.0 / 3.0)
+  }
+
   test("q_auc is 1.0 on a perfectly separated fixture and 0.5 on a fully tied one") {
     import spark.implicits._
     // long clean English text scores high z; punctuation-heavy short text
