@@ -665,6 +665,46 @@ object Shapes {
         .agg(Num.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("n_rows"))),
 
+    // AUTOCORRELATION PANEL (ACF at lags 1..7) — the first thing a
+    // forecaster reads before fitting anything (is there weekly
+    // structure? how fast does memory decay?): per lag k, the Pearson
+    // correlation between the daily-revenue series and itself shifted k
+    // days. Shape at 100 TB: the fact table is touched ONCE (the daily
+    // rollup — map-side combinable, decimal-exact); the lag window and
+    // everything after run on the CALENDAR-sized series (~2.4k rows at
+    // any scale — the q_backtest_forecast model-size discipline), with
+    // all 7 lags produced by ONE window pass and unpivoted via stack()
+    // into a single 7-group moment aggregate (the q_price_elasticity
+    // five-sum Pearson, applied per lag).
+    "q_acf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderdate").as("dt"))
+        .agg(Num.dsum(col("o_totalprice")).as("v"))
+      val w = Window.orderBy(col("dt"))
+      val lagged = daily.select(
+        col("v") +: (1 to 7).map(k => lag(col("v"), k).over(w).as(s"v$k")): _*)
+      val pairs = lagged.select(expr(
+        "stack(7, " + (1 to 7).map(k => s"$k, v, v$k").mkString(", ") +
+          ") as (lag, x, y)"))
+        .filter(col("y").isNotNull)
+      val m = pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d38)).cast("double").as("sx"),
+          sum(col("y").cast(d38)).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast(d38)).cast("double").as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast(d38)).cast("double").as("syy"))
+      val nd = col("n").cast("double")
+      val cov = col("sxy") - col("sx") * col("sy") / nd
+      val vx = col("sxx") - col("sx") * col("sx") / nd
+      val vy = col("syy") - col("sy") * col("sy") / nd
+      m.filter(col("n") >= 2 && vx > 0.0 && vy > 0.0)
+        .select(col("lag"), col("n"), (cov / sqrt(vx * vy)).as("acf"))
+        .orderBy(col("lag"))
+    }),
+
     // ROLLING-ORIGIN FORECAST BACKTEST (time-series cross-validation,
     // Tashman 2000) — the leakage-aware eval discipline for temporal
     // models, next to q_pit_join (point-in-time features) and
@@ -1425,6 +1465,44 @@ object Shapes {
           (m0 - m1).as("mean_diff"),
           ((m0 - m1) / sqrt(v0 / n0d + v1 / n1d)).as("t_welch"))
         .orderBy(col("event_type"))
+    }),
+
+    // One-way ANOVA — the k-group extension of q_ab_test's two-arm
+    // Welch t: does event value differ ACROSS ALL event types at once
+    // (F = between-group/within-group mean square)? Everything reduces
+    // to per-group moment sums (n, Σv, Σv²) — ONE map-side-combined
+    // aggregate over the fact scan, decimal-exact so the totals are
+    // order-independent. The cross-group reduction Σ s_g²/n_g is the
+    // only sum of non-exact terms; it runs in DECIMAL(38,12) after the
+    // per-group double division (the q_supplier_hhi discipline — the
+    // double→decimal cast is deterministic and identical in both
+    // engines, and 12 dp leaves no realistic tie). The F arithmetic
+    // happens on the final 1-row frame in doubles. Shape at 100 TB:
+    // one fact scan, one |event_types|-row frame, one 1-row frame —
+    // no join, no window, no second pass over the data.
+    "q_anova" -> ((s, d) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val d3812 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val g = t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ng"),
+          sum(col("value").cast(d38)).as("sg"),
+          sum((col("value") * col("value")).cast(d38)).as("ssg"))
+      val a = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).cast("double").as("s"),
+        sum(col("ssg")).cast("double").as("ss"),
+        sum(((col("sg").cast("double") * col("sg").cast("double")) /
+          col("ng").cast("double")).cast(d3812)).cast("double").as("t"))
+      val nd = col("n").cast("double")
+      val kd = col("k").cast("double")
+      val c = col("s") * col("s") / nd
+      val ssb = col("t") - c
+      val ssw = col("ss") - col("t")
+      a.filter(col("k") >= 2L && col("n") > col("k"))
+        .select(col("k").as("n_groups"), col("n"),
+          ssb.as("ss_between"), ssw.as("ss_within"),
+          ((ssb / (kd - lit(1.0))) / (ssw / (nd - kd))).as("f_stat"))
     }),
 
     // POISSON BOOTSTRAP confidence interval (Chamandy et al. 2012 — the
@@ -2371,6 +2449,59 @@ object Shapes {
          |FROM m WHERE n0 >= 2 AND n1 >= 2
          |ORDER BY event_type""".stripMargin
     },
+
+    "q_acf" -> {
+      val unions = (1 to 7).map(k =>
+        s"SELECT $k AS lag, v AS x, v$k AS y FROM l").mkString("\nUNION ALL\n")
+      s"""WITH daily AS (
+         |  SELECT o_orderdate AS dt,
+         |    ${Num.sqlDsum("o_totalprice")} AS v
+         |  FROM orders GROUP BY 1),
+         |l AS (
+         |  SELECT v,
+         |    ${(1 to 7).map(k =>
+              s"lag(v, $k) OVER (ORDER BY dt) AS v$k").mkString(",\n    ")}
+         |  FROM daily),
+         |p AS ($unions),
+         |m AS (
+         |  SELECT lag, COUNT(*) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+         |  FROM p WHERE y IS NOT NULL GROUP BY 1)
+         |SELECT lag, n,
+         |  (sxy - sx * sy / CAST(n AS DOUBLE))
+         |    / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+         |         * (syy - sy * sy / CAST(n AS DOUBLE))) AS acf
+         |FROM m
+         |WHERE n >= 2 AND (sxx - sx * sx / CAST(n AS DOUBLE)) > 0.0
+         |  AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0.0
+         |ORDER BY lag""".stripMargin
+    },
+
+    "q_anova" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(value AS DECIMAL(38,6))) AS sg,
+        |    SUM(CAST(value * value AS DECIMAL(38,6))) AS ssg
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(sg) AS DOUBLE) AS s,
+        |    CAST(SUM(ssg) AS DOUBLE) AS ss,
+        |    CAST(SUM(CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |        / CAST(ng AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS t
+        |  FROM g)
+        |SELECT k AS n_groups, n,
+        |  (t - s * s / CAST(n AS DOUBLE)) AS ss_between,
+        |  (ss - t) AS ss_within,
+        |  ((t - s * s / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+        |    / ((ss - t) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
+        |FROM a WHERE k >= 2 AND n > k""".stripMargin,
 
     "q_bootstrap_ci" ->
       s"""WITH reps AS (

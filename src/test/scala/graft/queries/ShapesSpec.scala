@@ -947,4 +947,47 @@ class ShapesSpec extends SparkSpec {
     assert(filtersBelow.exists(_.condition.toString.contains("UDF")),
       "bloom membership filter not pushed below the join:\n" + lp)
   }
+
+  test("q_anova: hand-computed F on a planted two-group fixture") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A = {1,2,3}, B = {4,5,6}: means 2 and 5, grand mean 3.5,
+    // SSB = 3·1.5² + 3·1.5² = 13.5, SSW = 2 + 2 = 4,
+    // F = (13.5/1)/(4/4) = 13.5
+    val ev = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0)).zipWithIndex
+      .map { case ((ty, v), i) => (i.toLong, ty, v) }
+      .toDF("event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("user_id", col("event_id"))
+      .withColumn("props", lit("{}"))
+    val dir = tmpDir("anova-fix")
+    ev.write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_anova")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_groups") == 2L && r(0).getAs[Long]("n") == 6L)
+    assert(math.abs(r(0).getAs[Double]("ss_between") - 13.5) < 1e-9, r(0).toString)
+    assert(math.abs(r(0).getAs[Double]("ss_within") - 4.0) < 1e-9, r(0).toString)
+    assert(math.abs(r(0).getAs[Double]("f_stat") - 13.5) < 1e-9, r(0).toString)
+  }
+
+  test("q_acf: an alternating daily series has ACF(1) = -1 and ACF(2) = +1") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one order per day, revenue alternating 100/200: shifting by one day
+    // anti-aligns the series exactly (y = 300 − x), by two re-aligns it
+    val orders = (0 until 12).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)),
+        if (i % 2 == 0) 100.0 else 200.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_custkey", col("o_orderkey"))
+    val dir = tmpDir("acf-fix")
+    orders.write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_acf")(spark, dir).collect()
+      .map(row => row.getAs[Int]("lag") -> row.getAs[Double]("acf")).toMap
+    assert(math.abs(r(1) - (-1.0)) < 1e-9, r.toString)
+    assert(math.abs(r(2) - 1.0) < 1e-9, r.toString)
+    assert(math.abs(r(3) - (-1.0)) < 1e-9)
+    assert(math.abs(r(4) - 1.0) < 1e-9)
+  }
 }
