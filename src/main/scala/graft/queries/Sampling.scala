@@ -558,6 +558,24 @@ object Sampling {
         .withColumn("at_risk", col("n") < 5)
         .orderBy(col("lang"), col("source"), col("len_bucket"))),
 
+    // l-DIVERSITY audit — k-anonymity's complement (Machanavajjhala et
+    // al. 2007): a quasi-identifier group can be large (k-safe) yet leak
+    // the sensitive attribute if every member SHARES it (the homogeneity
+    // attack). Per QI group (source, length bucket): row count and the
+    // number of DISTINCT sensitive values (lang); l < 2 means anyone who
+    // can place a person in the group learns their lang with certainty.
+    // Same shape as q_kanon_audit: ONE map-side-combined aggregate
+    // (countDistinct expands to the standard two-phase exact distinct),
+    // group-key-sized output at any scale.
+    "q_ldiversity" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .groupBy(col("source"),
+          (floor(col("n_chars") / 256) * 256).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("lang")).as("l_distinct"))
+        .withColumn("at_risk", col("l_distinct") < 2)
+        .orderBy(col("source"), col("len_bucket"))),
+
     // MIXTURE-BUDGET allocator — the data-mixing recipe executor: given
     // a global char budget (40% of the corpus) and per-source weights
     // (three tiers derived from the source id), compute each source's
@@ -860,6 +878,14 @@ object Sampling {
         |  CAST(FLOOR(n_chars / 256.0) AS BIGINT) * 256 AS len_bucket,
         |  COUNT(*) AS n, (COUNT(*) < 5) AS at_risk
         |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_ldiversity" ->
+      """SELECT source,
+        |  CAST(FLOOR(n_chars / 256.0) AS BIGINT) * 256 AS len_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS l_distinct,
+        |  (COUNT(DISTINCT lang) < 2) AS at_risk
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical integer quota arithmetic and hash-priority prefix rule;
     // the oracle's plain per-source window states the spec the

@@ -1505,6 +1505,143 @@ object Shapes {
           ((ssb / (kd - lit(1.0))) / (ssw / (nd - kd))).as("f_stat"))
     }),
 
+    // COVARIATE MATCHING ATT — the observational-causal estimator when
+    // arms aren't hashed but chosen (here: is the BUILDING market
+    // segment's spend premium real once you compare balance-alike
+    // customers?): each treated customer is matched WITH REPLACEMENT to
+    // the nearest control on the account-balance axis (1-NN covariate
+    // matching, the degenerate propensity-score match), ATT = mean
+    // (treated outcome − matched-control outcome). Matching on a VALUE
+    // axis at scale is the real content: controls collapse to one
+    // deterministic representative per distinct balance (min custkey),
+    // both sides bucket by [[Num.rangeBucket]] (balance shifted ≥ 0 —
+    // TPC-H floors acctbal at −999.99), the nearest-below/above scan is
+    // a per-bucket last/first window over the control∪treated union
+    // (tag-ordered so equality counts as BELOW only), and cross-bucket
+    // misses fall back to broadcast prefix-max / suffix-min carries over
+    // the tiny bucket frame — the q_gini discipline pointed at a join
+    // instead of a rank, so no task ever sorts the whole axis. Ties
+    // below-vs-above resolve to below (documented, oracle-mirrored).
+    "q_match_att" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cy = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("x"))
+        .join(t(s, d, "orders").groupBy(col("o_custkey"))
+            .agg(Num.dsum(col("o_totalprice")).as("y0")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"), col("x"),
+          coalesce(col("y0"), lit(0.0)).as("y"))
+      val treated = cy.filter(col("c_mktsegment") === "BUILDING")
+      val ctrl = cy.filter(col("c_mktsegment") =!= "BUILDING")
+      // one deterministic representative per distinct control balance:
+      // the min-custkey holder and ITS outcome (struct min is
+      // lexicographic, so custkey decides)
+      val rep = ctrl.groupBy(col("x").as("cb"))
+        .agg(min(struct(col("c_custkey"), col("y"))).as("r"))
+        .select(col("cb"), col("r").getField("y").as("ym"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rb = Num.rangeBucket(col("bal") + lit(1000.0))
+      val u = rep.select(col("cb").as("bal"), lit(0).as("tag"),
+          col("cb").as("cbal"), lit(null).cast("long").as("k"),
+          lit(null).cast("double").as("yt"))
+        .unionByName(treated.select(col("x").as("bal"), lit(1).as("tag"),
+          lit(null).cast("double").as("cbal"), col("c_custkey").as("k"),
+          col("y").as("yt")))
+        .withColumn("rb", rb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wBelow = Window.partitionBy(col("rb"))
+        .orderBy(col("bal"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAbove = Window.partitionBy(col("rb"))
+        .orderBy(col("bal").desc, col("tag").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // cross-bucket carries: the greatest control bal in any EARLIER
+      // bucket / least in any LATER bucket, computed on the bucket frame
+      val wPre = Window.orderBy(col("rb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wSuf = Window.orderBy(col("rb").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // bucket frame from the UNION (not just control buckets): a bucket
+      // holding only treated rows still needs its carries; max/min skip
+      // the null cbal of treated rows
+      val carries = u.groupBy(col("rb"))
+        .agg(max(col("cbal")).as("bmax"), min(col("cbal")).as("bmin"))
+        .withColumn("carry_below", max(col("bmax")).over(wPre))
+        .withColumn("carry_above", min(col("bmin")).over(wSuf))
+        .select(col("rb").as("rb2"), col("carry_below"), col("carry_above"))
+      val scanned = u
+        .withColumn("below_loc", last(col("cbal"), ignoreNulls = true).over(wBelow))
+        .withColumn("above_loc", last(col("cbal"), ignoreNulls = true).over(wAbove))
+        .filter(col("tag") === 1)
+        .join(broadcast(carries), col("rb") === col("rb2"), "left")
+        .select(col("k"), col("bal"), col("yt"),
+          coalesce(col("below_loc"), col("carry_below")).as("below"),
+          coalesce(col("above_loc"), col("carry_above")).as("above"))
+      val pick = when(col("above").isNull, col("below"))
+        .when(col("below").isNull, col("above"))
+        .when(col("bal") - col("below") <= col("above") - col("bal"),
+          col("below"))
+        .otherwise(col("above"))
+      val nt = treated.agg(count(lit(1)).as("n_treated"))
+      scanned.select(col("k"), col("yt"), pick.as("mb"))
+        .filter(col("mb").isNotNull)
+        .join(rep, col("mb") === col("cb"))
+        .agg(count(lit(1)).as("n_matched"),
+          Num.davg(col("yt")).as("avg_treated"),
+          Num.davg(col("ym")).as("avg_matched"),
+          Num.davg(col("yt") - col("ym")).as("att"))
+        .filter(col("n_matched") > 0L)
+        .crossJoin(broadcast(nt))
+        .select(col("n_treated"), col("n_matched"),
+          col("avg_treated"), col("avg_matched"), col("att"))
+    }),
+
+    // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental causal panel
+    // when randomization isn't available (Card & Krueger 1994 shape):
+    // treated/control arms from the q_ab_test user hash, pre/post from
+    // the window's own midpoint (the q_psi_drift snapshot-reproducible
+    // split), DiD = (T_post − T_pre) − (C_post − C_pre) — the treatment
+    // effect net of the shared time trend. All four cell means come
+    // from ONE conditional 8-sum aggregate (map-side combined, decimal-
+    // exact sums); the estimate is 1-row double algebra. At 100 TB this
+    // is a scan + one aggregate — no join, no window, no second pass.
+    "q_did" -> ((s, d) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val arm = (conv(substring(md5(encode(col("user_id").cast("string"),
+        "UTF-8")), 1, 8), 16, 10).cast("long") % 2).cast("int")
+      val ev = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("ts"), col("value"), arm.as("arm"))
+      val mid = ev.agg(((min(unix_micros(col("ts"))) +
+        max(unix_micros(col("ts")))) / 2).as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+        .select(col("arm"), (unix_micros(col("ts")) >= col("mid")).as("post"),
+          col("value"))
+      def cell(a: Int, p: Boolean) = col("arm") === a && col("post") === p
+      def nOf(a: Int, p: Boolean) =
+        sum(when(cell(a, p), 1L).otherwise(0L))
+      def sOf(a: Int, p: Boolean) =
+        sum(when(cell(a, p), col("value").cast(d38))
+          .otherwise(lit(0).cast(d38))).cast("double")
+      val m = tagged.agg(
+        nOf(0, false).as("n_c_pre"), nOf(0, true).as("n_c_post"),
+        nOf(1, false).as("n_t_pre"), nOf(1, true).as("n_t_post"),
+        sOf(0, false).as("s_c_pre"), sOf(0, true).as("s_c_post"),
+        sOf(1, false).as("s_t_pre"), sOf(1, true).as("s_t_post"))
+      def mean(s: String, n: String) = col(s) / col(n).cast("double")
+      m.filter(col("n_c_pre") > 0L && col("n_c_post") > 0L &&
+          col("n_t_pre") > 0L && col("n_t_post") > 0L)
+        .select(col("n_c_pre"), col("n_c_post"), col("n_t_pre"), col("n_t_post"),
+          mean("s_c_pre", "n_c_pre").as("m_c_pre"),
+          mean("s_c_post", "n_c_post").as("m_c_post"),
+          mean("s_t_pre", "n_t_pre").as("m_t_pre"),
+          mean("s_t_post", "n_t_post").as("m_t_post"),
+          ((mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre")) -
+            (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre")))
+            .as("did"))
+    }),
+
     // POISSON BOOTSTRAP confidence interval (Chamandy et al. 2012 — the
     // resampling scheme built for map-reduce): error bars on any metric
     // without N×B resampled copies. Each of B=32 replicates weights every
@@ -2448,6 +2585,75 @@ object Shapes {
          |      + ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)) AS t_welch
          |FROM m WHERE n0 >= 2 AND n1 >= 2
          |ORDER BY event_type""".stripMargin
+    },
+
+    "q_match_att" ->
+      s"""WITH cy AS (
+         |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS x,
+         |    COALESCE(o.y0, 0.0) AS y
+         |  FROM customer LEFT JOIN (
+         |    SELECT o_custkey, ${Num.sqlDsum("o_totalprice")} AS y0
+         |    FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+         |tr AS (SELECT c_custkey AS k, x, y AS yt FROM cy
+         |       WHERE c_mktsegment = 'BUILDING'),
+         |rep AS (SELECT x AS cb, arg_min(y, c_custkey) AS ym FROM cy
+         |        WHERE c_mktsegment <> 'BUILDING' GROUP BY 1),
+         |m AS (SELECT k, x, yt,
+         |    (SELECT MAX(cb) FROM rep WHERE cb <= t.x) AS below,
+         |    (SELECT MIN(cb) FROM rep WHERE cb > t.x) AS above
+         |  FROM tr t),
+         |p AS (SELECT k, yt,
+         |    CASE WHEN above IS NULL THEN below
+         |         WHEN below IS NULL THEN above
+         |         WHEN x - below <= above - x THEN below
+         |         ELSE above END AS mb
+         |  FROM m),
+         |a AS (SELECT COUNT(*) AS n_matched,
+         |    ${Num.sqlDavg("yt")} AS avg_treated,
+         |    ${Num.sqlDavg("ym")} AS avg_matched,
+         |    ${Num.sqlDavg("yt - ym")} AS att
+         |  FROM p JOIN rep ON p.mb = rep.cb)
+         |SELECT CAST(nt.n_treated AS BIGINT) AS n_treated,
+         |  CAST(a.n_matched AS BIGINT) AS n_matched,
+         |  a.avg_treated, a.avg_matched, a.att
+         |FROM a, (SELECT COUNT(*) AS n_treated FROM tr) nt
+         |WHERE a.n_matched > 0""".stripMargin,
+
+    "q_did" -> {
+      val bucket = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"((strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult)"
+      }.mkString("(", " + ", ")")
+      def n(c: String) =
+        s"CAST(SUM(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT)"
+      def sm(c: String) =
+        s"CAST(SUM(CASE WHEN $c THEN CAST(value AS DECIMAL(38,6)) " +
+          "ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)"
+      s"""WITH e AS (
+         |  SELECT ts, value, CAST($bucket % 2 AS INT) AS arm
+         |  FROM events WHERE value IS NOT NULL),
+         |mid AS (
+         |  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2 AS mid FROM e),
+         |tg AS (SELECT arm, epoch_us(ts) >= mid AS post, value FROM e, mid),
+         |m AS (SELECT
+         |    ${n("arm = 0 AND NOT post")} AS n_c_pre,
+         |    ${n("arm = 0 AND post")} AS n_c_post,
+         |    ${n("arm = 1 AND NOT post")} AS n_t_pre,
+         |    ${n("arm = 1 AND post")} AS n_t_post,
+         |    ${sm("arm = 0 AND NOT post")} AS s_c_pre,
+         |    ${sm("arm = 0 AND post")} AS s_c_post,
+         |    ${sm("arm = 1 AND NOT post")} AS s_t_pre,
+         |    ${sm("arm = 1 AND post")} AS s_t_post
+         |  FROM tg)
+         |SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+         |  s_c_pre / n_c_pre AS m_c_pre,
+         |  s_c_post / n_c_post AS m_c_post,
+         |  s_t_pre / n_t_pre AS m_t_pre,
+         |  s_t_post / n_t_post AS m_t_post,
+         |  ((s_t_post / n_t_post - s_t_pre / n_t_pre)
+         |    - (s_c_post / n_c_post - s_c_pre / n_c_pre)) AS did
+         |FROM m
+         |WHERE n_c_pre > 0 AND n_c_post > 0 AND n_t_pre > 0 AND n_t_post > 0""".stripMargin
     },
 
     "q_acf" -> {

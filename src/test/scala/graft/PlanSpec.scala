@@ -97,7 +97,8 @@ class PlanSpec extends SparkSpec {
     Seq("q_gini" -> "rb", "q_pareto_8020" -> "rb",
         "q_skyline" -> "rb", "q_zipf_fit" -> "c",
         "q_vocab_coverage" -> "c",
-        "q_auc" -> "rb", "q_ks_test" -> "rb").foreach { case (q, bucket) =>
+        "q_auc" -> "rb", "q_ks_test" -> "rb",
+        "q_match_att" -> "rb").foreach { case (q, bucket) =>
       val sp = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val wins = sp.collect { case w: WindowExec => w }
       assert(wins.exists(_.partitionSpec.nonEmpty),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{SparkSpec, Tables}
+import graft.{SparkEntry, SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
@@ -257,5 +257,24 @@ class SamplingSpec extends SparkSpec {
     }
     // the banding has signal at sf0.001: more than one band occupied
     assert(got.map(_._2).distinct.length > 1)
+  }
+
+  test("q_ldiversity flags the homogeneous group and clears the diverse one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // source s1, bucket [0,256): 3 docs all 'en'  -> l = 1, at risk
+    // source s2, bucket [0,256): 3 docs en/de/fr  -> l = 3, safe
+    val docs = Seq(
+      (1L, "s1", "en", 10L), (2L, "s1", "en", 20L), (3L, "s1", "en", 30L),
+      (4L, "s2", "en", 10L), (5L, "s2", "de", 20L), (6L, "s2", "fr", 30L)
+    ).toDF("doc_id", "source", "lang", "n_chars")
+      .withColumn("text", lit("x"))
+    val dir = tmpDir("ldiv")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_ldiversity")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("l_distinct"), r.getAs[Boolean]("at_risk"))).toMap
+    assert(got("s1") == ((1L, true)), got.toString)
+    assert(got("s2") == ((3L, false)), got.toString)
   }
 }

@@ -971,6 +971,74 @@ class ShapesSpec extends SparkSpec {
     assert(math.abs(r(0).getAs[Double]("f_stat") - 13.5) < 1e-9, r(0).toString)
   }
 
+  test("q_did matches a brute-force replay of arms, midpoint split and cell means") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+    def arm(uid: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % 2).toInt
+    }
+    // Spark's Divide on longs is DOUBLE division — replay it exactly
+    val mid = (rows.map(_.getLong(1)).min + rows.map(_.getLong(1)).max)
+      .toDouble / 2.0
+    val cells = rows.groupBy(r => (arm(r.getLong(0)), r.getLong(1).toDouble >= mid))
+      .map { case (k, rs) =>
+        k -> (rs.length.toLong,
+          rs.map(r => BigDecimal(r.getDouble(2)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      }
+    def m(a: Int, p: Boolean) = { val c = cells((a, p)); c._2 / c._1.toDouble }
+    val expected = (m(1, true) - m(1, false)) - (m(0, true) - m(0, false))
+    val r = SparkEntry.queries("q_did")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_t_post") == cells((1, true))._1)
+    assert(r(0).getAs[Long]("n_c_pre") == cells((0, false))._1)
+    assert(math.abs(r(0).getAs[Double]("did") - expected) < 1e-9,
+      s"did ${r(0).getAs[Double]("did")} vs replay $expected")
+  }
+
+  test("q_match_att: hand-computed 1-NN matches, tie-to-below, cross-bucket carry") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // controls (non-BUILDING) at balances 10/20/40 with outcomes
+    // 100/200/400; a duplicate control at bal 10 (custkey 4, outcome 999)
+    // must LOSE representation to custkey 1. Treated (BUILDING):
+    //   bal 12 → 10 (|2|<|8|)          diff 120−100 = 20
+    //   bal 15 → 10 (tie 5=5 → below)  diff 150−100 = 50
+    //   bal 39 → 40 (|1|<|19|)         diff 390−400 = −10
+    //   bal 100 → 40 (no control above; bal+1000=1100 lands in its own
+    //               rangeBucket, so the match arrives via the carry)
+    //                                  diff 1000−400 = 600
+    //   bal 5 → 10 (no control below)  diff 50−100 = −50
+    // ATT = 610/5 = 122, avg_treated = 342, avg_matched = 220
+    val cust = Seq(
+      (1L, "AUTOMOBILE", 10.0), (2L, "AUTOMOBILE", 20.0),
+      (3L, "AUTOMOBILE", 40.0), (4L, "HOUSEHOLD", 10.0),
+      (11L, "BUILDING", 12.0), (12L, "BUILDING", 15.0),
+      (13L, "BUILDING", 39.0), (14L, "BUILDING", 100.0),
+      (15L, "BUILDING", 5.0)
+    ).toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val orders = Seq(
+      (1L, 100.0), (2L, 200.0), (3L, 400.0), (4L, 999.0),
+      (11L, 120.0), (12L, 150.0), (13L, 390.0), (14L, 1000.0), (15L, 50.0)
+    ).zipWithIndex.map { case ((ck, v), i) => (i.toLong, ck, v) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = tmpDir("match-att")
+    cust.write.parquet(s"$dir/customer.parquet")
+    orders.write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_match_att")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_treated") == 5L && r(0).getAs[Long]("n_matched") == 5L)
+    assert(r(0).getAs[Double]("avg_treated") == 342.0, r(0).toString)
+    assert(r(0).getAs[Double]("avg_matched") == 220.0, r(0).toString)
+    assert(r(0).getAs[Double]("att") == 122.0, r(0).toString)
+  }
+
   test("q_acf: an alternating daily series has ACF(1) = -1 and ACF(2) = +1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
