@@ -558,6 +558,47 @@ object Sampling {
         .withColumn("at_risk", col("n") < 5)
         .orderBy(col("lang"), col("source"), col("len_bucket"))),
 
+    // RAKING / iterative proportional fitting (Deming & Stephan 1940) —
+    // the survey-weighting workhorse, pointed at corpus balancing: find
+    // per-cell weights so the (lang × source) table SIMULTANEOUSLY hits
+    // uniform lang margins and uniform source margins (q_domain_mix
+    // fixes one margin; raking fits both at once). Three full IPF
+    // rounds, unrolled: scale rows to the lang target, then columns to
+    // the source target — each scaling is one margin-keyed aggregate
+    // over the CELL table (≤ |langs|·|sources| rows at any corpus size;
+    // the data is touched once for the cell counts) joined back
+    // broadcast. Margin sums of n·w run in DECIMAL(38,12) (the
+    // q_supplier_hhi discipline) so they are order-independent; all
+    // other arithmetic is per-cell doubles with a fixed tree, so the
+    // final weights are engine-identical.
+    "q_raking" -> ((s, d) => {
+      val d3812 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val keep = Seq("lang", "source", "n", "w", "nn", "l", "srcs")
+      val base = Tables.load(s, d, "documents")
+        .filter(col("lang").isNotNull && col("source").isNotNull)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      val tt = base.agg(sum(col("n")).as("nn"),
+        countDistinct(col("lang")).as("l"),
+        countDistinct(col("source")).as("srcs"))
+      val cells0 = base.withColumn("w", lit(1.0)).crossJoin(broadcast(tt))
+      def scale(cells: org.apache.spark.sql.DataFrame, key: String,
+          tgt: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+        val g = cells.groupBy(col(key).as("mk"))
+          .agg(sum((col("n") * col("w")).cast(d3812)).cast("double").as("msum"))
+        cells.join(broadcast(g), col(key) === col("mk"))
+          .select(keep.filterNot(_ == "w").map(col) :+
+            (col("w") * (tgt / col("msum"))).as("w"): _*)
+      }
+      val rowT = col("nn").cast("double") / col("l").cast("double")
+      val colT = col("nn").cast("double") / col("srcs").cast("double")
+      val fitted = (1 to 3).foldLeft(cells0) { (c, _) =>
+        scale(scale(c, "lang", rowT), "source", colT)
+      }
+      fitted.select(col("lang"), col("source"), col("n"), col("w"),
+          (col("n").cast("double") * col("w")).as("fitted"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // l-DIVERSITY audit — k-anonymity's complement (Machanavajjhala et
     // al. 2007): a quasi-identifier group can be large (k-safe) yet leak
     // the sensitive attribute if every member SHARES it (the homogeneity
@@ -878,6 +919,34 @@ object Sampling {
         |  CAST(FLOOR(n_chars / 256.0) AS BIGINT) * 256 AS len_bucket,
         |  COUNT(*) AS n, (COUNT(*) < 5) AS at_risk
         |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_raking" -> {
+      def step(prev: String, out: String, key: String, tgtDen: String) =
+        s"""$out AS (
+           |  SELECT c.lang, c.source, c.n, c.nn, c.l, c.srcs,
+           |    c.w * ((CAST(c.nn AS DOUBLE) / CAST(c.$tgtDen AS DOUBLE))
+           |           / g.msum) AS w
+           |  FROM $prev c JOIN (
+           |    SELECT $key AS mk,
+           |      CAST(SUM(CAST(n * w AS DECIMAL(38,12))) AS DOUBLE) AS msum
+           |    FROM $prev GROUP BY 1) g ON c.$key = g.mk)""".stripMargin
+      val steps = (1 to 3).flatMap { i =>
+        val p = if (i == 1) "c0" else s"r${2 * (i - 1)}"
+        Seq(step(p, s"r${2 * i - 1}", "lang", "l"),
+          step(s"r${2 * i - 1}", s"r${2 * i}", "source", "srcs"))
+      }.mkString(",\n")
+      s"""WITH b AS (
+         |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS l,
+         |         CAST(COUNT(DISTINCT source) AS BIGINT) AS srcs FROM b),
+         |c0 AS (SELECT lang, source, n, 1.0 AS w, nn, l, srcs FROM b, tt),
+         |$steps
+         |SELECT lang, source, n, w, CAST(n AS DOUBLE) * w AS fitted
+         |FROM r6 ORDER BY lang, source""".stripMargin
+    },
 
     "q_ldiversity" ->
       """SELECT source,

@@ -162,6 +162,52 @@ object Sources {
         .orderBy(col("day"))
     }),
 
+    // CUSUM changepoint — where did the level SHIFT (vs q_volume_anomaly,
+    // which flags single-day spikes): the classic mean-shift locator
+    // (Page 1954 / Taylor's cumulative-sum charts). S_t = Σ_{i≤t}(x_i−x̄)
+    // dips/peaks exactly at a sustained level change; the changepoint
+    // estimate is argmax|S_t| over interior days, reported with the two
+    // segment means and the shift. Shape at 100 TB: the fact table is
+    // touched once (daily count rollup); the cumulative walk runs on the
+    // CALENDAR-sized series (the q_volume_anomaly model-size precedent),
+    // and the argmax is one max + an equality probe + a struct-min tie
+    // rule (earliest day) — every S_t is double arithmetic over integer
+    // counts with a fixed expression tree, so both engines pick the
+    // identical day.
+    "q_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val walked = daily
+        .withColumn("cum", sum(col("x")).over(w))
+        .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+        .crossJoin(broadcast(tot))
+        // interior points only: a "changepoint" at the last day has an
+        // empty after-segment (and a 0/0 mean)
+        .filter(col("t") < col("n"))
+        .withColumn("s_t", col("cum").cast("double") -
+          col("t").cast("double") * (col("sx").cast("double") / col("n").cast("double")))
+        .withColumn("abs_s", abs(col("s_t")))
+      val mx = walked.agg(max(col("abs_s")).as("mx"))
+      val cp = walked.crossJoin(broadcast(mx))
+        .filter(col("abs_s") === col("mx"))
+        .agg(min(struct(col("day"), col("t"), col("cum"), col("s_t"),
+          col("n"), col("sx"))).as("c"))
+        .select(col("c.day").as("cp_day"), col("c.t").as("t_cp"),
+          col("c.cum").as("cum_cp"), col("c.s_t").as("s_max"),
+          col("c.n").as("n_days"), col("c.sx").as("sx"))
+      cp.select(col("cp_day"), col("n_days"), col("s_max"),
+          (col("cum_cp").cast("double") / col("t_cp").cast("double"))
+            .as("mean_before"),
+          ((col("sx") - col("cum_cp")).cast("double") /
+            (col("n_days") - col("t_cp")).cast("double")).as("mean_after"))
+        .withColumn("shift", col("mean_after") - col("mean_before"))
+    }),
+
     // Kaplan-Meier survival panel over user lifetimes — retention with
     // CENSORING done right: a user still active near the corpus end
     // hasn't churned, they're right-censored, and counting them as
@@ -1222,6 +1268,32 @@ object Sources {
 
     // same exact decimal-sum moment math as q_outlier_zscore, over the
     // calendar-sized day-delta table
+    "q_changepoint" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |daily AS (SELECT date_trunc('day', ts) AS day,
+        |            CAST(COUNT(*) AS BIGINT) AS x
+        |          FROM ev GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |               CAST(SUM(x) AS BIGINT) AS sx FROM daily),
+        |wk AS (SELECT day, x,
+        |    SUM(x) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |  FROM daily),
+        |s AS (SELECT day, CAST(cum AS BIGINT) AS cum, t, n, sx,
+        |    CAST(cum AS DOUBLE) - CAST(t AS DOUBLE)
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS s_t
+        |  FROM wk, tot WHERE t < n),
+        |mx AS (SELECT MAX(ABS(s_t)) AS mx FROM s),
+        |cp AS (SELECT day, t, cum, s_t, n, sx FROM s, mx
+        |       WHERE ABS(s_t) = mx ORDER BY day LIMIT 1)
+        |SELECT day AS cp_day, n AS n_days, s_t AS s_max,
+        |  CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS mean_before,
+        |  CAST(sx - cum AS DOUBLE) / CAST(n - t AS DOUBLE) AS mean_after,
+        |  CAST(sx - cum AS DOUBLE) / CAST(n - t AS DOUBLE)
+        |    - CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS shift
+        |FROM cp""".stripMargin,
+
     "q_volume_anomaly" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
         |daily AS (SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events

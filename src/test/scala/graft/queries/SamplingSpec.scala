@@ -259,6 +259,28 @@ class SamplingSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length > 1)
   }
 
+  test("q_raking: three IPF rounds land both margins on the uniform targets") {
+    val rows = SparkEntry.queries("q_raking")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"),
+        r.getAs[Double]("w"), r.getAs[Double]("fitted")))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 > 0.0), "weights must stay positive")
+    val total = rows.map(_._3).sum.toDouble
+    val langT = total / rows.map(_._1).distinct.length
+    val srcT = total / rows.map(_._2).distinct.length
+    // the LAST scaling was on source, so source margins are exact;
+    // lang margins converge to within 1% of target after 3 rounds
+    rows.groupBy(_._2).foreach { case (src, cs) =>
+      assert(math.abs(cs.map(_._5).sum - srcT) < 1e-6, s"source margin $src")
+    }
+    rows.groupBy(_._1).foreach { case (lang, cs) =>
+      assert(math.abs(cs.map(_._5).sum - langT) / langT < 0.01,
+        s"lang margin $lang: ${cs.map(_._5).sum} vs $langT")
+    }
+    // raking preserves mass: Σ fitted = Σ n
+    assert(math.abs(rows.map(_._5).sum - total) / total < 0.01)
+  }
+
   test("q_ldiversity flags the homogeneous group and clears the diverse one") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -408,6 +408,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("q_changepoint locates a planted step shift at the exact day") {
+    import spark.implicits._
+    // 10 days at 100 events/day, then 10 days at 200: |S_t| peaks at the
+    // last day of the low segment (t=10), means are exactly 100 and 200
+    val rows = (0 until 20).flatMap { day =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 3, 1).plusDays(day.toLong).atTime(12, 0))
+      val k = if (day < 10) 100 else 200
+      (0 until k).map(i => (day.toLong * 1000 + i, ts, i.toLong, "click", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tmpDir("cusum-fix")
+    rows.write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_changepoint")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[java.sql.Timestamp]("cp_day").toString.startsWith("2024-03-10"),
+      r(0).toString)
+    assert(r(0).getAs[Long]("n_days") == 20L)
+    assert(r(0).getAs[Double]("mean_before") == 100.0, r(0).toString)
+    assert(r(0).getAs[Double]("mean_after") == 200.0, r(0).toString)
+    assert(r(0).getAs[Double]("shift") == 100.0)
+  }
+
   test("q_ks_test: hand-computed D on a planted fixture; identical samples give D = 0") {
     import spark.implicits._
     // A = {1,2,3,4}, R = {3,4,5,6}: the ECDFs diverge most on [2,4] where
