@@ -305,4 +305,39 @@ class EventsStreamSpec extends SparkSpec {
         s"streamed sessions not in batch: ${streamed.diff(batch).take(5)}")
     } finally q.stop()
   }
+
+  test("driftMonitor: warmup freezes the baseline, a shifted chunk is flagged, a steady one is clear") {
+    val in = tmpDir("drift-in")
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:${i % 60}%02d")
+    // micro-batch 1 = exactly the warmup per type: alternating 9/11 → mean 10
+    val b1 = (0 until 20).flatMap(i => Seq(
+      EventsStream.Event(i.toLong, ts(i), 1L, "steady",
+        if (i % 2 == 0) 9.0 else 11.0),
+      EventsStream.Event(100L + i, ts(i), 2L, "shift",
+        if (i % 2 == 0) 9.0 else 11.0)))
+    // micro-batch 2: steady repeats the regime, shift jumps +10
+    val b2 = (0 until 20).flatMap(i => Seq(
+      EventsStream.Event(200L + i, ts(i), 1L, "steady",
+        if (i % 2 == 0) 9.0 else 11.0),
+      EventsStream.Event(300L + i, ts(i), 2L, "shift",
+        if (i % 2 == 0) 19.0 else 21.0)))
+    b1.toDF().coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100) // distinct mtimes → deterministic file order
+    b2.toDF().coalesce(1).write.mode("append").parquet(in)
+    val q = EventsStream.driftMonitor(
+        EventsStream.readEvents(spark, in).as[EventsStream.Event], warmup = 20)
+      .writeStream.format("memory").queryName("drift_alerts")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("drift_alerts")
+      .as[EventsStream.DriftAlert].collect()
+    // batch 1 is fully absorbed by the warmup → verdicts only from batch 2
+    assert(rows.length == 2, rows.mkString("; "))
+    val byType = rows.map(r => r.event_type -> r).toMap
+    assert(byType("shift").drifted && byType("shift").z > 3.0, byType.toString)
+    assert(!byType("steady").drifted &&
+      math.abs(byType("steady").z) < 1e-9, byType.toString)
+    assert(byType("shift").n_base == 20L &&
+      byType("shift").mean_base == 10.0 && byType("shift").mean_chunk == 20.0)
+  }
 }
