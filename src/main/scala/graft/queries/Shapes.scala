@@ -705,6 +705,49 @@ object Shapes {
         .orderBy(col("lag"))
     }),
 
+    // ROBUST TREND TEST — Mann–Kendall S/z + Theil–Sen slope over the
+    // monthly revenue series: the nonparametric pair every monitoring
+    // stack runs when least squares would chase one outlier month
+    // (MK: Mann 1945/Kendall 1975; slope: Sen 1968). Shape at 100 TB:
+    // the fact table is touched ONCE (decimal-exact monthly rollup);
+    // the O(m²) pairwise pass runs on the CALENDAR-sized series (~84
+    // months → ~3.5k pairs at any scale — the q_backtest_forecast
+    // model-size discipline). S is INTEGER (a sign sum); Sen's slope is
+    // the exact median over the identical pairwise-slope multiset in
+    // both engines (the percentile/quantile_cont interpolation already
+    // bit-matches, q_psi_drift precedent); the z uses the no-tie
+    // variance n(n−1)(2n+5)/18 with continuity correction — revenue
+    // sums make value ties measure-zero, and a tie contributes sign 0
+    // to S either way.
+    "q_trend_test" -> ((s, d) => {
+      val monthly = t(s, d, "orders")
+        .groupBy(((year(col("o_orderdate")) - 1990) * 12 +
+          month(col("o_orderdate"))).cast("long").as("mi"))
+        .agg(Num.dsum(col("o_totalprice")).as("v"))
+      val a = monthly.select(col("mi").as("i"), col("v").as("vi"))
+      val b = monthly.select(col("mi").as("j"), col("v").as("vj"))
+      val pairs = a.join(b, col("i") < col("j"))
+        .select(signum(col("vj") - col("vi")).cast("long").as("sgn"),
+          ((col("vj") - col("vi")) /
+            (col("j") - col("i")).cast("double")).as("slope"))
+      val st = pairs.agg(sum(col("sgn")).as("mk_s"),
+        expr("percentile(slope, 0.5d)").as("sen_slope"))
+      val n = monthly.agg(count(lit(1)).as("n_months"))
+      st.crossJoin(broadcast(n))
+        .filter(col("n_months") >= 3L)
+        .withColumn("var_s",
+          (col("n_months") * (col("n_months") - 1) *
+            (lit(2) * col("n_months") + 5)).cast("double") / lit(18.0))
+        .withColumn("mk_z",
+          when(col("mk_s") > 0L,
+            (col("mk_s") - 1L).cast("double") / sqrt(col("var_s")))
+            .when(col("mk_s") < 0L,
+              (col("mk_s") + 1L).cast("double") / sqrt(col("var_s")))
+            .otherwise(lit(0.0)))
+        .select(col("n_months"), col("mk_s"), col("mk_z"),
+          (abs(col("mk_z")) > 1.96).as("trending"), col("sen_slope"))
+    }),
+
     // ROLLING-ORIGIN FORECAST BACKTEST (time-series cross-validation,
     // Tashman 2000) — the leakage-aware eval discipline for temporal
     // models, next to q_pit_join (point-in-time features) and
@@ -2655,6 +2698,33 @@ object Shapes {
          |FROM m
          |WHERE n_c_pre > 0 AND n_c_post > 0 AND n_t_pre > 0 AND n_t_post > 0""".stripMargin
     },
+
+    "q_trend_test" ->
+      s"""WITH monthly AS (
+         |  SELECT CAST((year(o_orderdate) - 1990) * 12 + month(o_orderdate)
+         |           AS BIGINT) AS mi,
+         |    ${Num.sqlDsum("o_totalprice")} AS v
+         |  FROM orders GROUP BY 1),
+         |p AS (
+         |  SELECT CAST(sign(b.v - a.v) AS BIGINT) AS sgn,
+         |    (b.v - a.v) / CAST(b.mi - a.mi AS DOUBLE) AS slope
+         |  FROM monthly a JOIN monthly b ON a.mi < b.mi),
+         |st AS (SELECT CAST(SUM(sgn) AS BIGINT) AS mk_s,
+         |         quantile_cont(slope, 0.5) AS sen_slope FROM p),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly),
+         |z AS (SELECT n_months, mk_s, sen_slope,
+         |    CAST(n_months * (n_months - 1) * (2 * n_months + 5) AS DOUBLE)
+         |      / 18.0 AS var_s
+         |  FROM st, nn WHERE n_months >= 3)
+         |SELECT n_months, mk_s,
+         |  CASE WHEN mk_s > 0 THEN CAST(mk_s - 1 AS DOUBLE) / sqrt(var_s)
+         |       WHEN mk_s < 0 THEN CAST(mk_s + 1 AS DOUBLE) / sqrt(var_s)
+         |       ELSE 0.0 END AS mk_z,
+         |  (ABS(CASE WHEN mk_s > 0 THEN CAST(mk_s - 1 AS DOUBLE) / sqrt(var_s)
+         |            WHEN mk_s < 0 THEN CAST(mk_s + 1 AS DOUBLE) / sqrt(var_s)
+         |            ELSE 0.0 END) > 1.96) AS trending,
+         |  sen_slope
+         |FROM z""".stripMargin,
 
     "q_acf" -> {
       val unions = (1 to 7).map(k =>

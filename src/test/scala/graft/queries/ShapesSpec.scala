@@ -1039,6 +1039,28 @@ class ShapesSpec extends SparkSpec {
     assert(r(0).getAs[Double]("att") == 122.0, r(0).toString)
   }
 
+  test("q_trend_test: a linear monthly series gives S = n(n-1)/2 and the exact Sen slope") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 6 months, revenue 100·k: every pair ascends → S = 15; every pairwise
+    // slope is exactly 100; z = 14/√(6·5·17/18) ≈ 2.63 > 1.96 → trending
+    val orders = (1 to 6).map { k =>
+      (k.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, k, 15)),
+        100.0 * k)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_custkey", col("o_orderkey"))
+    val dir = tmpDir("trend-fix")
+    orders.write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_trend_test")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_months") == 6L)
+    assert(r(0).getAs[Long]("mk_s") == 15L)
+    assert(r(0).getAs[Double]("sen_slope") == 100.0, r(0).toString)
+    assert(r(0).getAs[Boolean]("trending"))
+    assert(math.abs(r(0).getAs[Double]("mk_z") -
+      14.0 / math.sqrt(6.0 * 5.0 * 17.0 / 18.0)) < 1e-12)
+  }
+
   test("q_acf: an alternating daily series has ACF(1) = -1 and ACF(2) = +1") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
