@@ -581,6 +581,19 @@ object Sampling {
         countDistinct(col("lang")).as("l"),
         countDistinct(col("source")).as("srcs"))
       val cells0 = base.withColumn("w", lit(1.0)).crossJoin(broadcast(tt))
+      // The IPF fold runs on the CELL table (≤ |langs|·|sources| rows),
+      // but 6 chained aggregate+join stages under the session-width
+      // shuffle and AQE are pure orchestration latency (per-stage stat
+      // jobs, 32-partition shuffles of 100 rows). The PageRank/CC
+      // loop-session discipline applies: clone the session, 1 shuffle
+      // partition, AQE off, persist per round so each scale() (which
+      // consumes its input twice — margin aggregate + join back) reads
+      // the cache instead of re-evaluating lineage.
+      val loopS = s.newSession()
+      loopS.conf.set("spark.sql.shuffle.partitions", "1")
+      loopS.conf.set("spark.sql.adaptive.enabled", "false")
+      val start = loopS.createDataFrame(cells0.rdd, cells0.schema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def scale(cells: org.apache.spark.sql.DataFrame, key: String,
           tgt: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
         val g = cells.groupBy(col(key).as("mk"))
@@ -591,8 +604,9 @@ object Sampling {
       }
       val rowT = col("nn").cast("double") / col("l").cast("double")
       val colT = col("nn").cast("double") / col("srcs").cast("double")
-      val fitted = (1 to 3).foldLeft(cells0) { (c, _) =>
+      val fitted = (1 to 3).foldLeft(start) { (c, _) =>
         scale(scale(c, "lang", rowT), "source", colT)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       fitted.select(col("lang"), col("source"), col("n"), col("w"),
           (col("n").cast("double") * col("w")).as("fitted"))
