@@ -140,6 +140,53 @@ object EventsStream {
         col("session_window.end").as("win_end"),
         col("n_events"), col("total_value"))
 
+  final case class HeavyState(counts: Map[Long, (Long, Long)], n: Long)
+
+  final case class HeavyHitter(event_type: String, user_id: Long,
+      est: Long, err: Long, n_seen: Long)
+
+  /** Streaming heavy hitters — SpaceSaving (Metwally et al. 2005) per
+    * event type: which users dominate the feed, answered with O(capacity)
+    * state per group no matter how many distinct users pass. Tracked item
+    * → count+1; new item with room → (1,0); new item at capacity evicts
+    * the min-count entry and inherits its count as the error bound. The
+    * classical guarantees hold for ANY arrival order (est ≥ true ≥
+    * est − err; every user with true share > 1/capacity is tracked), so
+    * the operator is exact-by-bounds even though the post-shuffle
+    * iterator order inside a micro-batch is arbitrary — the eviction
+    * victim is chosen by the total (count, user_id) order, so equal-count
+    * ties break deterministically. Update-mode output: the current top-k
+    * snapshot per (type, micro-batch) — the batch twin of the count-min
+    * q_heavy_hitters panel, state-bounded for an unbounded stream. */
+  def heavyHitters(events: Dataset[Event], capacity: Int = 8,
+      k: Int = 3): Dataset[HeavyHitter] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HeavyState, HeavyHitter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (ty: String, batch: Iterator[Event], state: GroupState[HeavyState]) =>
+          val st = state.getOption.getOrElse(HeavyState(Map.empty, 0L))
+          var m = st.counts
+          var n = st.n
+          batch.foreach { e =>
+            n += 1
+            m.get(e.user_id) match {
+              case Some((c, err)) => m = m.updated(e.user_id, (c + 1, err))
+              case None if m.size < capacity =>
+                m = m.updated(e.user_id, (1L, 0L))
+              case None =>
+                val (victim, (cmin, _)) =
+                  m.minBy { case (uid, (c, _)) => (c, uid) }
+                m = (m - victim).updated(e.user_id, (cmin + 1, cmin))
+            }
+          }
+          state.update(HeavyState(m, n))
+          m.toSeq.sortBy { case (uid, (c, _)) => (-c, uid) }.take(k)
+            .map { case (uid, (c, err)) => HeavyHitter(ty, uid, c, err, n) }
+            .iterator
+      }
+  }
+
   final case class DriftState(n: Long, sum: Double, sumsq: Double)
 
   final case class DriftAlert(event_type: String, n_base: Long,

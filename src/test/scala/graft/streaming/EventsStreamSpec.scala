@@ -306,6 +306,45 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHitters: SpaceSaving bounds hold, the heavy user survives eviction pressure") {
+    val in = tmpDir("hh-in")
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:${i % 60}%02d")
+    // batch 1: user 7 hits 20×, users 1..3 hit 2× each (≤ capacity distinct
+    // → no evictions, counts exact)
+    val b1 = ((0 until 20).map(i =>
+      EventsStream.Event(i.toLong, ts(i), 7L, "click", 1.0)) ++
+      (1 to 3).flatMap(u => (0 until 2).map(i =>
+        EventsStream.Event(100L + u * 10 + i, ts(i), u.toLong, "click", 1.0))))
+    // batch 2: 12 distinct one-hit users — eviction pressure on capacity 8;
+    // user 7's count is never the minimum, so it must survive untouched
+    val b2 = (30 until 42).map(i =>
+      EventsStream.Event(200L + i, ts(i), i.toLong, "click", 1.0))
+    b1.toDF().coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    b2.toDF().coalesce(1).write.mode("append").parquet(in)
+    val q = EventsStream.heavyHitters(
+        EventsStream.readEvents(spark, in).as[EventsStream.Event],
+        capacity = 8, k = 3)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("hh").as[EventsStream.HeavyHitter].collect()
+    // snapshot after batch 1: exact counts (no eviction happened)
+    val snap1 = rows.filter(_.n_seen == 26L)
+    assert(snap1.exists(h => h.user_id == 7L && h.est == 20L && h.err == 0L),
+      rows.mkString("; "))
+    // snapshot after batch 2: the heavy user is still tracked exactly
+    val snap2 = rows.filter(_.n_seen == 38L)
+    assert(snap2.nonEmpty, rows.mkString("; "))
+    assert(snap2.exists(h => h.user_id == 7L && h.est == 20L && h.err == 0L),
+      snap2.mkString("; "))
+    // SpaceSaving bounds on every emitted row: est ≥ est − err ≥ 0,
+    // and an estimate can never exceed the stream length seen so far
+    rows.foreach { h =>
+      assert(h.est >= h.err && h.err >= 0L && h.est <= h.n_seen, h.toString)
+    }
+  }
+
   test("driftMonitor: warmup freezes the baseline, a shifted chunk is flagged, a steady one is clear") {
     val in = tmpDir("drift-in")
     def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:${i % 60}%02d")
