@@ -93,6 +93,44 @@ object Sources {
         .orderBy(col("l_suppkey"))
     }),
 
+    // DYNAMIC PARTITION PRUNING — the fourth layout story (after
+    // range-cluster, Z-order, buckets): the 100 TB fact table is
+    // date-partitioned (the universal warehouse layout), and WHICH month
+    // partitions matter is only known at RUNTIME from the dim side's
+    // filter — no static predicate on the fact exists to push down.
+    // Catalyst inserts a dynamic-pruning subquery on the partition
+    // column (spark.sql.optimizer.dynamicPartitionPruning, on by
+    // default), reusing the dim's broadcast to skip every unmatched
+    // month directory at the FILE-LISTING level — the difference between
+    // scanning ~3 and ~80 months of a fact table. The query RESULT is
+    // layout-invariant (the oracle joins the raw tables), so the hash
+    // gate proves the partitioned re-layout lossless; the pruning
+    // evidence is the plan pin (PartitionFilters carries dynamicpruning,
+    // SourcesSpec).
+    "q_dpp_scan" -> ((s, d) => {
+      val raw = t(s, d, "orders")
+      val base = layoutOnce("month", d) { b =>
+        raw.withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("o_month").parquet(b)
+      }
+      // declared schema (no inference pass — the corpus-scale posture,
+      // and an EMPTY shard reads back as a typed empty frame instead of
+      // UNABLE_TO_INFER_SCHEMA)
+      val readSchema = raw.schema
+        .add("o_month", org.apache.spark.sql.types.StringType)
+      val dim = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-04-01")))
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+        .distinct()
+      s.read.schema(readSchema).parquet(base)
+        .join(dim, col("o_month") === col("m"))
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.dsum(col("o_totalprice")).as("rev"))
+        .orderBy(col("o_month"))
+    }),
+
     // BUCKETED layout → zero-exchange fact⋈fact join, end-to-end through
     // the gate (the third member of the layout trilogy: range-cluster,
     // Z-order, buckets). orders and lineitem — the join neither side of
@@ -1268,6 +1306,18 @@ object Sources {
 
     // same exact decimal-sum moment math as q_outlier_zscore, over the
     // calendar-sized day-delta table
+    "q_dpp_scan" ->
+      s"""WITH m AS (
+         |  SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS mm
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |    AND l_shipdate < TIMESTAMP '1995-04-01')
+         |SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+         |  COUNT(*) AS n_orders,
+         |  ${Num.sqlDsum("o_totalprice")} AS rev
+         |FROM orders JOIN m ON strftime(o_orderdate, '%Y-%m') = mm
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_changepoint" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
         |daily AS (SELECT date_trunc('day', ts) AS day,

@@ -114,6 +114,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_dpp_scan prunes fact partitions DYNAMICALLY from the dim filter") {
+    val p = plan("q_dpp_scan")
+    // the fact scan must carry a dynamic-pruning subquery on the
+    // partition column — the runtime file-listing skip that turns an
+    // 80-month scan into a ~3-month scan with NO static fact predicate
+    assert(p.contains("dynamicpruning"), p.take(4000))
+    assert(p.contains("PartitionFilters"), p.take(4000))
+  }
+
   test("q_rfm bins with broadcast percentile bounds, never a global sort window") {
     val p = plan("q_rfm")
     assert(!p.contains("Window"), "rfm must not pay a single-partition ntile:\n" + p)
