@@ -131,6 +131,35 @@ object Sources {
         .orderBy(col("o_month"))
     }),
 
+    // INJECTED RUNTIME BLOOM FILTER — DPP's sibling for NON-partition
+    // join keys: when a selective dim filter exists but the fact isn't
+    // laid out on the join column, Catalyst's InjectRuntimeFilter builds
+    // a bloom filter from the filtered dim at runtime and semi-joins the
+    // fact scan through `might_contain` BEFORE the shuffle — rows that
+    // can't match never leave the mappers (vs q_bloom_prune, which is
+    // the MANUAL UDF spelling of the same idea). At 100 TB the stock
+    // size thresholds (10 GB application side) trigger this naturally;
+    // at test SF everything is below them and the join would be a
+    // broadcast anyway, so a cloned session pins the production shape —
+    // shuffle join + injected bloom — which the plan pin asserts. The
+    // filter is semantically transparent: the oracle is the plain join.
+    "q_runtime_filter" -> ((s, d) => {
+      val rf = s.newSession()
+      rf.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      rf.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.load(rf, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val or = Tables.load(rf, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Num.dsum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // BUCKETED layout → zero-exchange fact⋈fact join, end-to-end through
     // the gate (the third member of the layout trilogy: range-cluster,
     // Z-order, buckets). orders and lineitem — the join neither side of
@@ -1306,6 +1335,13 @@ object Sources {
 
     // same exact decimal-sum moment math as q_outlier_zscore, over the
     // calendar-sized day-delta table
+    "q_runtime_filter" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${Num.sqlDsum("l_extendedprice")} AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_dpp_scan" ->
       s"""WITH m AS (
          |  SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS mm

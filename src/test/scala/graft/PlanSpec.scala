@@ -123,6 +123,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), p.take(4000))
   }
 
+  test("q_runtime_filter gets an injected bloom semi-filter below the shuffle join") {
+    val p = plan("q_runtime_filter")
+    // InjectRuntimeFilter: the fact scan is gated by might_contain over
+    // a bloom built from the filtered dim at runtime — rows that cannot
+    // match never leave the mappers
+    assert(p.toLowerCase.contains("might_contain"), p.take(4000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "expected a shuffle join (broadcast would mask the runtime filter)")
+  }
+
   test("q_rfm bins with broadcast percentile bounds, never a global sort window") {
     val p = plan("q_rfm")
     assert(!p.contains("Window"), "rfm must not pay a single-partition ntile:\n" + p)
