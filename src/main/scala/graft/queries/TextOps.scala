@@ -557,6 +557,65 @@ object TextOps {
         .withColumn("gini_coef", lit(2.0) * col("auc") - lit(1.0))
     }),
 
+    // ISOTONIC CALIBRATION (Pool-Adjacent-Violators) — the standard fix
+    // once the reliability panel shows a scorer off the diagonal:
+    // project the per-decile observed label rates onto the monotone cone
+    // (Robertson et al. 1988; sklearn's isotonic), giving the
+    // calibration MAP a serving layer applies. The label is lang='en'
+    // (the q_auc pairing — the scorer as an English detector, whose raw
+    // decile rates are genuinely non-monotone so PAV does real pooling;
+    // the rule gate passes every sf document, which would make this
+    // vacuous). PAV is inherently sequential, but the CLOSED FORM of the
+    // weighted isotonic fit needs no iteration at all:
+    //   iso_i = max_{j<=i} min_{k>=i} (Sigma p_{j..k}) / (Sigma n_{j..k})
+    // and the triple (j, i, k) index lives on the BIN table — 10 rows at
+    // any corpus size (the q_backtest_forecast model-size discipline),
+    // so the whole fit is two prefix sums, one <=55-row interval frame,
+    // and two tiny aggregates. (An earlier unrolled adjacent-pooling
+    // formulation could 2-cycle because re-segmentation split previously
+    // pooled blocks — the stack-PAV replay in TextOpsSpec caught it; the
+    // closed form has no convergence question.) Interval means stay
+    // INTEGER sums with one double division — engine-identical; the
+    // data is touched once for the bin counts.
+    "q_isotonic_calibration" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val z = qualityLogitExpr
+      val decile = calibThr
+        .map(v => when(z >= lit(v), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val bins = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(decile.as("b"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("ok"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n0"), sum(col("ok")).as("p0"))
+      // prefix sums over the <=10-row bin frame (model-sized global
+      // window, the q_backtest_forecast exception)
+      val wc = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = bins
+        .withColumn("cn", sum(col("n0")).over(wc))
+        .withColumn("cp", sum(col("p0")).over(wc))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val jf = pre.select(col("b").as("bj"),
+        (col("cn") - col("n0")).as("jn"), (col("cp") - col("p0")).as("jp"))
+      val kf = pre.select(col("b").as("bk"), col("cn").as("kn"), col("cp").as("kp"))
+      val intervals = jf.join(broadcast(kf), col("bj") <= col("bk"))
+        .select(col("bj"), col("bk"),
+          ((col("kp") - col("jp")).cast("double") /
+            (col("kn") - col("jn")).cast("double")).as("ratio"))
+      val iso = pre.select(col("b").as("bi"))
+        .join(broadcast(intervals),
+          col("bj") <= col("bi") && col("bk") >= col("bi"))
+        .groupBy(col("bi"), col("bj")).agg(min(col("ratio")).as("mn"))
+        .groupBy(col("bi")).agg(max(col("mn")).as("iso"))
+      pre.join(broadcast(iso), col("b") === col("bi"))
+        .select(col("b").as("bin"), col("n0").as("n_docs"),
+          (col("p0").cast("double") / col("n0").cast("double")).as("raw_rate"),
+          col("iso").as("iso_rate"))
+        .orderBy(col("bin"))
+    }),
+
     // GATE AGREEMENT — do the rule gate and the learned scorer make the
     // SAME call on the same documents? The two-rater audit (Cohen 1960;
     // McNemar 1947) a pipeline runs before swapping gates: the 2×2
@@ -1411,6 +1470,44 @@ object TextOps {
         |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0
         |    AS gini_coef
         |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
+
+    "q_isotonic_calibration" ->
+      s"""WITH f AS (SELECT
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS words,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|is|a)\\b')) AS DOUBLE) AS stop,
+         |    CAST(length(text) AS DOUBLE) AS chars,
+         |    (lang = 'en') AS ok
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |zc AS (SELECT
+         |         (-1.0 + 0.004 * words + 8.0 * (stop / words)
+         |           - 12.0 * (punct / chars)) AS z, ok
+         |       FROM f),
+         |b0 AS (SELECT
+         |    CAST(${calibThr.map(v =>
+               s"(CASE WHEN z >= $v THEN 1 ELSE 0 END)").mkString(" + ")}
+         |      AS BIGINT) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS p0
+         |  FROM zc GROUP BY 1),
+         |pre AS (SELECT b, n0, p0,
+         |    SUM(n0) OVER (ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         |    SUM(p0) OVER (ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+         |  FROM b0),
+         |iv AS (SELECT j.b AS bj, k.b AS bk,
+         |    CAST(k.cp - (j.cp - j.p0) AS DOUBLE)
+         |      / CAST(k.cn - (j.cn - j.n0) AS DOUBLE) AS ratio
+         |  FROM pre j JOIN pre k ON j.b <= k.b),
+         |mn AS (SELECT i.b AS bi, iv.bj, MIN(iv.ratio) AS mn
+         |  FROM pre i JOIN iv ON iv.bj <= i.b AND iv.bk >= i.b
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT bi, MAX(mn) AS iso FROM mn GROUP BY 1)
+         |SELECT b AS bin, n0 AS n_docs,
+         |  CAST(p0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS raw_rate,
+         |  iso AS iso_rate
+         |FROM pre JOIN iso ON b = bi ORDER BY bin""".stripMargin,
 
     "q_gate_agreement" ->
       """WITH f AS (SELECT

@@ -400,6 +400,40 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0).getAs[Double]("mcnemar_chi2") == 1.0 / 3.0)
   }
 
+  test("q_isotonic_calibration equals the classic stack PAV and is monotone") {
+    // The query unrolls 9 adjacent-pooling passes; the CLASSIC algorithm
+    // is the stack PAV (merge the top block while it violates). Adjacent
+    // pooling is confluent, so both must land on the identical fit —
+    // replay the stack on the query's own input bins and demand exact
+    // per-bin equality.
+    val rows = SparkEntry.queries("q_isotonic_calibration")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.length >= 2, "corpus lost its decile spread")
+    val ns = rows.map(_.getAs[Long]("n_docs"))
+    val ps = rows.map(r =>
+      math.round(r.getAs[Double]("raw_rate") * r.getAs[Long]("n_docs")))
+    final case class Blk(n: Long, p: Long, width: Int) {
+      def rate: Double = p.toDouble / n.toDouble
+    }
+    val st = scala.collection.mutable.ArrayBuffer.empty[Blk]
+    for (i <- rows.indices) {
+      var b = Blk(ns(i), ps(i), 1)
+      while (st.nonEmpty && st.last.rate > b.rate) {
+        val t = st.remove(st.length - 1)
+        b = Blk(t.n + b.n, t.p + b.p, t.width + b.width)
+      }
+      st += b
+    }
+    val expected = st.flatMap(b => Seq.fill(b.width)(b.rate)).toArray
+    val got = rows.map(_.getAs[Double]("iso_rate"))
+    assert(got.length == expected.length)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"bin ${rows(i).getAs[Long]("bin")}: query $g vs stack $e")
+    }
+    // the defining property: the released map is monotone non-decreasing
+    got.sliding(2).foreach { case Array(a, b) => assert(a <= b, got.mkString(",")) }
+  }
+
   test("q_auc is 1.0 on a perfectly separated fixture and 0.5 on a fully tied one") {
     import spark.implicits._
     // long clean English text scores high z; punctuation-heavy short text
