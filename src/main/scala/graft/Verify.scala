@@ -28,6 +28,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Between-query cache hygiene (the Bench settle() discipline,
+      // round-12 advice): queries that persist intermediates consumed by
+      // the returned plan cannot unpersist them before this write
+      // materializes, so the harness frees them here — a 277-query dump
+      // otherwise accumulates every query's leftover blocks.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -604,9 +604,19 @@ object Sampling {
       }
       val rowT = col("nn").cast("double") / col("l").cast("double")
       val colT = col("nn").cast("double") / col("srcs").cast("double")
+      // Persist lifecycle (round-12 advice): each round's frame is read
+      // only by the NEXT round (twice, via scale), so materialize the new
+      // round eagerly — a count over the ≤|langs|·|sources| cell table on
+      // 1 shuffle partition, noise next to the IPF itself — and free the
+      // superseded predecessor; repeated invocations leave exactly one
+      // cell-table-sized block behind (the returned frame's input), not
+      // one per round per call.
       val fitted = (1 to 3).foldLeft(start) { (c, _) =>
-        scale(scale(c, "lang", rowT), "source", colT)
+        val next = scale(scale(c, "lang", rowT), "source", colT)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        c.unpersist(blocking = false)
+        next
       }
       fitted.select(col("lang"), col("source"), col("n"), col("w"),
           (col("n").cast("double") * col("w")).as("fitted"))

@@ -40,7 +40,16 @@ object TextOps {
     * q_model_calibration and q_auc — one definition, no drift): pure IEEE
     * arithmetic over integer counts with a fixed expression tree, so both
     * engines produce bit-identical doubles; the libm-dependent exp() is
-    * applied only AFTER binning/ranking decisions are made on z. */
+    * applied only AFTER binning/ranking decisions are made on z.
+    *
+    * DOMAIN: text must be non-empty. punct/chars is 0/0 = NaN on the
+    * empty string, and NaN semantics DIVERGE across engines (Spark keeps
+    * the NaN row, DuckDB's NULL division drops it from filtered
+    * aggregates), so consumers that feed the oracle gate filter
+    * `length(text) > 0` in BOTH engines (q_auc, q_isotonic_calibration,
+    * q_gate_agreement) rather than rely on a no-empty-text corpus
+    * invariant. Inline replicas of this formula (q_quality_model,
+    * q_preference_pairs, q_model_calibration) share the same domain. */
   def qualityLogitExpr: org.apache.spark.sql.Column = {
     val wordsD = size(split(trim(col("text")), "\\s+")).cast("double")
     val punctD = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
@@ -527,7 +536,8 @@ object TextOps {
       // stop/words ≥ 0), so z+16 is safely in rangeBucket's non-negative
       // contract; equal z → same bucket, bucket order = value order.
       val grouped = t(s, d, "documents")
-        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .filter(col("text").isNotNull && col("lang").isNotNull &&
+          length(col("text")) > 0)
         .select(z.as("z"), (col("lang") === "en").as("ok"))
         .groupBy(col("z"))
         .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("pos_z"),
@@ -584,7 +594,8 @@ object TextOps {
         .map(v => when(z >= lit(v), 1L).otherwise(0L))
         .reduce(_ + _)
       val bins = t(s, d, "documents")
-        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .filter(col("text").isNotNull && col("lang").isNotNull &&
+          length(col("text")) > 0)
         .select(decile.as("b"),
           when(col("lang") === "en", 1L).otherwise(0L).as("ok"))
         .groupBy(col("b"))
@@ -632,7 +643,8 @@ object TextOps {
     "q_gate_agreement" -> ((s, d) => {
       val aGate = qualityOkExpr
       val bGate = qualityLogitExpr >= lit(0.0)
-      val m = t(s, d, "documents").filter(col("text").isNotNull)
+      val m = t(s, d, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
         .select(aGate.as("a"), bGate.as("b"))
         .agg(sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both_pass"),
           sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n_rule_only"),
@@ -1447,7 +1459,8 @@ object TextOps {
         |    CAST(len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|is|a)\b')) AS DOUBLE) AS stop,
         |    CAST(length(text) AS DOUBLE) AS chars,
         |    (lang = 'en') AS ok
-        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL AND length(text) > 0),
         |g AS (SELECT
         |        (-1.0 + 0.004 * words + 8.0 * (stop / words)
         |          - 12.0 * (punct / chars)) AS z,
@@ -1478,7 +1491,8 @@ object TextOps {
          |    CAST(len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|is|a)\\b')) AS DOUBLE) AS stop,
          |    CAST(length(text) AS DOUBLE) AS chars,
          |    (lang = 'en') AS ok
-         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL AND length(text) > 0),
          |zc AS (SELECT
          |         (-1.0 + 0.004 * words + 8.0 * (stop / words)
          |           - 12.0 * (punct / chars)) AS z, ok
@@ -1518,7 +1532,7 @@ object TextOps {
         |    (len(string_split_regex(trim(text), '\s+')) BETWEEN 5 AND 1000
         |     AND length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) * 5
         |         < length(text)) AS a
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
         |g AS (SELECT a,
         |        ((-1.0 + 0.004 * words + 8.0 * (stop / words)
         |          - 12.0 * (punct / chars)) >= 0.0) AS b

@@ -217,22 +217,27 @@ object EventsStream {
           // mid-chunk, the baseline takes an arbitrary warmup-sized
           // subset — statistically equivalent for a monitor, and both
           // the absorbed sums and the tested mean are order-independent.
-          val vs = batch.map(_.value).toArray
+          // The iterator is folded INCREMENTALLY (round-12 advice): no
+          // per-group buffer, so peak memory is O(1) per group even when
+          // one event type dominates a huge micro-batch — the bounded-
+          // state framing above holds for the pass itself, not just the
+          // retained state.
           val st = state.getOption.getOrElse(DriftState(0L, 0.0, 0.0))
-          val need = math.max(0L, warmup - st.n).toInt
-          val (toBase, toTest) = vs.splitAt(math.min(need, vs.length))
-          val grown = DriftState(st.n + toBase.length,
-            st.sum + toBase.sum, st.sumsq + toBase.map(v => v * v).sum)
-          state.update(grown)
-          if (toTest.isEmpty || grown.n < 2) Iterator.empty
+          var bn = st.n; var bs = st.sum; var bq = st.sumsq
+          var cn = 0L; var cs = 0.0
+          batch.foreach { e =>
+            val v = e.value
+            if (bn < warmup) { bn += 1; bs += v; bq += v * v }
+            else { cn += 1; cs += v }
+          }
+          state.update(DriftState(bn, bs, bq))
+          if (cn == 0L || bn < 2) Iterator.empty
           else {
-            val mb = grown.sum / grown.n
-            val vb = math.max(1e-12,
-              (grown.sumsq - grown.sum * grown.sum / grown.n) / (grown.n - 1))
-            val nC = toTest.length.toLong
-            val mc = toTest.sum / nC
-            val z = (mc - mb) / math.sqrt(vb / nC)
-            Iterator.single(DriftAlert(ty, grown.n, mb, nC, mc, z,
+            val mb = bs / bn
+            val vb = math.max(1e-12, (bq - bs * bs / bn) / (bn - 1))
+            val mc = cs / cn
+            val z = (mc - mb) / math.sqrt(vb / cn)
+            Iterator.single(DriftAlert(ty, bn, mb, cn, mc, z,
               math.abs(z) > zThreshold))
           }
       }

@@ -401,11 +401,14 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("q_isotonic_calibration equals the classic stack PAV and is monotone") {
-    // The query unrolls 9 adjacent-pooling passes; the CLASSIC algorithm
-    // is the stack PAV (merge the top block while it violates). Adjacent
-    // pooling is confluent, so both must land on the identical fit —
-    // replay the stack on the query's own input bins and demand exact
-    // per-bin equality.
+    // The query uses the CLOSED-FORM max-min isotonic fit
+    // (iso_i = max_{j<=i} min_{k>=i} mean(p)_{j..k}); the CLASSIC
+    // algorithm is the stack PAV (merge the top block while it
+    // violates). Both characterize the same unique weighted isotonic
+    // regression, so they must land on the identical fit — replay the
+    // stack on the query's own input bins and demand exact per-bin
+    // equality. (An earlier unrolled adjacent-pooling formulation could
+    // 2-cycle by splitting pooled blocks; this replay is what caught it.)
     val rows = SparkEntry.queries("q_isotonic_calibration")(spark, sf)
       .collect().sortBy(_.getAs[Long]("bin"))
     assert(rows.length >= 2, "corpus lost its decile spread")
