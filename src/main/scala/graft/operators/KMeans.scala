@@ -75,6 +75,21 @@ object KMeans {
     expr(s"transform(slice(array_sort($structs), 1, $n), x -> x.cid)")
   }
 
+  /** Cosine to the ASSIGNED (argmax) centroid — [[centArgmax]]'s twin
+    * exposing the VALUE instead of the id: how central a vector is inside
+    * its own coarse cell. A graph-ANN index uses it to pick each cell's
+    * entry point (the member most aligned with the centroid — the medoid
+    * approximation); the same literal-centroid in-row shape, no join, no
+    * shuffle. The argmax struct already carries the winning cosine, so
+    * this is one field read off the identical expression. */
+  def centBestCos(cents: Model): Column = {
+    val structs = cents.map { case (cid, s, cn) =>
+      s"named_struct('cos', cast(graft_long_dot(v, ${s.mkString("array(", "L, ", "L)")}) as double)" +
+        s" / (sqrt(cast(nv as double)) * sqrt(cast(${cn}L as double))), 'negcid', ${-cid}L)"
+    }.mkString("array_max(array(", ", ", "))")
+    expr(structs).getField("cos")
+  }
+
   /** vecs + `cluster` column (max-cos centroid, ties to smallest cid). */
   private def assign(vecs: DataFrame, cents: Model): DataFrame =
     vecs.withColumn("cluster", centArgmax(cents))

@@ -261,6 +261,26 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_ann_graph walks via frontier-bounded equi-joins: no cartesian, no window, no corpus shuffle-sort") {
+    // the round SHAPE (the plan every beam round of the registered query
+    // runs): frontier⋈edges / id-keyed point lookups — a CartesianProduct
+    // or a Window here would mean the walk degenerated into a corpus-wide
+    // pass; the only nested-loop join allowed is the 1-row broadcast
+    // scalar join carrying the query vector
+    val r = graft.queries.Similarity.graphWalkRoundProbe(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!r.contains("CartesianProduct"), r)
+    assert(!r.contains("Window"), r)
+    assert(r.contains("BroadcastHashJoin") || r.contains("ShuffledHashJoin") ||
+      r.contains("SortMergeJoin"), r)
+    // the registered query (loop-session caches): the final cut is a
+    // bounded TakeOrdered over the materialized walk, never a global sort
+    val p = plan("q_ann_graph")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_ann_ivf_trained keeps the map-side assignment shape of q_ann_ivf") {
     val p = plan("q_ann_ivf_trained")
     assert(!p.contains("Window"), p)

@@ -37,6 +37,7 @@ class EmptyAllSpec extends SparkSpec {
     "q_ann_index_stats" -> "seed ids",
     "q_ann_recall_panel" -> "seed ids",
     "q_ann_ivf_trained" -> "seed ids",
+    "q_ann_graph" -> "seed ids",
     "q_pipeline_vectors" -> "seed ids",
     "q_semantic_dedup" -> "seed ids",
     "q_cluster_topics" -> "seed ids")
