@@ -25,14 +25,22 @@ object Dedup {
     * [[shingles]]; the MinHash signature path deliberately does not —
     * min() over duplicate shingles equals min() over the distinct set, so
     * the corpus-wide distinct shuffle is pure waste there. */
-  private def shinglesRaw(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+  /** doc_id, g: whitespace-token 3-gram shingles of an arbitrary
+    * (doc_id, text) frame — the one shingle definition every dedup
+    * consumer shares, INCLUDING the streaming near-dup gate
+    * ([[graft.streaming.DocsStream]]), which must shingle exactly like
+    * the corpus asset it probes or the band lookup silently misses. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 2), i -> " +
           "concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"))
         .as("g"))
+
+  private def shinglesRaw(s: SparkSession, d: String): DataFrame =
+    shinglesOf(t(s, d, "documents"))
 
   /** doc_id, g: distinct whitespace-token 3-gram shingles per document —
     * MATERIALIZED ONCE per dataset dir per JVM (the [[signatureTable]]
@@ -108,15 +116,22 @@ object Dedup {
     ng.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
-  /** Distinct LSH candidate pairs (doc_a < doc_b) from a signature table —
-    * band the 8 mins 4 × 2 and equi-join on the band value. */
-  private[graft] def bandPairs(sig: DataFrame): DataFrame = {
+  /** (doc_id, band, bv): the 4×2 LSH banding of a signature table — the
+    * band values a doc hashes to, shared by the pair join, the component
+    * edges, and the streaming band-index probe. */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Seeds / 2).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bv")))
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+  }
+
+  /** Distinct LSH candidate pairs (doc_a < doc_b) from a signature table —
+    * band the 8 mins 4 × 2 and equi-join on the band value. */
+  private[graft] def bandPairs(sig: DataFrame): DataFrame = {
+    val bands = bandsOf(sig)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -147,6 +162,51 @@ object Dedup {
       })
     }
     s.read.parquet(path)
+  }
+
+  /** The corpus LSH BAND INDEX — the distinct (band, bv) buckets of the
+    * memoized signature table, materialized per dataset dir (the asset
+    * discipline one stage further): this is exactly the lookup side an
+    * incremental/streaming ingest probes ("does this new doc collide with
+    * ANY existing bucket"), so it is computed once and every micro-batch
+    * reads the narrow parquet. */
+  private val bandIdxCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def bandIndex(s: SparkSession, d: String): DataFrame = {
+    val path = bandIdxCache.synchronized {
+      bandIdxCache.getOrElseUpdate(d, graft.Assets.timed("lsh_band_index") {
+        val out = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+        bandsOf(signatureTable(s, d)).select(col("band"), col("bv"))
+          .distinct().write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+    s.read.parquet(path)
+  }
+
+  /** MinHash signatures of an arbitrary (doc_id, text) frame — the SAME
+    * shingle→md5→min-agg pipeline the corpus asset is built with, for
+    * callers that must hash incoming data consistently with it (the
+    * streaming near-dup gate). Docs with < 3 tokens have no shingles,
+    * hence no signature row — identical absence semantics to the asset. */
+  private[graft] def signatureOf(docs: DataFrame): DataFrame =
+    signature(shinglesOf(docs))
+
+  /** Drop every doc of `batch` that LSH-collides with the existing corpus
+    * at dataset dir `d` — the streaming near-dup gate: signature the
+    * batch (map + one batch-local min-agg), explode to band values, ONE
+    * LEFT SEMI equi-join into the memoized [[bandIndex]] (at scale: a
+    * bucketed point lookup, never a corpus scan), and LEFT ANTI the hit
+    * doc_ids out. A band collision marks an LSH CANDIDATE — the same
+    * candidate rule q_dedup_minhash pairs on — so the stream quarantines
+    * exactly the docs the batch near-dup pass would have paired with the
+    * corpus. */
+  private[graft] def dropCorpusNearDups(batch: DataFrame, d: String): DataFrame = {
+    val s = batch.sparkSession
+    val hits = bandsOf(signatureOf(batch))
+      .join(bandIndex(s, d), Seq("band", "bv"), "left_semi")
+      .select(col("doc_id")).distinct()
+    batch.join(hits, Seq("doc_id"), "left_anti")
   }
 
   /** Distinct MinHash-LSH candidate pairs (doc_a < doc_b) — shared by
@@ -194,12 +254,7 @@ object Dedup {
     // near-dup cluster) are capped the same way: bucket members are
     // mutual candidates by construction, so a star on the bucket min
     // spans what the |bucket|²/2 clique would, in O(|bucket|) edges.
-    val bandStructs = (0 until Seeds / 2).map(b =>
-      struct(lit(b).as("band"),
-        concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bv")))
-    val bands = repSig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+    val bands = bandsOf(repSig)
     // Per-bucket size + min doc in ONE (band, bv)-keyed window pass — no
     // separate stats aggregate and no join back.
     val w = Window.partitionBy(col("band"), col("bv"))
@@ -249,7 +304,7 @@ object Dedup {
 
   private val labeledSweeper: Unit = sys.addShutdownHook {
     (labeledCache.values ++ sigCache.values ++ ngCache.values ++
-      pfxCache.values).foreach { p =>
+      pfxCache.values ++ bandIdxCache.values).foreach { p =>
       try {
         val root = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.exists(root))

@@ -46,12 +46,27 @@ object DocsStream {
     * (the replay-window-bounded variant is [[EventsStream.dedupedStream]]'s
     * `dropDuplicatesWithinWatermark`, which needs an event-time column
     * documents lack — the full-state trade here is exactly the batch
-    * window's); near-dup dedup stays a batch-side pass (q_dedup_resolve)
-    * over the landed dataset. The fingerprint is computed PRE-scrub, like
-    * the batch stage, so scrubbing can't split one content group in two. */
+    * window's). The fingerprint is computed PRE-scrub, like
+    * the batch stage, so scrubbing can't split one content group in two.
+    *
+    * NEAR-dup ingest (round-12 directive): with `nearDupCorpus = Some(d)`,
+    * each micro-batch is additionally screened against the EXISTING
+    * corpus at dataset dir `d` through the MinHash machinery's memoized
+    * band index ([[graft.queries.Dedup.dropCorpusNearDups]]): incoming
+    * docs that LSH-collide with any corpus band bucket — the same
+    * candidate rule q_dedup_minhash pairs on, computed on the same
+    * PRE-scrub text the corpus asset hashed — are QUARANTINED (dropped
+    * from the landing), so a near-duplicate arriving later than its
+    * cluster can no longer land in the corpus. The screen is a per-batch
+    * map + batch-local min-agg + one LEFT SEMI probe of the narrow band
+    * index — stream-safe state (the index is a static asset; nothing
+    * accumulates in the query). WITHIN-stream near-dups are still the
+    * exact/content dedup's job; batches folded into the corpus join the
+    * index at its next rebuild (the one-job-builds-the-asset cadence). */
   def corpusIngest(docs: DataFrame, base: String, dataset: String,
                    version: Int, ts: Instant,
-                   dedupByContent: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
+                   dedupByContent: Boolean = false,
+                   nearDupCorpus: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     {
       val gated = docs.filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
       // only the content path pays the per-row fingerprint hash
@@ -59,17 +74,23 @@ object DocsStream {
         gated.withColumn("fp", TextOps.normFpExpr).dropDuplicates("fp")
       else gated.dropDuplicates("doc_id")
     }
-      .select(col("doc_id"), TextOps.piiScrub(col("text")).as("text"))
-      // n_chars must describe the LANDED (scrubbed) text, not the raw input
-      .withColumn("n_chars", length(col("text")).cast("long"))
       .writeStream
       .outputMode("append")
       // foreachBatch is at-least-once: a batch replayed after a crash
       // re-runs its write, so the landing must be IDEMPOTENT — each batch
       // overwrites its own batchId-keyed subdirectory instead of blind-
-      // appending part files with fresh random names.
+      // appending part files with fresh random names. The near-dup screen
+      // and the scrub run HERE: the screen needs the static band-index
+      // join (and raw text), the scrub must follow it so quarantine
+      // hashes what the corpus asset hashed.
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        DatasetConvention.append(batch, base, dataset, version, ts,
+        val fresh = nearDupCorpus.fold(batch)(d =>
+          graft.queries.Dedup.dropCorpusNearDups(batch, d))
+        val landed = fresh
+          .select(col("doc_id"), TextOps.piiScrub(col("text")).as("text"))
+          // n_chars must describe the LANDED (scrubbed) text, not the raw
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        DatasetConvention.append(landed, base, dataset, version, ts,
           subdir = Some(f"batch-$id%05d"))
       }
 }

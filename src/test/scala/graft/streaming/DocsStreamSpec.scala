@@ -74,6 +74,62 @@ class DocsStreamSpec extends SparkSpec {
       s"landed ${landedFps.size} fps != batch stage's ${expectedFps.size}")
   }
 
+  test("near-dup ingest: stream docs LSH-colliding with the corpus are quarantined, across restarts") {
+    val corpusDir = tmpDir("docs-nd-corpus")
+    val in = tmpDir("docs-nd-in")
+    val base = tmpDir("docs-nd-out")
+    val ckpt = tmpDir("docs-nd-ckpt")
+    val docs = Tables.load(spark, sf, "documents")
+    // the EXISTING corpus the band index is built over
+    val corpus = docs.filter(col("doc_id") < 100)
+    corpus.write.parquet(s"$corpusDir/documents.parquet")
+    // planted near-dups: corpus texts VERBATIM under fresh doc_ids —
+    // identical shingles → identical signature → collide in every band,
+    // so they MUST be quarantined; plus genuinely new documents
+    val copies = corpus.withColumn("doc_id", col("doc_id") + 5000000L)
+    val fresh = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+    def run(): Unit = {
+      val q = DocsStream.corpusIngest(
+          DocsStream.readDocs(spark, in),
+          base, "docs", version = 1, ts = Instant.parse("2024-02-05T00:00:00Z"),
+          nearDupCorpus = Some(corpusDir))
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val f1 = copies.filter(col("doc_id") < 5000050L)
+      .unionByName(fresh.filter(col("doc_id") < 250))
+    f1.coalesce(1).write.mode("append").json(in)
+    run() // …kill…
+    val f2 = copies.filter(col("doc_id") >= 5000050L)
+      .unionByName(fresh.filter(col("doc_id") >= 250))
+    f2.coalesce(1).write.mode("append").json(in)
+    run() // …restart from the checkpoint
+    val landed = DatasetConvention.read(spark, base, "docs", version = Some(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(landed.distinct.size == landed.size, "duplicate doc landed")
+    // value parity: the landed set equals the BATCH replay of the same
+    // gates + the same corpus screen over the full streamed input
+    val streamed = f1.unionByName(f2)
+    val gated = streamed
+      .filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
+    val expected = graft.queries.Dedup.dropCorpusNearDups(gated, corpusDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed.toSet == expected,
+      s"landed ${landed.size} != batch near-dup-gated ${expected.size}")
+    // the headline behavior: every gated verbatim copy (≥3 tokens, so it
+    // HAS a signature) was quarantined, none landed
+    val gatedCopyIds = gated
+      .filter(col("doc_id") >= 5000000L &&
+        size(split(trim(lower(col("text"))), "\\s+")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gatedCopyIds.nonEmpty, "fixture lost its planted near-dups")
+    assert(landed.toSet.intersect(gatedCopyIds).isEmpty,
+      s"corpus near-dups landed: ${landed.toSet.intersect(gatedCopyIds)}")
+    // and the genuinely new docs that pass the screen DID land
+    assert(landed.toSet.exists(_ >= 200L), "the screen quarantined everything")
+  }
+
   test("batch-keyed append is idempotent: a replayed batch replaces itself") {
     val base = tmpDir("docs-idem")
     val docs = Tables.load(spark, sf, "documents").limit(10)
