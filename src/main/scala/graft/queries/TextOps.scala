@@ -28,6 +28,59 @@ object TextOps {
     size(regexp_extract_all(lower(col("text")), lit(s"\\b$pat\\b"), lit(0)))
       .as(s"h_$lang")
 
+  /** Char-trigram language model (the fastText-lite shape, round-12
+    * directive #7): per language, a literal table of characteristic
+    * trigrams with integer distinctiveness weights — curated from public
+    * orthographic knowledge (function-word and affix trigrams), NOT
+    * trained on the fixture. score(text, L) = Σ over the text's SLIDING
+    * 3-char windows of weight_L(window); integer sums with a fixed
+    * CASE tree, so both engines agree bit-for-bit. A trigram may carry
+    * weight in several languages (weighted voting, like the real model).
+    * The stopword tier ([[Stops]]/[[predLangExpr]]) stays as the cheap
+    * tier; this one reads signal from morphology, not just isolated
+    * function words, so accented/affix-heavy text identifies even when
+    * no full stopword appears. */
+  private val TriModel: Seq[(String, Seq[(String, Int)])] = Seq(
+    "en" -> Seq(" th" -> 3, "the" -> 3, "he " -> 2, "ing" -> 2, "and" -> 2,
+      " an" -> 1, " of" -> 2, "of " -> 1, " to" -> 2, "ion" -> 1,
+      "ed " -> 1, " is" -> 1, "at " -> 1, "ng " -> 1),
+    "es" -> Seq(" el" -> 3, "el " -> 2, " la" -> 2, "la " -> 2, " de" -> 2,
+      "de " -> 2, "ión" -> 2, "que" -> 1, "ado" -> 1, "os " -> 2,
+      "as " -> 1, " en" -> 1, "ña " -> 3, "rro" -> 2),
+    "de" -> Seq("der" -> 3, "die" -> 3, "und" -> 3, "ich" -> 3, "sch" -> 3,
+      "ein" -> 2, "ung" -> 2, "cht" -> 2, "ie " -> 1, "en " -> 2,
+      "aße" -> 3, "mäd" -> 3, "it " -> 1, "ze " -> 1),
+    "fr" -> Seq(" le" -> 3, "le " -> 2, "les" -> 2, " la" -> 1, "la " -> 1,
+      "ent" -> 1, "eur" -> 2, "une" -> 2, " un" -> 1, "ais" -> 2,
+      "ait" -> 2, "oir" -> 2, "ans" -> 1, "che" -> 1))
+
+  /** The text's sliding trigram array — `greatest(len-2, 1)` keeps the
+    * sequence ascending on degenerate input: a < 3-char text yields one
+    * short window that can never match a 3-char trigram (score 0 in both
+    * engines, no branch needed). */
+  private val trisExpr: String =
+    "transform(sequence(1, greatest(length(lower(text)) - 2, 1)), " +
+      "i -> substring(lower(text), i, 3))"
+
+  private def triCase(lang: String): String =
+    TriModel.toMap.apply(lang).filter(_._2 > 0)
+      .map { case (g, w) => s"WHEN '$g' THEN $w" }
+      .mkString("CASE g ", " ", " ELSE 0 END")
+
+  /** Per-language trigram score over the `tris` column (NULL text → NULL
+    * tris → score 0, matching the oracle's COALESCE). */
+  private def triScore(lang: String): org.apache.spark.sql.Column =
+    expr(s"cast(coalesce(aggregate(tris, 0L, (acc, g) -> acc + ${triCase(lang)}), 0L) as bigint)")
+
+  /** DuckDB twin of [[trisExpr]] + [[triScore]] (range is
+    * exclusive-stop, hence the +1). */
+  private def sqlTris: String =
+    "list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1), " +
+      "i -> substring(lower(text), CAST(i AS INTEGER), 3))"
+
+  private def sqlTriScore(lang: String): String =
+    s"CAST(COALESCE(list_sum(list_transform(tris, g -> ${triCase(lang)})), 0) AS BIGINT)"
+
   /** Decile thresholds on the logit axis (q_model_calibration): the
     * score-k/10 boundary is z = ln(k/(10−k)). Shared VERBATIM with the
     * oracle (Scala's shortest-round-trip Double.toString parses back to
@@ -67,6 +120,21 @@ object TextOps {
     val words = size(split(trim(col("text")), "\\s+"))
     val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
     words >= 5 && words <= 1000 && punct * 5 < length(col("text"))
+  }
+
+  /** Predicted language over a `text` column — the TRIGRAM tier (argmax
+    * of [[TriModel]] scores, 'und' when nothing matches; same tie order
+    * as the stopword tier). Pure in-row map work like [[predLangExpr]];
+    * prefer it when the input is real multilingual prose — the spec
+    * measures it ≥ the stopword tier on a planted multilingual fixture. */
+  def predLangNgramExpr: org.apache.spark.sql.Column = {
+    val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(l =>
+      expr(s"cast(coalesce(aggregate($trisExpr, 0L, (acc, g) -> acc + ${triCase(l)}), 0L) as bigint)"))
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
   }
 
   /** Predicted language over a `text` column (argmax stopword heuristic). */
@@ -921,18 +989,40 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
-    // Language ID: argmax of per-language stopword hits, 'und' if all zero.
+    // Language ID, two tiers per document: the CHEAP stopword argmax
+    // (h_*/pred_lang — isolated function-word hits) and the char-TRIGRAM
+    // model (s_*/pred_lang_ngram — the fastText-lite literal-weight tier,
+    // round-12 directive #7): sliding 3-char windows scored against the
+    // per-language TriModel weights, argmax with the same tie order. Both
+    // tiers are pure in-row map work over ONE text scan (the trigram
+    // array is built once and all four language scores fold over it);
+    // integer CASE sums keep the scores engine-identical. Accuracy ≥ the
+    // stopword tier on the planted multilingual fixture (TextOpsSpec).
     "q_lang_id" -> ((s, d) => {
       val base = t(s, d, "documents")
         .select(col("doc_id") +: col("lang").as("lang_true") +:
+          expr(trisExpr).as("tris") +:
           Stops.map { case (l, p) => hits(l, p) }: _*)
       val Seq(en, es, de, fr) = Stops.map { case (l, _) => col(s"h_$l") }
-      base.withColumn("pred_lang",
+      val Seq(sen, ses, sde, sfr) = Seq("en", "es", "de", "fr").map(triScore)
+      base
+        .withColumn("pred_lang",
           when(en >= es && en >= de && en >= fr && en > 0, "en")
             .when(es >= de && es >= fr && es > 0, "es")
             .when(de >= fr && de > 0, "de")
             .when(fr > 0, "fr")
             .otherwise("und"))
+        .withColumn("s_en", sen).withColumn("s_es", ses)
+        .withColumn("s_de", sde).withColumn("s_fr", sfr)
+        .withColumn("pred_lang_ngram",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+            col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
+              col("s_es") > 0, "es")
+            .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("und"))
+        .drop("tris")
         .orderBy(col("doc_id"))
     }),
 
@@ -1797,16 +1887,27 @@ object TextOps {
 
     "q_lang_id" -> {
       val h = Stops.map { case (l, p) => s"${sqlHits(p)} AS h_$l" }.mkString(",\n  ")
-      s"""WITH h AS (SELECT doc_id, lang AS lang_true,
+      val sc = Seq("en", "es", "de", "fr")
+        .map(l => s"${sqlTriScore(l)} AS s_$l").mkString(",\n  ")
+      s"""WITH h AS (SELECT doc_id, lang AS lang_true, $sqlTris AS tris,
          |  $h
-         |FROM documents)
+         |FROM documents),
+         |sc AS (SELECT doc_id, lang_true, h_en, h_es, h_de, h_fr,
+         |  $sc
+         |FROM h)
          |SELECT doc_id, lang_true, h_en, h_es, h_de, h_fr,
          |  CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en'
          |       WHEN h_es >= h_de AND h_es >= h_fr AND h_es > 0 THEN 'es'
          |       WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
          |       WHEN h_fr > 0 THEN 'fr'
-         |       ELSE 'und' END AS pred_lang
-         |FROM h ORDER BY doc_id""".stripMargin
+         |       ELSE 'und' END AS pred_lang,
+         |  s_en, s_es, s_de, s_fr,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |       WHEN s_fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS pred_lang_ngram
+         |FROM sc ORDER BY doc_id""".stripMargin
     },
 
     "q_fingerprint" ->

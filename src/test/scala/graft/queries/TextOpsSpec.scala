@@ -78,6 +78,52 @@ class TextOpsSpec extends SparkSpec {
     assert(top(2L) <= 0.15)     // natural text passes the gate
   }
 
+  test("q_lang_id trigram tier beats the stopword tier on a planted multilingual fixture") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("langid-ml")
+    // real prose per language; the last doc of each group carries NO full
+    // stopword from its language's list (the stopword tier's blind spot —
+    // it must fall through or misfire there), while trigram morphology
+    // (affixes, accented clusters) still identifies it
+    val fixture = Seq(
+      "en" -> "the weather station reported heavy rainfall during the night and the morning",
+      "en" -> "reading and writing are essential skills for learning throughout the whole life",
+      "en" -> "the engineers tested the new bridge before opening it to the heavy traffic",
+      "en" -> "walking every morning brings lasting benefits to the body and the mind",
+      "es" -> "el perro corre por la calle cuando la niña come una manzana madura",
+      "es" -> "la educación y la cultura son la base de una sociedad sana y libre",
+      "es" -> "el gobierno anunció que los precios del mercado subieron demasiado rápido",
+      "es" -> "pájaros cansados caminaban despacio buscando comida cerca del arroyo",
+      "de" -> "der hund läuft durch die straße und das mädchen isst einen apfel",
+      "de" -> "ich möchte ein schönes geschenk für die kleine schwester kaufen",
+      "de" -> "die forschung und die wissenschaft entwickeln sich schnell und gründlich",
+      "de" -> "schnelle entwicklung durch gründliche forschung ermöglicht nachhaltige verbesserungen",
+      "fr" -> "le chien court dans la rue et la fille mange une pomme rouge",
+      "fr" -> "les enfants aiment jouer dans le jardin pendant les longues vacances",
+      "fr" -> "le lecteur attentif trouvait toujours une grande satisfaction dans les livres",
+      "fr" -> "une bonne lecture apporte une grande satisfaction chaleureuse aux voyageurs")
+    val df = spark.createDataFrame(
+      fixture.zipWithIndex.map { case ((l, t), i) => Row(i.toLong, t, l) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType))))
+    df.write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_lang_id")(spark, dir).collect()
+    val n = rows.length.toDouble
+    val stopAcc = rows.count(r =>
+      r.getAs[String]("pred_lang") == r.getAs[String]("lang_true")) / n
+    val ngramAcc = rows.count(r =>
+      r.getAs[String]("pred_lang_ngram") == r.getAs[String]("lang_true")) / n
+    info(f"stopword-tier accuracy: $stopAcc%.2f, trigram-tier accuracy: $ngramAcc%.2f")
+    assert(ngramAcc >= stopAcc,
+      f"trigram tier $ngramAcc%.2f fell below the stopword tier $stopAcc%.2f")
+    // deterministic fixture — the measured values, not hopeful floors
+    assert(ngramAcc == 1.0, rows.map(r => (r.getAs[String]("lang_true"),
+      r.getAs[String]("pred_lang_ngram"))).mkString(", "))
+    assert(stopAcc < 1.0, "fixture no longer has a stopword-tier blind spot")
+  }
+
   test("q_bpe_step rank-1 is the most frequent weighted pair on a known corpus") {
     import scala.jdk.CollectionConverters._
     val dir = tmpDir("bpe-known")
