@@ -32,6 +32,42 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** SecureRandom source for the production DP mode — one generator per
+    * executor thread ([[java.security.SecureRandom]] is synchronized; a
+    * shared instance would serialize every task's draws). @transient +
+    * lazy so the closure ships a recipe, not a generator. */
+  private object SecureU extends Serializable {
+    @transient private lazy val rng =
+      new ThreadLocal[java.security.SecureRandom] {
+        override def initialValue(): java.security.SecureRandom =
+          new java.security.SecureRandom()
+      }
+    def next(): Double =
+      ((rng.get.nextInt().toLong & 0xFFFFFFFFL).toDouble + 0.5) / 4294967296.0
+  }
+
+  /** The (0, 1) uniform behind every DP mechanism here. Default: the
+    * SEEDED md5-uniform of the group key — `(h + 0.5) / 2^32`, the
+    * half-step keeping the draw strictly inside (0, 1) so the Laplace
+    * inverse-CDF log argument is never 0 — reproducible run-to-run and
+    * oracle-checkable, but NOT private (the noise is a deterministic
+    * function of the key; disclosed here, in §2, and on the data card).
+    * With `graft.dp.secure=true`: the same 32-bit half-step uniform from
+    * [[SecureU]] — an actually-releasable draw with IDENTICAL
+    * distribution, sensitivity accounting, and plan; marked
+    * non-deterministic so Catalyst pins it to one evaluation per row
+    * (a filter re-evaluating a fresh draw would decouple the released
+    * value from the thresholded one). The oracle always replays the
+    * seeded twin — a secure release is checked distributionally
+    * (DpSecureSpec), not by value. */
+  private[graft] def dpUniform(s: SparkSession, tag: String,
+                        key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (s.conf.get("graft.dp.secure", "false").toBoolean)
+      udf(() => SecureU.next()).asNondeterministic().apply()
+    else
+      (conv(substring(md5(encode(concat(lit(tag), key), "UTF-8")), 1, 8), 16, 10)
+        .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+
   /** Per-stratum seeded sampling (class balancing). Deterministic within
     * Spark for a fixed seed — not cross-engine, hence spec-tested (t1)
     * rather than oracle-compared. */
@@ -437,19 +473,15 @@ object Sampling {
     // SEEDED DP RELEASE — differentially-private noisy counts for the
     // public data card: per-language doc counts + Laplace(b = 1/ε, ε = 1)
     // noise, the mechanism for unit-sensitivity counting queries. The
-    // draw is SEEDED — inverse-CDF over the md5-uniform of the group key
-    // — so the release is reproducible run-to-run and oracle-checkable; a
-    // production release swaps in fresh randomness, keeping the
-    // sensitivity accounting and the plan (|langs|-sized aggregate +
-    // pure-map noise — nothing touches the corpus twice) unchanged.
+    // draw is SEEDED by default — inverse-CDF over the md5-uniform of the
+    // group key — so the release is reproducible run-to-run and
+    // oracle-checkable; `graft.dp.secure=true` (round-12 directive #6)
+    // swaps in the SecureRandom uniform for an actually-private release,
+    // keeping the sensitivity accounting, the inverse-CDF, and the plan
+    // (|langs|-sized aggregate + pure-map noise — nothing touches the
+    // corpus twice) unchanged. The oracle always replays the seeded twin.
     "q_dp_counts" -> ((s, d) => {
-      // (h + 0.5) / 2^32: the half-step keeps the uniform strictly inside
-      // (0, 1), so |c| < 0.5 and the inverse-CDF log argument is never 0 —
-      // an exact-zero hash (probability 2^-32 per group key) would
-      // otherwise emit n_dp = -Infinity on both engines
-      val u = (conv(substring(md5(encode(
-        concat(lit("dp:"), col("lang")), "UTF-8")), 1, 8), 16, 10)
-        .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+      val u = dpUniform(s, "dp:", col("lang"))
       val c = u - lit(0.5)
       val noise = when(c < 0, lit(1.0)).otherwise(lit(-1.0)) *
         log(lit(1.0) - lit(2.0) * abs(c))
@@ -488,9 +520,7 @@ object Sampling {
       // by the bin count, never by the data
       val w = Window.orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val u = (conv(substring(md5(encode(
-        concat(lit("dpq:"), col("bin")), "UTF-8")), 1, 8), 16, 10)
-        .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+      val u = dpUniform(s, "dpq:", col("bin"))
       val n = o.agg(count(lit(1)).as("n"))
       grid.join(hist, Seq("bin"), "left")
         .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
@@ -526,9 +556,7 @@ object Sampling {
     // join, no second pass over the data.
     "q_dp_topk" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val u = (conv(substring(md5(encode(
-        concat(lit("dptk:"), col("token")), "UTF-8")), 1, 8), 16, 10)
-        .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+      val u = dpUniform(s, "dptk:", col("token"))
       val c = u - lit(0.5)
       val noise = when(c < 0, lit(1.0)).otherwise(lit(-1.0)) *
         log(lit(1.0) - lit(2.0) * abs(c)) * lit(4.0) // scale 2/ε, ε = 0.5
