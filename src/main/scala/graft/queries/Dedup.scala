@@ -100,6 +100,36 @@ object Dedup {
       .select(col("doc_id"), col("g"), col("sz"), col("r"))
   }
 
+  /** The PPJoin candidate set at τ = 1/2 — the prefix-index self-join
+    * q_ssjoin_prefix verifies exactly. Factored out so the candidate
+    * COUNT is spec-measurable against the quadratic baseline's N·(N−1)/2
+    * (round-12 directive #4: the dense-vocab sf fixture is the
+    * adversarial regime for prefix filtering; the natural-vocabulary
+    * control in DedupSpec measures the pruning a Zipfian vocabulary
+    * actually buys).
+    *
+    * POSITIONAL filter (PPJoin's second pruning rule, still lossless):
+    * a shared prefix shingle at ranks (ra, rb) bounds the overlap by
+    * 1 + min(|a|−ra, |b|−rb) — the common shingles all sit at rank
+    * ≥ ra in a and ≥ rb in b — and J ≥ 1/2 needs overlap ≥
+    * ⌈(|a|+|b|)/3⌉. A qualifying pair passes on its FIRST shared
+    * prefix shingle (smallest rank in both), so any-match survives.
+    * Sizes ride through the candidate table so the final Jaccard
+    * needs no further doc-level join. */
+  private[graft] def ssjoinCandidates(s: SparkSession, d: String): DataFrame = {
+    val pfx = prefixIndex(s, d)
+    pfx.select(col("doc_id").as("doc_a"), col("g"),
+        col("sz").as("sa"), col("r").as("ra"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("g"),
+        col("sz").as("sb"), col("r").as("rb")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sa") <= col("sb") * 2 && col("sb") <= col("sa") * 2 &&
+        (least(col("sa") - col("ra"), col("sb") - col("rb")) + 1) * 3 >=
+          col("sa") + col("sb"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sa").as("n_a"), col("sb").as("n_b")).distinct()
+  }
+
   private val Seeds = 8 // MinHash seeds; banded 4 × 2
 
   /** Span length (tokens) for exact substring dedup (q_substring_dedup).
@@ -837,25 +867,7 @@ object Dedup {
     // self-join explodes on every hot shingle in the corpus.
     "q_ssjoin_prefix" -> ((s, d) => {
       val ng = shingles(s, d)
-      val pfx = prefixIndex(s, d)
-      // POSITIONAL filter (PPJoin's second pruning rule, still lossless):
-      // a shared prefix shingle at ranks (ra, rb) bounds the overlap by
-      // 1 + min(|a|−ra, |b|−rb) — the common shingles all sit at rank
-      // ≥ ra in a and ≥ rb in b — and J ≥ 1/2 needs overlap ≥
-      // ⌈(|a|+|b|)/3⌉. A qualifying pair passes on its FIRST shared
-      // prefix shingle (smallest rank in both), so any-match survives.
-      // Sizes ride through the candidate table so the final Jaccard
-      // needs no further doc-level join.
-      val cand = pfx.select(col("doc_id").as("doc_a"), col("g"),
-          col("sz").as("sa"), col("r").as("ra"))
-        .join(pfx.select(col("doc_id").as("doc_b"), col("g"),
-          col("sz").as("sb"), col("r").as("rb")), Seq("g"))
-        .filter(col("doc_a") < col("doc_b") &&
-          col("sa") <= col("sb") * 2 && col("sb") <= col("sa") * 2 &&
-          (least(col("sa") - col("ra"), col("sb") - col("rb")) + 1) * 3 >=
-            col("sa") + col("sb"))
-        .select(col("doc_a"), col("doc_b"),
-          col("sa").as("n_a"), col("sb").as("n_b")).distinct()
+      val cand = ssjoinCandidates(s, d)
       // exact verification: candidate-restricted (doc, g) equi-joins +
       // one pair-keyed count — the q_containment shape, never doc×doc
       // (array_intersect per pair measured 5× slower: per-row set

@@ -22,6 +22,62 @@ class DedupSpec extends SparkSpec {
         (0 until 8).map(o => concat(col("seed"), lit(s"_$o")).as(s"m$o")): _*)
   }
 
+  test("ssjoin prefix filter prunes hard on a natural (Zipfian) vocabulary and stays exact") {
+    // The sf fixture's 30-word vocabulary is the ADVERSARIAL regime for
+    // prefix filtering (every shingle is dense, Σdf² explodes — round-12
+    // verdict). This control plants the regime real text lives in: a
+    // 2000-word Zipf-weighted vocabulary, 400 docs × ~40 tokens, plus 25
+    // near-dup pairs (doc + its lightly-edited copy, J ≥ 1/2), and
+    // measures what the prefix+positional filter actually buys.
+    val dir = tmpDir("ssjoin-natural")
+    val rnd = new scala.util.Random(1311)
+    val vocabN = 2000
+    // Zipf via inverse-power sampling: rank ∝ u^(-1/s) with s ≈ 1
+    def word(): String = {
+      val r = math.min(vocabN - 1,
+        math.floor(math.pow(rnd.nextDouble() + 1e-9, -0.9)).toInt - 1)
+      s"w$r"
+    }
+    val base = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(30 + rnd.nextInt(20))(word()).mkString(" "))
+    }
+    // near-dup copies: drop the last 3 tokens, append 2 fresh ones —
+    // overlap stays well above the J >= 1/2 bar on 30+-token docs
+    val dups = base.take(25).map { case (id, t) =>
+      val toks = t.split(" ")
+      (10000L + id,
+        (toks.dropRight(3) ++ Seq(word(), word())).mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val n = 425L
+    val quadPairs = n * (n - 1) / 2
+    val cands = Dedup.ssjoinCandidates(spark, dir).count()
+    val prune = cands.toDouble / quadPairs.toDouble
+    info(f"candidates $cands of $quadPairs quadratic pairs (${prune * 100}%.2f%%)")
+    // natural vocabulary: the filter must remove (almost) everything the
+    // verify stage would otherwise pay for — measured ~0.1%, asserted
+    // with 50× headroom; the dense sf fixture sits near 100% by design
+    assert(prune < 0.05, f"prefix filter stopped pruning: ${prune * 100}%.2f%%")
+
+    // and the exact contract holds on this fixture too: candidates ⊇ the
+    // brute-force J >= 1/2 pairs, and the registered query returns them
+    val rows = graft.SparkEntry.queries("q_ssjoin_prefix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def shingleSet(t: String): Set[String] =
+      t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val sets = (base ++ dups).map { case (id, t) => id -> shingleSet(t) }
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = sa.intersect(sb).size
+      if inter * 2 >= sa.size + sb.size - inter
+    } yield (a, b)).toSet
+    assert(rows == brute,
+      s"natural-text result diverged: extra=${rows.diff(brute).take(5)} missing=${brute.diff(rows).take(5)}")
+    assert(brute.size >= 20, s"fixture lost its planted near-dups: ${brute.size}")
+  }
+
   test("degenerate bucket short-circuits to a star: edge count is linear, not quadratic") {
     val n = 2000 // uncapped banding would emit 4 bands × n(n-1)/2 ≈ 8M pairs
     val edges = Dedup.candidateEdges(degenerateSig(n, 5), bucketCap = 64)
