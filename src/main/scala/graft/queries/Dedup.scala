@@ -959,6 +959,64 @@ object Dedup {
         .orderBy(col("l_key"))
     }),
 
+    // IMAGE NEAR-DUP as a GATE ROW (round-12 stretch #9): the multimodal
+    // perceptual-hash family run end-to-end through the REAL codecs under
+    // the DuckDB oracle. The sf dirs carry no binary media, so the query
+    // derives a deterministic 8×8 grayscale corpus from doc ids (per
+    // 8-doc group, an md5-derived base pattern of {32, 224} luminance;
+    // per doc, two id-derived cell flips — so same-group images sit at
+    // Hamming ≤ 4 and cross-group images at ~32), ENCODES each as a real
+    // PNG and runs the production pipeline verbatim:
+    // Multimodal.imageHashes (ImageIO decode → bilinear luminance grid →
+    // aHash) → Multimodal.nearDupImagePairs (Hamming-banded self-join,
+    // radius 3, exact bit_count rerank). The oracle replays the
+    // ARITHMETIC spec (md5 grid → integer mean-threshold bits → band
+    // slices → xor popcount), so a hash-exact row proves the PNG
+    // encode→decode round-trip and the whole banded join — the codec
+    // path itself is what the gate certifies. Margins are engineered so
+    // no float tie exists (cell values 32/224; the mean moves by ≤ 6 per
+    // flip), cell 0 is forced high and cell 63 forced low so the hash
+    // stays in [0, 2^63) — sign-free, hence shift/xor/popcount semantics
+    // agree across engines. Pure map work + the banded equi-join; no
+    // all-pairs stage at any scale.
+    "q_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(x: String): String =
+          md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        it.map { id =>
+          val digits = hex(s"img:${id / 8}:0") + hex(s"img:${id / 8}:1")
+          val p = 1 + ((id * 7) % 62).toInt
+          val q = 1 + ((id * 13) % 62).toInt
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < 64) {
+            val high0 = Character.digit(digits.charAt(i), 16) >= 8
+            val high =
+              if (i == 0) true
+              else if (i == 63) false
+              else high0 ^ (i == p || i == q)
+            val v = if (high) 224 else 32
+            img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          graft.multimodal.Multimodal.Media(id, "image", bos.toByteArray,
+            graft.multimodal.Multimodal.MediaMeta(Some(8), Some(8), None))
+        }
+      }
+      val hashes = graft.multimodal.Multimodal.imageHashes(media).toDF()
+      graft.multimodal.Multimodal.nearDupImagePairs(hashes, "ahash", 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // 16-bit SimHash fingerprint per document (sign of per-bit weighted
     // token-hash sum). One md5 + one int per token, 16 arithmetic sums in a
     // single per-doc aggregate — no row blow-up, one shuffle. Pair search is
@@ -1337,6 +1395,41 @@ object Dedup {
          |JOIN cnt cb ON cb.doc_id = pr.doc_b
          |ORDER BY pr.doc_a, pr.doc_b""".stripMargin
     },
+
+    // image near-dup replay: the ARITHMETIC spec of the PNG pipeline —
+    // md5-derived luminance grid, integer mean-threshold aHash bits
+    // (v·64 >= Σv ⟺ the float v/255 >= mean with the engineered ≥192
+    // margin), 4×16-bit band slices, xor popcount rerank; LEAST caps the
+    // shift because a vectorized engine may evaluate the THEN branch on
+    // false rows (bit 63 is provably 0 — cell 63 is forced low)
+    "q_image_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |cell AS (SELECT doc_id, i,
+        |    CASE WHEN i = 0 THEN 224 WHEN i = 63 THEN 32
+        |         WHEN ((strpos('0123456789abcdef',
+        |                substr(md5('img:' || CAST(doc_id // 8 AS VARCHAR) || ':' ||
+        |                           CAST(i // 32 AS VARCHAR)),
+        |                       CAST(i % 32 AS INTEGER) + 1, 1)) - 1) >= 8)
+        |              <> (i = 1 + (doc_id * 7) % 62 OR i = 1 + (doc_id * 13) % 62)
+        |         THEN 224 ELSE 32 END AS v
+        |  FROM ids, (SELECT UNNEST(range(0, 64)) AS i) ii),
+        |sv AS (SELECT doc_id, SUM(v) AS s FROM cell GROUP BY 1),
+        |hsh AS (SELECT c.doc_id,
+        |    CAST(SUM(CASE WHEN c.v * 64 >= sv.s
+        |      THEN (CAST(1 AS BIGINT) << CAST(LEAST(c.i, 62) AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS h
+        |  FROM cell c JOIN sv USING (doc_id) GROUP BY 1),
+        |bnd AS (SELECT doc_id, h, b,
+        |    CASE WHEN b < 3 THEN (h >> CAST(b * 16 AS INTEGER)) & 65535
+        |         ELSE h >> 48 END AS bv
+        |  FROM hsh, (SELECT UNNEST(range(0, 4)) AS b) bb),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |           a.h AS ha, b2.h AS hb
+        |  FROM bnd a JOIN bnd b2
+        |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, tkn FROM (

@@ -176,6 +176,49 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 apply converges to the batch q_scd2 table across kill/restart, replays, and out-of-order arrivals") {
+    val in = tmpDir("scd2-in")
+    val table = tmpDir("scd2-table")
+    val ckpt = tmpDir("scd2-ckpt")
+    val events = Tables.load(spark, sf, "events")
+    def run(): Unit = {
+      val q = EventsStream.scd2Ingest(EventsStream.readEvents(spark, in), table)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // file 1: the LATER half of each user's purchases (event_id parity),
+    // so file 2 delivers earlier versions OUT OF ORDER — the merge must
+    // re-chain validity, not append
+    val f1 = events.filter(col("event_id") % 2 === 0)
+    val f2full = events.filter(col("event_id") % 2 === 1)
+      // plus a replay of file 1's rows: at-least-once delivery must not
+      // double-insert a version
+      .unionByName(f1.limit(200))
+    f1.coalesce(1).write.mode("append").parquet(in)
+    run() // ...kill: the validity table lives only in storage now
+    val mid = EventsStream.scd2Table(spark, table)
+    assert(mid.filter(col("is_current")).groupBy(col("user_id")).count()
+      .filter(col("count") > 1).count() == 0, "two current rows for one user")
+    f2full.coalesce(1).write.mode("append").parquet(in)
+    run() // ...restart from the checkpoint
+    val got = EventsStream.scd2Table(spark, table)
+      .select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current")
+      .collect().map(_.toSeq).toSet
+    // the batch operator over the SAME logical input is the oracle
+    val want = graft.SparkEntry.queries("q_scd2")(spark, sf)
+      .select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current")
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"stream table diverged from batch q_scd2: extra=${got.diff(want).take(3)} missing=${want.diff(got).take(3)}")
+    assert(got.nonEmpty)
+    // crash-safety of the snapshot chain: at most 2 snapshots retained,
+    // each complete
+    val snaps = new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b="))
+    assert(snaps.length <= 2, snaps.map(_.getName).mkString(","))
+    assert(snaps.forall(f => new java.io.File(f, "_SUCCESS").exists()))
+  }
+
   test("streaming upsert sink converges replayed batches to one row per key") {
     val dir = tmpDir("upsert-in")
     val ev = Tables.load(spark, sf, "events").limit(300)
