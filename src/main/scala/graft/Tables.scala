@@ -22,6 +22,18 @@ object Tables {
     // µs data, which reads as a timestamp type directly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // ObjectHashAggregate falls back to SORT-BASED aggregation after 128
+    // distinct keys per task (the Spark default) — for this library's
+    // typed aggregates that is the wrong trade at ANY scale: every
+    // TypedImperativeAggregate here carries a BOUNDED buffer (TopK k-pair
+    // lists, sketches), so the hash map stays a few MB while the fallback
+    // re-sorts the whole input with per-row Kryo round-trips (the sf1
+    // scaling audit caught the knn_neighbors build parked in
+    // SortBasedAggregator — a 200M-pair input re-sorted for a 20k-key
+    // aggregate). 1M keys × a k-list ≈ tens of MB — far under executor
+    // memory.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "1048576")
     // Native expressions (sessions created with
     // spark.sql.extensions=graft.expressions.GraftExtensions skip this).
     graft.expressions.GraftFunctions.register(spark)
