@@ -311,6 +311,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.nfcDescriptor)
     ext.injectFunction(GraftFunctions.bucketDescriptor)
     ext.injectFunction(GraftFunctions.md5U32Descriptor)
+    ext.injectFunction(GraftFunctions.langTriDescriptor)
   }
 }
 
@@ -340,10 +341,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Md5UInt32].getName, "graft_md5_u32"),
       (children: Seq[Expression]) => Md5UInt32(children.head))
 
+  val langTriDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_lang_tri"),
+      new ExpressionInfo(classOf[LangTriScoresExpr].getName, "graft_lang_tri"),
+      (children: Seq[Expression]) => LangTriScoresExpr(children.head))
+
   /** Idempotent session-level registration. */
   def register(spark: SparkSession): Unit =
     Seq(longDotDescriptor, levenshteinDescriptor, nfcDescriptor,
-      bucketDescriptor, md5U32Descriptor).foreach { case (fid, info, builder) =>
+      bucketDescriptor, md5U32Descriptor, langTriDescriptor)
+      .foreach { case (fid, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(fid)) {
         spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
       }

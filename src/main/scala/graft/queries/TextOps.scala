@@ -30,50 +30,37 @@ object TextOps {
 
   /** Char-trigram language model (the fastText-lite shape, round-12
     * directive #7): per language, a literal table of characteristic
-    * trigrams with integer distinctiveness weights — curated from public
-    * orthographic knowledge (function-word and affix trigrams), NOT
-    * trained on the fixture. score(text, L) = Σ over the text's SLIDING
-    * 3-char windows of weight_L(window); integer sums with a fixed
-    * CASE tree, so both engines agree bit-for-bit. A trigram may carry
+    * trigrams with integer distinctiveness weights. score(text, L) = Σ
+    * over the text's SLIDING 3-codepoint windows of weight_L(window);
+    * integer sums, so both engines agree bit-for-bit. A trigram may carry
     * weight in several languages (weighted voting, like the real model).
     * The stopword tier ([[Stops]]/[[predLangExpr]]) stays as the cheap
     * tier; this one reads signal from morphology, not just isolated
     * function words, so accented/affix-heavy text identifies even when
-    * no full stopword appears. */
-  private val TriModel: Seq[(String, Seq[(String, Int)])] = Seq(
-    "en" -> Seq(" th" -> 3, "the" -> 3, "he " -> 2, "ing" -> 2, "and" -> 2,
-      " an" -> 1, " of" -> 2, "of " -> 1, " to" -> 2, "ion" -> 1,
-      "ed " -> 1, " is" -> 1, "at " -> 1, "ng " -> 1),
-    "es" -> Seq(" el" -> 3, "el " -> 2, " la" -> 2, "la " -> 2, " de" -> 2,
-      "de " -> 2, "ión" -> 2, "que" -> 1, "ado" -> 1, "os " -> 2,
-      "as " -> 1, " en" -> 1, "ña " -> 3, "rro" -> 2),
-    "de" -> Seq("der" -> 3, "die" -> 3, "und" -> 3, "ich" -> 3, "sch" -> 3,
-      "ein" -> 2, "ung" -> 2, "cht" -> 2, "ie " -> 1, "en " -> 2,
-      "aße" -> 3, "mäd" -> 3, "it " -> 1, "ze " -> 1),
-    "fr" -> Seq(" le" -> 3, "le " -> 2, "les" -> 2, " la" -> 1, "la " -> 1,
-      "ent" -> 1, "eur" -> 2, "une" -> 2, " un" -> 1, "ais" -> 2,
-      "ait" -> 2, "oir" -> 2, "ans" -> 1, "che" -> 1))
-
-  /** The text's sliding trigram array — `greatest(len-2, 1)` keeps the
-    * sequence ascending on degenerate input: a < 3-char text yields one
-    * short window that can never match a 3-char trigram (score 0 in both
-    * engines, no branch needed). */
-  private val trisExpr: String =
-    "transform(sequence(1, greatest(length(lower(text)) - 2, 1)), " +
-      "i -> substring(lower(text), i, 3))"
+    * no full stopword appears. The model LIVES in
+    * [[graft.expressions.LangTriScores]] — the codegen'd native
+    * expression that computes all four scores in one pass (the HOF
+    * `aggregate(transform(...))` spelling ran in the interpreter and cost
+    * 13× the rest of the query); this side only re-emits it as the
+    * oracle's CASE replay. */
+  private def TriModel: Seq[(String, Seq[(String, Int)])] =
+    graft.expressions.LangTriScores.Model
 
   private def triCase(lang: String): String =
-    TriModel.toMap.apply(lang).filter(_._2 > 0)
+    TriModel.toMap.apply(lang)
       .map { case (g, w) => s"WHEN '$g' THEN $w" }
       .mkString("CASE g ", " ", " ELSE 0 END")
 
-  /** Per-language trigram score over the `tris` column (NULL text → NULL
-    * tris → score 0, matching the oracle's COALESCE). */
-  private def triScore(lang: String): org.apache.spark.sql.Column =
-    expr(s"cast(coalesce(aggregate(tris, 0L, (acc, g) -> acc + ${triCase(lang)}), 0L) as bigint)")
+  /** Per-language trigram score off the native scores array (NULL text →
+    * NULL array → score 0, matching the oracle's COALESCE). */
+  private def triScore(lang: String): org.apache.spark.sql.Column = {
+    val idx = graft.expressions.LangTriScores.Langs.indexOf(lang) + 1
+    coalesce(element_at(col("tris"), idx), lit(0L))
+  }
 
-  /** DuckDB twin of [[trisExpr]] + [[triScore]] (range is
-    * exclusive-stop, hence the +1). */
+  /** DuckDB twin: the sliding windows (`greatest(len-2, 1)` keeps the
+    * range ascending on degenerate input — one short window that can
+    * never match a 3-char trigram) folded through the model CASE. */
   private def sqlTris: String =
     "list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1), " +
       "i -> substring(lower(text), CAST(i AS INTEGER), 3))"
@@ -128,8 +115,8 @@ object TextOps {
     * prefer it when the input is real multilingual prose — the spec
     * measures it ≥ the stopword tier on a planted multilingual fixture. */
   def predLangNgramExpr: org.apache.spark.sql.Column = {
-    val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(l =>
-      expr(s"cast(coalesce(aggregate($trisExpr, 0L, (acc, g) -> acc + ${triCase(l)}), 0L) as bigint)"))
+    val Seq(en, es, de, fr) = (1 to 4).map(i =>
+      coalesce(element_at(expr("graft_lang_tri(lower(text))"), lit(i)), lit(0L)))
     when(en >= es && en >= de && en >= fr && en > 0, "en")
       .when(es >= de && es >= fr && es > 0, "es")
       .when(de >= fr && de > 0, "de")
@@ -1001,7 +988,7 @@ object TextOps {
     "q_lang_id" -> ((s, d) => {
       val base = t(s, d, "documents")
         .select(col("doc_id") +: col("lang").as("lang_true") +:
-          expr(trisExpr).as("tris") +:
+          expr("graft_lang_tri(lower(text))").as("tris") +:
           Stops.map { case (l, p) => hits(l, p) }: _*)
       val Seq(en, es, de, fr) = Stops.map { case (l, _) => col(s"h_$l") }
       val Seq(sen, ses, sde, sfr) = Seq("en", "es", "de", "fr").map(triScore)
