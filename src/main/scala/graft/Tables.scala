@@ -31,7 +31,15 @@ object Tables {
     // scaling audit caught the knn_neighbors build parked in
     // SortBasedAggregator — a 200M-pair input re-sorted for a 20k-key
     // aggregate). 1M keys × a k-list ≈ tens of MB — far under executor
-    // memory.
+    // memory. LIBRARY INVARIANT this session-global override rests on: no
+    // unbounded-buffer TypedImperativeAggregate ships in graft (no
+    // collect_list/collect_set over high-cardinality keys in any
+    // registered query — q_collect_agg's lists are group-bounded small).
+    // The raised threshold disables the sort-based OOM valve for EVERY
+    // typed aggregate in the session, so any future aggregate whose
+    // buffer grows with the group must either carry its own bound (the
+    // TopKAggregator pattern) or scope this conf back down around its
+    // queries.
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       "1048576")
     // Native expressions (sessions created with

@@ -50,19 +50,28 @@ object DocsStream {
     * the batch stage, so scrubbing can't split one content group in two.
     *
     * NEAR-dup ingest (round-12 directive): with `nearDupCorpus = Some(d)`,
-    * each micro-batch is additionally screened against the EXISTING
-    * corpus at dataset dir `d` through the MinHash machinery's memoized
-    * band index ([[graft.queries.Dedup.dropCorpusNearDups]]): incoming
-    * docs that LSH-collide with any corpus band bucket — the same
-    * candidate rule q_dedup_minhash pairs on, computed on the same
-    * PRE-scrub text the corpus asset hashed — are QUARANTINED (dropped
-    * from the landing), so a near-duplicate arriving later than its
-    * cluster can no longer land in the corpus. The screen is a per-batch
-    * map + batch-local min-agg + one LEFT SEMI probe of the narrow band
-    * index — stream-safe state (the index is a static asset; nothing
-    * accumulates in the query). WITHIN-stream near-dups are still the
-    * exact/content dedup's job; batches folded into the corpus join the
-    * index at its next rebuild (the one-job-builds-the-asset cadence). */
+    * each micro-batch is first self-screened for IN-BATCH near-dups
+    * ([[graft.queries.Dedup.dropBatchNearDups]] — band self-join, min-id
+    * keep: two near-dups arriving in the same micro-batch have no corpus
+    * twin yet, so exactly one representative proceeds), then screened
+    * against the EXISTING corpus at dataset dir `d` through the MinHash
+    * machinery's memoized band index
+    * ([[graft.queries.Dedup.dropCorpusNearDups]]): incoming docs that
+    * LSH-collide with any corpus band bucket — the same candidate rule
+    * q_dedup_minhash pairs on — are QUARANTINED (dropped from the
+    * landing), so a near-duplicate arriving later than its cluster can no
+    * longer land in the corpus. PRECONDITION: `nearDupCorpus` must point
+    * at a RAW (pre-scrub) documents dir — the testdata/dataset-source
+    * layout, NOT a landed dataset this ingest wrote — because the screen
+    * shingles the batch's raw text and the band index is built from
+    * whatever text the corpus dir stores; a piiScrub'd corpus would
+    * shingle differently and PII-bearing near-dups would evade
+    * quarantine. The screen is a per-batch map + batch-local min-agg +
+    * one band self-join + one LEFT SEMI probe of the narrow band index —
+    * stream-safe state (the index is a static asset; nothing accumulates
+    * in the query). Cross-batch in-stream near-dups (a pair split across
+    * micro-batches, neither in the corpus) join the index at its next
+    * rebuild — the one-job-builds-the-asset cadence. */
   def corpusIngest(docs: DataFrame, base: String, dataset: String,
                    version: Int, ts: Instant,
                    dedupByContent: Boolean = false,
@@ -85,7 +94,8 @@ object DocsStream {
       // hashes what the corpus asset hashed.
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val fresh = nearDupCorpus.fold(batch)(d =>
-          graft.queries.Dedup.dropCorpusNearDups(batch, d))
+          graft.queries.Dedup.dropCorpusNearDups(
+            graft.queries.Dedup.dropBatchNearDups(batch), d))
         val landed = fresh
           .select(col("doc_id"), TextOps.piiScrub(col("text")).as("text"))
           // n_chars must describe the LANDED (scrubbed) text, not the raw

@@ -287,23 +287,46 @@ object EventsStream {
   /** Read the current SCD2 validity table maintained by [[scd2Ingest]]:
     * the newest complete (`_SUCCESS`-marked) snapshot, or an empty frame
     * of the right schema before the first batch lands. */
-  def scd2Table(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Table(spark: SparkSession, dir: String): DataFrame =
+    scd2Read(spark, scd2Snapshots(dir).lastOption.map(_._2.getAbsolutePath))
+
+  /** The SCD2 state as of BEFORE batch `id`: the newest complete snapshot
+    * whose batch id is STRICTLY LESS than `id`. An at-least-once replay
+    * whose prior attempt already committed `b=<id>` (crash between the
+    * `_SUCCESS` marker and the checkpoint commit) must NOT read its own
+    * snapshot as `prev` — `out.write.mode(overwrite)` would then target
+    * the path being read (Spark refuses, crash-looping the stream on
+    * every restart) — and merging against the pre-batch state is exactly
+    * what makes the replayed rewrite deterministic. */
+  private[graft] def scd2TableBefore(spark: SparkSession, dir: String,
+                                     id: Long): DataFrame =
+    scd2Read(spark, scd2Snapshots(dir).takeWhile(_._1 < id)
+      .lastOption.map(_._2.getAbsolutePath))
+
+  private def scd2Read(spark: SparkSession, path: Option[String]): DataFrame = {
     val schema = StructType.fromDDL(
       "user_id BIGINT, event_id BIGINT, value DOUBLE, " +
         "valid_from TIMESTAMP, valid_to TIMESTAMP, is_current BOOLEAN")
-    latestScd2Snapshot(dir) match {
+    path match {
       case Some(p) => spark.read.schema(schema).parquet(p)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
   }
 
-  private def latestScd2Snapshot(dir: String): Option[String] = {
+  /** Complete (`_SUCCESS`-marked) snapshots under `dir`, sorted by the
+    * NUMERIC batch id parsed from the `b=<id>` name. Lexical order
+    * diverges from numeric once the %05d format widens past id 99999
+    * ("b=100000" < "b=99999" lexically), which would corrupt both
+    * prev-selection and retention — so every reader parses the id. */
+  private def scd2Snapshots(dir: String): Seq[(Long, java.io.File)] = {
     val root = new java.io.File(dir)
-    Option(root.listFiles()).getOrElse(Array.empty)
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("b=") &&
         new java.io.File(f, "_SUCCESS").exists())
-      .sortBy(_.getName).lastOption.map(_.getAbsolutePath)
+      .flatMap(f => scala.util.Try(
+        (f.getName.stripPrefix("b=").toLong, f)).toOption)
+      .sortBy(_._1)
   }
 
   /** STREAMING SCD2 / CDC APPLY (round-12 stretch #8) — the reference's
@@ -345,7 +368,7 @@ object EventsStream {
     val s = batch.sparkSession
     val incoming = batch.select(col("user_id"), col("event_id"),
       col("value"), col("ts").as("valid_from"))
-    val prev = scd2Table(s, dir)
+    val prev = scd2TableBefore(s, dir, id)
     val touched = incoming.select(col("user_id")).distinct()
     val kept = prev.join(broadcast(touched), Seq("user_id"), "left_anti")
     val affected = prev.join(broadcast(touched), Seq("user_id"), "left_semi")
@@ -364,9 +387,11 @@ object EventsStream {
     // snapshots (current + rollback), prune the rest — a crash between
     // marker and prune only leaves extra history behind
     val root = new java.io.File(dir)
-    Option(root.listFiles()).getOrElse(Array.empty)
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("b="))
-      .sortBy(_.getName).dropRight(2)
+      .sortBy(f => scala.util.Try(
+        f.getName.stripPrefix("b=").toLong).getOrElse(-1L))
+      .dropRight(2)
       .foreach { f =>
         java.nio.file.Files.walk(f.toPath)
           .sorted(java.util.Comparator.reverseOrder())

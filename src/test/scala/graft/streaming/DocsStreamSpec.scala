@@ -108,13 +108,17 @@ class DocsStreamSpec extends SparkSpec {
     val landed = DatasetConvention.read(spark, base, "docs", version = Some(1))
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(landed.distinct.size == landed.size, "duplicate doc landed")
-    // value parity: the landed set equals the BATCH replay of the same
-    // gates + the same corpus screen over the full streamed input
-    val streamed = f1.unionByName(f2)
-    val gated = streamed
+    // value parity: the landed set equals the per-micro-batch replay of
+    // the same gates + in-batch screen + corpus screen (the in-batch
+    // self-join is batch-scoped by design, so the replay is per file)
+    val expected = Seq(f1, f2).flatMap { b =>
+      val g = b.filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
+      graft.queries.Dedup.dropCorpusNearDups(
+          graft.queries.Dedup.dropBatchNearDups(g), corpusDir)
+        .select("doc_id").collect().map(_.getLong(0))
+    }.toSet
+    val gated = f1.unionByName(f2)
       .filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
-    val expected = graft.queries.Dedup.dropCorpusNearDups(gated, corpusDir)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(landed.toSet == expected,
       s"landed ${landed.size} != batch near-dup-gated ${expected.size}")
     // the headline behavior: every gated verbatim copy (≥3 tokens, so it
@@ -128,6 +132,37 @@ class DocsStreamSpec extends SparkSpec {
       s"corpus near-dups landed: ${landed.toSet.intersect(gatedCopyIds)}")
     // and the genuinely new docs that pass the screen DID land
     assert(landed.toSet.exists(_ >= 200L), "the screen quarantined everything")
+  }
+
+  test("in-batch near-dup pair with no corpus twin: exactly the min-id representative lands") {
+    val corpusDir = tmpDir("docs-ib-corpus")
+    val in = tmpDir("docs-ib-in")
+    val base = tmpDir("docs-ib-out")
+    val docs = Tables.load(spark, sf, "documents")
+    docs.filter(col("doc_id") < 100).write.parquet(s"$corpusDir/documents.parquet")
+    // a gated, signature-bearing doc with NO corpus collision, cloned
+    // under two fresh ids arriving in the SAME micro-batch (one file)
+    val gated = docs
+      .filter(col("doc_id") >= 200)
+      .filter(TextOps.qualityOkExpr && TextOps.predLangExpr === "en")
+      .filter(size(split(trim(lower(col("text"))), "\\s+")) >= 3)
+    val seed = graft.queries.Dedup.dropCorpusNearDups(gated, corpusDir)
+      .orderBy(col("doc_id")).limit(1)
+    assert(seed.count() == 1, "fixture lost its corpus-clean seed doc")
+    val pair = seed.withColumn("doc_id", lit(9000001L))
+      .unionByName(seed.withColumn("doc_id", lit(9000002L)))
+    pair.coalesce(1).write.mode("append").json(in)
+    val q = DocsStream.corpusIngest(
+        DocsStream.readDocs(spark, in),
+        base, "docs", version = 1, ts = Instant.parse("2024-02-06T00:00:00Z"),
+        nearDupCorpus = Some(corpusDir))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landed = DatasetConvention.read(spark, base, "docs", version = Some(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // identical text → identical signature → collide in every band: the
+    // min-id keep rule lands 9000001 and quarantines 9000002
+    assert(landed == Set(9000001L), landed.toString)
   }
 
   test("batch-keyed append is idempotent: a replayed batch replaces itself") {

@@ -219,6 +219,43 @@ class EventsStreamSpec extends SparkSpec {
     assert(snaps.forall(f => new java.io.File(f, "_SUCCESS").exists()))
   }
 
+  test("SCD2 same-id replay merges against the pre-batch state and rewrites its snapshot deterministically") {
+    val table = tmpDir("scd2-replay")
+    val ev = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+    val b0 = ev.filter(col("event_id") % 2 === 0).limit(100)
+    val b1 = ev.filter(col("event_id") % 2 === 1).limit(100)
+    EventsStream.applyScd2Batch(b0, table, 0L)
+    EventsStream.applyScd2Batch(b1, table, 1L)
+    val before = EventsStream.scd2Table(spark, table)
+      .collect().map(_.toSeq).toSet
+    // at-least-once replay whose prior attempt COMPLETED the write (crash
+    // between the _SUCCESS marker and the checkpoint commit): b=00001 is
+    // already the newest complete snapshot, so prev-selection must take
+    // the strictly-older b=00000 — reading b=00001 while overwriting it
+    // would throw and crash-loop the stream on restart
+    EventsStream.applyScd2Batch(b1, table, 1L)
+    val after = EventsStream.scd2Table(spark, table)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "same-id replay changed the table")
+    assert(after.nonEmpty)
+  }
+
+  test("SCD2 snapshot selection and retention order batch ids numerically past the %05d width") {
+    val table = tmpDir("scd2-wide")
+    val b = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").limit(5)
+    EventsStream.applyScd2Batch(b, table, 99999L)
+    EventsStream.applyScd2Batch(b, table, 100000L)
+    // lexically "b=100000" < "b=99999"; numeric order must win for both
+    // the retained set and prev-selection
+    val names = new java.io.File(table).listFiles().map(_.getName).toSet
+    assert(names == Set("b=99999", "b=100000"), names.toString)
+    EventsStream.applyScd2Batch(b, table, 100001L)
+    val after = new java.io.File(table).listFiles().map(_.getName).toSet
+    assert(after == Set("b=100000", "b=100001"), after.toString)
+  }
+
   test("streaming upsert sink converges replayed batches to one row per key") {
     val dir = tmpDir("upsert-in")
     val ev = Tables.load(spark, sf, "events").limit(300)
