@@ -130,7 +130,43 @@ object Dedup {
         col("sa").as("n_a"), col("sb").as("n_b")).distinct()
   }
 
-  private val Seeds = 8 // MinHash seeds; banded 4 × 2
+  private val Bands = 4 // LSH bands (fixed: the recall side of the curve)
+  private val DefaultRows = 2 // rows per band — DEFAULT (and oracle) geometry
+  private val Seeds = Bands * DefaultRows
+  private val MaxRows = 8
+
+  /** Scale-adaptive MinHash band width (the round-13 sf1 audit's
+    * saturation class, text side): with FIXED rows-per-band r, a random
+    * pair's false-positive band-collision probability is a constant
+    * ≈ J_bg^r per band, so candidate volume grows ∝ N² — the same
+    * saturation as the fixed sign-LSH bit-width, just in band space.
+    * `graft.dedup.minhash.rows` sets r (bands stay 4): an integer, or
+    * "auto" = 2 + 2·⌈log₁₀(N/5000)⌉ clamped to [2, 8] — two extra rows
+    * per decade of corpus, which at a background Jaccard of ~0.3 divides
+    * per-pair FP probability by ~10 per 10× docs and holds candidate
+    * volume ~linear. PERF KNOB ONLY: the generated oracle SQL embeds the
+    * default 4×2 geometry, so the driver's gate (which never sets the
+    * conf) replays it bit-for-bit; recall trades measured in DedupSpec. */
+  private def rowsFor(s: SparkSession, d: String): Int =
+    s.conf.get("graft.dedup.minhash.rows", DefaultRows.toString) match {
+      case "auto" =>
+        val n = docCount.getOrElseUpdate(d, t(s, d, "documents").count())
+        math.min(MaxRows, math.max(DefaultRows, DefaultRows +
+          2 * math.ceil(math.log10(math.max(1.0, n / 5000.0))).toInt))
+      case v =>
+        val r = v.toInt
+        require(r >= 1 && r <= MaxRows,
+          s"graft.dedup.minhash.rows must be in [1, $MaxRows] or 'auto', got $r")
+        r
+    }
+
+  private val docCount = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Seed count of an existing signature frame — geometry travels WITH
+    * the asset (columns m0..m_{n-1}), so every consumer of a signature
+    * table derives its seed list from the frame instead of a global. */
+  private def seedsOf(sig: DataFrame): Int =
+    sig.columns.count(_.matches("m\\d+"))
 
   /** Span length (tokens) for exact substring dedup (q_substring_dedup).
     * Lee et al. use 50 BPE tokens on real corpora; 5 whitespace tokens
@@ -138,21 +174,34 @@ object Dedup {
     * pipeline shape is length-independent. */
   private val SpanL = 5
 
-  /** (doc_id, m0..m7): MinHash signature per document — 8 min-aggregates
-    * over 16-char slices of one md5 per shingle. */
-  private def signature(ng: DataFrame): DataFrame = {
-    val minCols = (0 until Seeds).map(o =>
-      min(substring(md5(encode(col("g"), "UTF-8")), o + 1, 16)).as(s"m$o"))
+  /** (doc_id, m0..m_{4·rows−1}): MinHash signature per document. The
+    * default 8 seeds are min-aggregates over the 16-char slices of ONE
+    * md5 per shingle (seed o = chars o+1..o+16 — 17 fit in the 32-hex
+    * digest); seeds past 16 salt the shingle (`md5(g || '#o')`) so wider
+    * geometries never run out of hash material. Slice overlap correlates
+    * adjacent seeds slightly — acceptable for banding (the FP knob still
+    * moves ∝ J^rows), and the default 8 are unchanged bit-for-bit. */
+  private def signature(ng: DataFrame, rows: Int = DefaultRows): DataFrame = {
+    val minCols = (0 until Bands * rows).map { o =>
+      val h =
+        if (o <= 16) substring(md5(encode(col("g"), "UTF-8")), o + 1, 16)
+        else substring(md5(encode(concat(col("g"), lit(s"#$o")), "UTF-8")), 1, 16)
+      min(h).as(s"m$o")
+    }
     ng.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
-  /** (doc_id, band, bv): the 4×2 LSH banding of a signature table — the
-    * band values a doc hashes to, shared by the pair join, the component
-    * edges, and the streaming band-index probe. */
+  /** (doc_id, band, bv): the 4×rows LSH banding of a signature table —
+    * the band values a doc hashes to, shared by the pair join, the
+    * component edges, and the streaming band-index probe. The row count
+    * is derived FROM the frame (m-column count), so a probe always bands
+    * exactly like the asset it joins against. */
   private[graft] def bandsOf(sig: DataFrame): DataFrame = {
-    val bandStructs = (0 until Seeds / 2).map(b =>
+    val rows = seedsOf(sig) / Bands
+    val bandStructs = (0 until Bands).map(b =>
       struct(lit(b).as("band"),
-        concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bv")))
+        concat_ws("|", (0 until rows).map(i =>
+          col(s"m${rows * b + i}")): _*).as("bv")))
     sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
@@ -184,10 +233,13 @@ object Dedup {
   private val sigCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def signatureTable(s: SparkSession, d: String): DataFrame = {
+    // the asset is keyed by (dir, geometry): a knob-widened session must
+    // not read a default-width signature, and vice versa
+    val rows = rowsFor(s, d)
     val path = sigCache.synchronized {
-      sigCache.getOrElseUpdate(d, graft.Assets.timed("minhash_signatures") {
+      sigCache.getOrElseUpdate(s"$d|$rows", graft.Assets.timed("minhash_signatures") {
         val out = java.nio.file.Files.createTempDirectory("graft-minhash-sig").toString
-        signature(shinglesRaw(s, d)).write.mode("overwrite").parquet(out)
+        signature(shinglesRaw(s, d), rows).write.mode("overwrite").parquet(out)
         out
       })
     }
@@ -203,8 +255,9 @@ object Dedup {
   private val bandIdxCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private[graft] def bandIndex(s: SparkSession, d: String): DataFrame = {
+    val rows = rowsFor(s, d)
     val path = bandIdxCache.synchronized {
-      bandIdxCache.getOrElseUpdate(d, graft.Assets.timed("lsh_band_index") {
+      bandIdxCache.getOrElseUpdate(s"$d|$rows", graft.Assets.timed("lsh_band_index") {
         val out = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
         bandsOf(signatureTable(s, d)).select(col("band"), col("bv"))
           .distinct().write.mode("overwrite").parquet(out)
@@ -218,9 +271,13 @@ object Dedup {
     * shingle→md5→min-agg pipeline the corpus asset is built with, for
     * callers that must hash incoming data consistently with it (the
     * streaming near-dup gate). Docs with < 3 tokens have no shingles,
-    * hence no signature row — identical absence semantics to the asset. */
-  private[graft] def signatureOf(docs: DataFrame): DataFrame =
-    signature(shinglesOf(docs))
+    * hence no signature row — identical absence semantics to the asset.
+    * Callers that probe a corpus asset pass THAT asset's geometry
+    * (`rows`) — a micro-batch's own size says nothing about the corpus,
+    * and a width mismatch would make every band lookup silently miss. */
+  private[graft] def signatureOf(docs: DataFrame,
+                                 rows: Int = DefaultRows): DataFrame =
+    signature(shinglesOf(docs), rows)
 
   /** Drop every doc of `batch` that LSH-collides with the existing corpus
     * at dataset dir `d` — the streaming near-dup gate: signature the
@@ -233,10 +290,32 @@ object Dedup {
     * corpus. */
   private[graft] def dropCorpusNearDups(batch: DataFrame, d: String): DataFrame = {
     val s = batch.sparkSession
-    val hits = bandsOf(signatureOf(batch))
+    // the batch MUST band with the corpus asset's geometry — rowsFor
+    // resolves the same conf (including "auto" over the corpus dir) that
+    // keyed the index build
+    val hits = bandsOf(signatureOf(batch, rowsFor(s, d)))
       .join(bandIndex(s, d), Seq("band", "bv"), "left_semi")
       .select(col("doc_id")).distinct()
     batch.join(hits, Seq("doc_id"), "left_anti")
+  }
+
+  /** Drop every doc of `batch` that LSH-collides with a LOWER-id doc of
+    * the SAME batch (min-id keep) — the in-batch half of the streaming
+    * near-dup gate. [[dropCorpusNearDups]] screens against the EXISTING
+    * corpus only: two near-dups arriving in one micro-batch have no
+    * corpus twin yet and would otherwise both land. One batch-local band
+    * self-join (batch-bounded, never corpus-wide); the kept
+    * representative is the smallest doc_id of each band-collision chain —
+    * the q_dedup_canonical keep rule. Run BEFORE the corpus probe so the
+    * probe pays only for surviving docs. */
+  private[graft] def dropBatchNearDups(batch: DataFrame): DataFrame = {
+    val bands = bandsOf(signatureOf(batch))
+    val dupIds = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id")).distinct()
+    batch.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
   /** Distinct MinHash-LSH candidate pairs (doc_a < doc_b) — shared by
@@ -244,7 +323,7 @@ object Dedup {
     * band self-join consumes the signature table TWICE; both sides rescan
     * the materialized [[signatureTable]] parquet instead of recomputing
     * the shingle pipeline. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
     bandPairs(signatureTable(s, d))
 
   /** LSH candidate EDGES for component resolution — same banding as
@@ -262,7 +341,7 @@ object Dedup {
     * list; component resolution only needs connectivity. */
   private[graft] def candidateEdges(sig: DataFrame, bucketCap: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sigCols = (0 until Seeds).map(o => col(s"m$o"))
+    val sigCols = (0 until seedsOf(sig)).map(o => col(s"m$o"))
     // Step 1 — collapse exact-signature groups. Identical documents (the
     // common degenerate dedup input) carry identical signatures and would
     // collide in EVERY band; one window pass over the narrow signature
@@ -749,13 +828,14 @@ object Dedup {
         .join(ng.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
         .join(ng.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-      val matches = (0 until Seeds)
+      val nSeeds = seedsOf(sig)
+      val matches = (0 until nSeeds)
         .map(o => when(col(s"a_m$o") === col(s"b_m$o"), 1).otherwise(0))
         .reduce(_ + _)
       val sigA = sig.select(col("doc_id").as("doc_a") +:
-        (0 until Seeds).map(o => col(s"m$o").as(s"a_m$o")): _*)
+        (0 until nSeeds).map(o => col(s"m$o").as(s"a_m$o")): _*)
       val sigB = sig.select(col("doc_id").as("doc_b") +:
-        (0 until Seeds).map(o => col(s"m$o").as(s"b_m$o")): _*)
+        (0 until nSeeds).map(o => col(s"m$o").as(s"b_m$o")): _*)
       val cm = coalesce(col("common"), lit(0L))
       cand
         .join(common, Seq("doc_a", "doc_b"), "left")
@@ -763,7 +843,7 @@ object Dedup {
         .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
         .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          (matches.cast("double") / lit(Seeds.toDouble)).as("est_jaccard"),
+          (matches.cast("double") / lit(nSeeds.toDouble)).as("est_jaccard"),
           (cm.cast("double") /
             (col("n_a") + col("n_b") - cm).cast("double")).as("true_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -780,16 +860,17 @@ object Dedup {
     // one count(*). The knob panel every dedup writeup reports.
     "q_dedup_sweep" -> ((s, d) => {
       val sig = signatureTable(s, d)
-      val matches = (0 until Seeds)
+      val nSeeds = seedsOf(sig)
+      val matches = (0 until nSeeds)
         .map(o => when(col(s"a_m$o") === col(s"b_m$o"), 1).otherwise(0))
         .reduce(_ + _)
       val sigA = sig.select(col("doc_id").as("doc_a") +:
-        (0 until Seeds).map(o => col(s"m$o").as(s"a_m$o")): _*)
+        (0 until nSeeds).map(o => col(s"m$o").as(s"a_m$o")): _*)
       val sigB = sig.select(col("doc_id").as("doc_b") +:
-        (0 until Seeds).map(o => col(s"m$o").as(s"b_m$o")): _*)
+        (0 until nSeeds).map(o => col(s"m$o").as(s"b_m$o")): _*)
       val est = bandPairs(sig).join(sigA, "doc_a").join(sigB, "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          (matches.cast("double") / lit(Seeds.toDouble)).as("est"))
+          (matches.cast("double") / lit(nSeeds.toDouble)).as("est"))
       val tau = s.range(1).select(explode(array(
         Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)).as("tau"))
       val docMax = est.select(explode(array(
@@ -867,6 +948,27 @@ object Dedup {
     // self-join explodes on every hot shingle in the corpus.
     "q_ssjoin_prefix" -> ((s, d) => {
       val ng = shingles(s, d)
+      // DENSE-VOCABULARY guard (round-13 verdict #2): on a Zipfian (natural
+      // text) vocabulary the prefix+positional filter prunes candidates to
+      // ~4% of quadratic, but a dense alphabet (code, logs, DNA-like
+      // vocabularies — the sf fixture's 31 words) drives Σdf² quadratic and
+      // silently re-enters the all-pairs regime the operator exists to
+      // avoid. One cheap aggregate over the memoized prefix index bounds
+      // the candidate join from above (Σ_g dfp·(dfp−1)/2 rows before the
+      // length/positional cuts); past the budget the query REFUSES — the
+      // q_dedup_ngram maxDocs precedent — and points at the capped/minhash
+      // tier, whose cost is candidate-bounded by construction.
+      val maxEst = s.conf.get("graft.ssjoin.maxCandPairs", "20000000").toLong
+      val est = prefixIndex(s, d)
+        .groupBy(col("g")).agg(count(lit(1)).as("dfp"))
+        .agg(coalesce(sum(expr("dfp * (dfp - 1) div 2")), lit(0L)))
+        .first().getLong(0)
+      require(est <= maxEst,
+        s"q_ssjoin_prefix: prefix-candidate upper bound $est exceeds the " +
+          s"dense-vocabulary guard ($maxEst). This corpus's shingle " +
+          "frequencies are in the quadratic regime for prefix filtering — " +
+          "use the capped/approximate tier (q_dedup_ngram_capped / " +
+          "q_dedup_minhash) or raise graft.ssjoin.maxCandPairs explicitly.")
       val cand = ssjoinCandidates(s, d)
       // exact verification: candidate-restricted (doc, g) equi-joins +
       // one pair-keyed count — the q_containment shape, never doc×doc

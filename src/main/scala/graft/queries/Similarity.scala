@@ -30,7 +30,50 @@ object Similarity {
   // sign = +1 iff ((p+1)*(j+3)) mod 7 < 3. Arbitrary but fixed, and cheaply
   // expressible in both engines (no hashing needed). Materialized here as
   // literal arrays so each plane dot is one codegen'd LongDot pass.
+  // PLANES is the DEFAULT (and oracle) geometry; the arithmetic formula
+  // only serves p < 4 — (p+1) mod 7 repeats (p=6 would be all-+1s), so
+  // planes beyond the default draw seeded-independent signs instead
+  // (lshExtraSigns below, the mtSigns discipline).
   private val PLANES = 4
+
+  /** Hard ceiling on the LSH bit-width knob: 2^20 buckets is past any
+    * corpus this library addresses at ~64 vectors/bucket, and the
+    * pre-drawn extra sign pool is sized to it. */
+  private val MaxPlanes = 20
+
+  /** Scale-adaptive LSH bit-width (the round-13 sf1 audit's saturation
+    * class): a FIXED plane count means a fixed 2^planes bucket space, so
+    * LSH candidate volume grows ∝ N²/2^planes — quadratic again past the
+    * geometry's design point. `graft.ann.lsh.planes` sets the bit-width
+    * for the single-table bucket AND each of the L multi-table buckets:
+    * an integer, or "auto" = ⌈log₂(N/64)⌉ clamped to [PLANES, MaxPlanes]
+    * (mean bucket occupancy held at ~64 regardless of N, so candidates
+    * grow ∝ 64·N — linear). PERF KNOB ONLY: the generated oracle SQL
+    * embeds the DEFAULT geometry, so the driver's correctness gate (which
+    * never sets the conf) replays planes = 4 bit-for-bit; a session that
+    * sets the conf trades oracle comparability for the scale plan, and
+    * recall per geometry is pinned in QueriesSpec on the clustered
+    * fixture. */
+  private def planesFor(s: SparkSession, d: String): Int =
+    s.conf.get("graft.ann.lsh.planes", PLANES.toString) match {
+      case "auto" =>
+        val n = vecCount.getOrElseUpdate(d, t(s, d, "embeddings").count())
+        math.min(MaxPlanes, math.max(PLANES,
+          math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+      case v =>
+        val p = v.toInt
+        require(p >= 1 && p <= MaxPlanes,
+          s"graft.ann.lsh.planes must be in [1, $MaxPlanes] or 'auto', got $p")
+        p
+    }
+
+  /** Seeded ±1 signs for planes beyond the arithmetic default — drawn
+    * from their own fixed stream so the DEFAULT geometry's buckets are
+    * bit-identical whether or not the knob exists. */
+  private lazy val lshExtraSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val rnd = new scala.util.Random(0x51C4A11)
+    IndexedSeq.fill(MaxPlanes - PLANES, 64)(if (rnd.nextBoolean()) 1 else -1)
+  }
 
   /** Graph-ANN geometry (q_ann_graph): beam width (default, overridable
     * via graft.ann.graph.beam — the oracle replays the default) and the
@@ -126,13 +169,24 @@ object Similarity {
   private val vecCount = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   private def planeLit(p: Int): String =
-    (1 to 64).map(j => if ((p + 1) * (j + 3) % 7 < 3) "1L" else "-1L")
+    if (p < PLANES)
+      (1 to 64).map(j => if ((p + 1) * (j + 3) % 7 < 3) "1L" else "-1L")
+        .mkString("array(", ", ", ")")
+    else lshExtraSigns(p - PLANES).map(s => s"${s}L")
       .mkString("array(", ", ", ")")
 
-  private def bucketExpr(v: String): org.apache.spark.sql.Column =
-    (0 until PLANES).map { p =>
+  private def bucketExpr(v: String, planes: Int = PLANES): org.apache.spark.sql.Column =
+    (0 until planes).map { p =>
       when(dotL(v, planeLit(p)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Multi-probe mask literal for a `planes`-bit bucket: the exact bucket
+    * plus every Hamming-1 neighbor — `planes + 1` probes, scaling with
+    * the bit-width so the probe scheme's recall character is
+    * geometry-independent. */
+  private def probeMasksLit(planes: Int): String =
+    (Seq(0L) ++ (0 until planes).map(p => 1L << p))
+      .map(m => s"${m}L").mkString("array(", ", ", ")")
 
   /** MMR rerank geometry (q_mmr_rerank): a FIXED 10-id request batch
     * (the q_colbert_maxsim `isin` discipline — all ids exist at every
@@ -181,16 +235,28 @@ object Similarity {
     IndexedSeq.fill(MtTables, PLANES, 64)(if (rnd.nextBoolean()) 1 else -1)
   }
 
+  /** Extra per-table planes for the knob, from their OWN seed — drawing
+    * a wider fill from 0x5EED would shift the default tables' signs and
+    * silently change every multi-table result under the default
+    * geometry. */
+  private lazy val mtExtraSigns: IndexedSeq[IndexedSeq[IndexedSeq[Int]]] = {
+    val rnd = new scala.util.Random(0x5EED2)
+    IndexedSeq.fill(MtTables, MaxPlanes - PLANES, 64)(
+      if (rnd.nextBoolean()) 1 else -1)
+  }
+
   private def mtPlaneLit(l: Int, p: Int): String =
-    mtSigns(l)(p).map(s => s"${s}L").mkString("array(", ", ", ")")
+    (if (p < PLANES) mtSigns(l)(p) else mtExtraSigns(l)(p - PLANES))
+      .map(s => s"${s}L").mkString("array(", ", ", ")")
 
   /** Flattened per-table sign list for the oracle: plane p occupies
     * 1-based positions p*64+1 .. p*64+64. */
   private def mtSqlLit(l: Int): String =
     mtSigns(l).flatten.mkString("[", ", ", "]")
 
-  private def mtBucketExpr(v: String, l: Int): org.apache.spark.sql.Column =
-    (0 until PLANES).map { p =>
+  private def mtBucketExpr(v: String, l: Int,
+                           planes: Int = PLANES): org.apache.spark.sql.Column =
+    (0 until planes).map { p =>
       when(dotL(v, mtPlaneLit(l, p)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -203,8 +269,9 @@ object Similarity {
     * at real corpus scale you'd persist this table (it is the LSH index —
     * 3 longs/row·L) and bucket-partition it at ingest. */
   private def mtBucketTable(s: SparkSession, d: String): DataFrame = {
+    val planes = planesFor(s, d)
     val iv = (0 until MtTables).foldLeft(intVecs(s, d)) { (df, l) =>
-      df.withColumn(s"bk$l", mtBucketExpr("v", l))
+      df.withColumn(s"bk$l", mtBucketExpr("v", l, planes))
     }
     iv.select(col("vec_id"), explode(array((0 until MtTables).map(l =>
         struct(lit(l).as("l"), col(s"bk$l").as("bucket"))): _*)).as("x"))
@@ -301,7 +368,7 @@ object Similarity {
     * sharing a bucket in ANY of the L tables, deduped on the pair key
     * while id-only, then each surviving pair's exact dot computed ONCE.
     * Shared by q_knn_join_ann_multi and q_label_noise_ann. */
-  private def mtPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def mtPairs(s: SparkSession, d: String): DataFrame = {
     val bk = mtBucketTable(s, d)
     val cands = bk.select(col("vec_id").as("ida"), col("l"), col("bucket"))
       .join(bk.select(col("vec_id").as("idb"), col("l"), col("bucket")),
@@ -475,10 +542,12 @@ object Similarity {
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     }),
 
-    // LSH-bucketed ANN: sign-random-projection bucket (4 planes), candidates
-    // = same bucket as the query, exact cosine rerank top-5.
+    // LSH-bucketed ANN: sign-random-projection bucket (4 planes default,
+    // bit-width from graft.ann.lsh.planes at scale), candidates = same
+    // bucket as the query, exact cosine rerank top-5.
     "q_ann_lsh" -> ((s, d) => {
-      val iv = intVecs(s, d).withColumn("bucket", bucketExpr("v"))
+      val iv = intVecs(s, d)
+        .withColumn("bucket", bucketExpr("v", planesFor(s, d)))
       val q = iv.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("nv").as("nq"), col("bucket").as("qbucket"))
       iv.filter(col("vec_id") =!= 0)
@@ -1200,12 +1269,14 @@ object Similarity {
     // output (recall loss, visible in the measured number) — at scale you
     // add probes/tables until the miss rate is acceptable.
     "q_knn_join_ann" -> ((s, d) => {
-      val iv = intVecs(s, d).withColumn("bucket", bucketExpr("v"))
+      val planes = planesFor(s, d)
+      val iv = intVecs(s, d).withColumn("bucket", bucketExpr("v", planes))
       val a = iv.select(col("vec_id").as("ida"), col("v").as("va"),
         col("nv").as("na"), col("bucket").as("bka"))
       val b = iv.select(col("vec_id").as("idb"), col("v").as("vb"),
           col("nv").as("nb"),
-          explode(expr("transform(array(0L, 1L, 2L, 4L, 8L), m -> bucket ^ m)")).as("pb"))
+          explode(expr(
+            s"transform(${probeMasksLit(planes)}, m -> bucket ^ m)")).as("pb"))
       val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
       val pairs = a.join(b, col("bka") === col("pb") && col("ida") < col("idb"))
         .select(col("ida"), col("idb"), cos.as("cos"))
@@ -1247,12 +1318,14 @@ object Similarity {
     // q_embed_neardup_lsh_multi (L=4 independent tables, same shape,
     // recall ≥ 0.8 asserted on the clustered fixture).
     "q_embed_neardup_lsh" -> ((s, d) => {
-      val iv = intVecs(s, d).withColumn("bucket", bucketExpr("v"))
+      val planes = planesFor(s, d)
+      val iv = intVecs(s, d).withColumn("bucket", bucketExpr("v", planes))
       val a = iv.select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("nv").as("na"), col("bucket").as("bka"))
       val b = iv.select(col("vec_id").as("vec_b"), col("v").as("vb"),
           col("nv").as("nb"),
-          explode(expr("transform(array(0L, 1L, 2L, 4L, 8L), m -> bucket ^ m)")).as("pb"))
+          explode(expr(
+            s"transform(${probeMasksLit(planes)}, m -> bucket ^ m)")).as("pb"))
       val cos = cosine(dotL("va", "vb"), col("na"), col("nb"))
       a.join(b, col("bka") === col("pb") && col("vec_a") < col("vec_b") && cos >= 0.4)
         .select(col("vec_a"), col("vec_b"), cos.as("cos"))
@@ -1452,9 +1525,37 @@ object Similarity {
   /** (vec_id, cluster, is_dup) — the SemDeDup verdict (trained-model
     * cluster assignment + within-cluster cos-τ prune), shared by
     * q_semantic_dedup and the q_pipeline_vectors capstone. */
+  /** SemDeDup cluster-count knob: within-cluster pair work is Σ|cluster|²
+    * ≈ N²/k, so a FIXED k re-enters the quadratic regime as N grows — the
+    * SemDeDup recipe (Abbas et al. 2023) scales k ∝ N / target-cluster-
+    * size. `graft.semdedup.k`: an integer, or "auto" = max(8, ⌈N/256⌉)
+    * (mean cluster size held at ~256, so pair volume grows ∝ 256·N —
+    * linear). Seeds are vec_ids 1..k (present at every fixture scale),
+    * 2 Lloyd updates, memoized per (dir, k) like the coarse quantizer —
+    * k = 8 IS the coarse quantizer, so the default shares its cache and
+    * the oracle (which replays k = 8 training) stays bit-exact. */
+  private def semModel(s: SparkSession, d: String): graft.operators.KMeans.Model = {
+    val k = s.conf.get("graft.semdedup.k", "8") match {
+      case "auto" =>
+        val n = vecCount.getOrElseUpdate(d, t(s, d, "embeddings").count())
+        math.max(8L, (n + 255L) / 256L).toInt
+      case v =>
+        val kk = v.toInt
+        require(kk >= 1, s"graft.semdedup.k must be >= 1 or 'auto', got $kk")
+        kk
+    }
+    if (k == 8) coarseModel(s, d)
+    else coarseCache.synchronized {
+      coarseCache.getOrElseUpdate(s"$d|k=$k", graft.Assets.timed("semdedup_quantizer") {
+        graft.operators.KMeans.model(intVecs(s, d), (1L to k.toLong).toSeq,
+          updates = 2)
+      })
+    }
+  }
+
   private def semanticVerdict(s: SparkSession, d: String): DataFrame = {
     val iv = intVecs(s, d)
-    val cents = coarseModel(s, d)
+    val cents = semModel(s, d)
     val assigned = iv
       .withColumn("cluster", graft.operators.KMeans.centArgmax(cents))
       .select(col("vec_id"), col("v"), col("nv"), col("cluster"))

@@ -142,6 +142,108 @@ class QueriesSpec extends SparkSpec {
     assert(ndRecall >= 0.8, f"multi-table near-dup recall $ndRecall%.2f below the 0.8 bar")
   }
 
+  test("graft.ann.lsh.planes geometry knob: wider buckets cut candidate volume, recall measured per geometry, default untouched") {
+    import spark.implicits._
+    // same clustered-corpus recipe as the multi-table recall bar
+    val dir = tmpDir("graft-planes")
+    val rnd = new scala.util.Random(1414)
+    val cents = Array.fill(24, 64)(rnd.nextGaussian())
+    val rows = (0 until 480).map { i =>
+      val c = cents(i % 24)
+      (i.toLong, c.map(x => (x + 0.55 * rnd.nextGaussian()).toFloat).toSeq, i % 24)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).write.parquet(s"$dir/embeddings.parquet")
+
+    def session(planes: Option[String]) = {
+      val s2 = spark.newSession()
+      planes.foreach(p => s2.conf.set("graft.ann.lsh.planes", p))
+      s2
+    }
+    def neighbors(s2: org.apache.spark.sql.SparkSession): Map[Long, Set[Long]] =
+      SparkEntry.queries("q_knn_join_ann_multi")(s2, dir).collect()
+        .groupBy(_.getAs[Long]("vec_id"))
+        .map { case (v, rs) => v -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+
+    // knob neutrality: conf "4" ≡ no conf, bit-for-bit
+    val defNbrs = neighbors(session(None))
+    assert(neighbors(session(Some("4"))) == defNbrs,
+      "explicit planes=4 diverged from the default geometry")
+
+    // candidate volume: 8-bit buckets (256/table) must generate strictly
+    // fewer candidate pairs than the default 16/table on 480 vectors —
+    // the saturation class's fix, observable directly
+    val cand4 = graft.queries.Similarity.mtPairs(session(None), dir).count()
+    val cand8 = graft.queries.Similarity.mtPairs(session(Some("8")), dir).count()
+    info(s"multi-table LSH candidate pairs: planes=4 -> $cand4, planes=8 -> $cand8")
+    assert(cand8 < cand4,
+      s"widening the bucket space did not cut candidates ($cand4 -> $cand8)")
+
+    // recall per geometry vs exact kNN (the retune evidence the knob ships
+    // with): planes=8 trades recall for the linear candidate curve
+    val exact = {
+      val s2 = session(None)
+      SparkEntry.queries("q_knn_join")(s2, dir).collect()
+        .groupBy(_.getAs[Long]("vec_id"))
+        .map { case (v, rs) => v -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+    }
+    val denom = exact.valuesIterator.map(_.size).sum
+    def recallOf(nb: Map[Long, Set[Long]]): Double =
+      exact.toSeq.map { case (v, ens) =>
+        nb.getOrElse(v, Set.empty).intersect(ens).size
+      }.sum.toDouble / denom
+    val r4 = recallOf(defNbrs)
+    val r8 = recallOf(neighbors(session(Some("8"))))
+    info(f"multi-table top-3 recall on clustered vectors: planes=4 -> $r4%.2f, planes=8 -> $r8%.2f")
+    assert(r4 >= 0.8, f"default-geometry recall $r4%.2f below its 0.8 bar")
+    assert(r8 >= 0.5, f"planes=8 recall $r8%.2f below the 0.5 floor")
+
+    // "auto" resolves from the corpus count: 480 vectors / 64-per-bucket
+    // target → ⌈log₂(7.5)⌉ = 3 → clamped to the 4-plane floor ≡ default
+    assert(neighbors(session(Some("auto"))) == defNbrs,
+      "auto on a 480-vector corpus must clamp to the default geometry")
+  }
+
+  test("graft.semdedup.k scales the SemDeDup cluster count: flagged dups stay true dups, pair work bounded") {
+    import spark.implicits._
+    val dir = tmpDir("graft-semk")
+    val rnd = new scala.util.Random(77)
+    val cents = Array.fill(24, 64)(rnd.nextGaussian())
+    val rows = (0 until 480).map { i =>
+      val c = cents(i % 24)
+      (i.toLong, c.map(x => (x + 0.55 * rnd.nextGaussian()).toFloat).toSeq, i % 24)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).write.parquet(s"$dir/embeddings.parquet")
+    val s2 = spark.newSession()
+    s2.conf.set("graft.semdedup.k", "24")
+    val flagged = SparkEntry.queries("q_semantic_dedup")(s2, dir)
+      .filter(col("is_dup")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // precision is structural: every flagged vec must have a TRUE cos>=tau
+    // lower-id witness somewhere in the corpus (clustering only bounds the
+    // search, it can't invent a dup) — brute-force the truth in-test
+    val vecs = rows.map { case (id, e, _) => id -> e.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val hasWitness = flagged.forall { b =>
+      (0L until b).exists(a => cos(vecs(a), vecs(b)) >= 0.4 - 1e-9)
+    }
+    assert(hasWitness, "a k=24 flagged dup has no true cos>=tau witness")
+    // and the scaled clustering still finds the bulk of the same-cluster
+    // dups: at k = the true cluster count, members sit together
+    val truthDups = (0 until 480).count { b =>
+      (0 until b).exists(a => cos(vecs(a.toLong), vecs(b.toLong)) >= 0.4)
+    }
+    info(s"semdedup k=24: flagged ${flagged.size} of $truthDups true-dup vecs")
+    assert(flagged.size >= (truthDups * 0.6).toInt,
+      s"k=24 flagged only ${flagged.size} of $truthDups")
+  }
+
   test("q_ann_pq: ADC top-5 after rerank recalls the exact cosine top-5 on clustered vectors") {
     import spark.implicits._
     // same clustered-corpus premise as the multi-table LSH bar: 8

@@ -22,6 +22,52 @@ class DedupSpec extends SparkSpec {
         (0 until 8).map(o => concat(col("seed"), lit(s"_$o")).as(s"m$o")): _*)
   }
 
+  test("graft.dedup.minhash.rows widens the band: candidates shrink, exact copies always collide, default untouched") {
+    def pairs(rows: Option[String]): Set[(Long, Long)] = {
+      val s2 = spark.newSession()
+      rows.foreach(r => s2.conf.set("graft.dedup.minhash.rows", r))
+      Dedup.minhashPairs(s2, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val def2 = pairs(None)
+    // knob neutrality: explicit 2 ≡ default, bit-for-bit
+    assert(pairs(Some("2")) == def2, "explicit rows=2 diverged from default")
+    val wide3 = pairs(Some("3"))
+    info(s"minhash candidates on sf: rows=2 -> ${def2.size}, rows=3 -> ${wide3.size}")
+    // the FP knob must move: wider bands can only lose collisions on this
+    // corpus (per-band collision prob drops from J^2 to J^3)
+    assert(wide3.size <= def2.size,
+      s"rows=3 produced MORE candidates (${def2.size} -> ${wide3.size})")
+    // exact copies (J = 1 on the distinct-shingle set) carry identical
+    // signatures at EVERY geometry — never lost, whatever the knob
+    val exactCopies = graft.SparkEntry.queries("q_dedup_ngram")(spark, sf)
+      .filter(col("jaccard") >= 1.0)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactCopies.subsetOf(wide3),
+      s"rows=3 lost exact-copy pairs: ${exactCopies.diff(wide3)}")
+    // recall of the exact J >= 1/2 truth at the widened geometry, measured
+    val truth = graft.SparkEntry.queries("q_dedup_ngram")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (truth.nonEmpty) {
+      val rec = truth.intersect(wide3).size.toDouble / truth.size
+      info(f"rows=3 candidate recall of exact J>=1/2 pairs: $rec%.2f")
+    }
+  }
+
+  test("q_ssjoin_prefix refuses the dense-vocabulary quadratic regime past the guard") {
+    val s2 = spark.newSession()
+    s2.conf.set("graft.ssjoin.maxCandPairs", "1")
+    val e = intercept[IllegalArgumentException] {
+      graft.SparkEntry.queries("q_ssjoin_prefix")(s2, sf).collect()
+    }
+    assert(e.getMessage.contains("q_dedup_minhash"),
+      s"guard message must route to the scale tier: ${e.getMessage}")
+    // and the default budget admits the sf fixture (the gate's regime)
+    assert(graft.SparkEntry.queries("q_ssjoin_prefix")(spark, sf).count() >= 0)
+  }
+
   test("ssjoin prefix filter prunes hard on a natural (Zipfian) vocabulary and stays exact") {
     // The sf fixture's 30-word vocabulary is the ADVERSARIAL regime for
     // prefix filtering (every shingle is dense, Σdf² explodes — round-12
