@@ -59,6 +59,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Ad-hoc session confs for scaling audits (the index-geometry knobs):
+    //   SPARK_GRAFT_CONF="graft.ann.lsh.planes=auto;graft.dedup.minhash.rows=auto"
+    // Unset in driver runs, so the canonical bench always measures the
+    // default (oracle) geometry.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
+
     // Per-query isolation, outside any timed region: drop every persisted /
     // checkpointed block the query left behind (blocking, so the next timer
     // never races the async cleaner), then collect the garbage now instead

@@ -308,7 +308,7 @@ object Similarity {
   private val nbrCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val pairSweeper: Unit = sys.addShutdownHook {
-    (pairCache.values ++ nbrCache.values).foreach { p =>
+    (pairCache.values ++ nbrCache.values ++ nndCache.values).foreach { p =>
       try {
         val root = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.exists(root))
@@ -346,6 +346,71 @@ object Similarity {
     s.read.parquet(path)
   }
 
+  /** ANN-BUILT proximity graph (the NN-descent shape, Dong et al.
+    * WWW'11): the exact `knn_neighbors` asset is quadratic by definition
+    * (175.8 s at sf1, impossible at corpus scale), so the graph-ANN
+    * index builds from ANN candidates instead —
+    *   1. initialize each vector's top-5 from the multi-table LSH
+    *      candidate pairs ([[mtCandIds]] — bounded equi-joins, inherits
+    *      the `graft.ann.lsh.planes` geometry knob);
+    *   2. ONE neighbor-of-neighbor refinement round: vectors sharing a
+    *      neighbor in the current graph (either direction) become
+    *      candidates — a bounded self-equi-join on the shared endpoint
+    *      (≤ deg² rows per vertex, deg ≤ 10 after symmetrization);
+    *      only genuinely NEW pairs pay a scoring dot;
+    *   3. re-rank to top-5 under the same (cos DESC, nbr ASC) total
+    *      order as the exact build.
+    * Everything is deterministic (seeded planes, exact integer dots), so
+    * the DuckDB oracle replays init + refinement bit-for-bit. The EXACT
+    * asset stays as the quality reference (q_knn_join, q_label_noise,
+    * the recall panel's ground truth); graph quality of the ANN build vs
+    * the exact build is pinned in QueriesSpec on the clustered fixture. */
+  private[graft] def computeNndNeighbors(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val iv = intVecs(s, d)
+    val init = mtCandIds(s, d).persist(DISK_ONLY)
+    val s0 = scoreIdPairs(iv, init).persist(DISK_ONLY)
+    val n0 = topKNeighbors(s, s0, 5)
+    val sym = n0.select(col("vec_id").as("vid"), col("nbr_id").as("nbr"))
+      .unionByName(n0.select(col("nbr_id").as("vid"), col("vec_id").as("nbr")))
+      .distinct()
+    val non = sym.as("x")
+      .join(sym.as("y"),
+        col("x.vid") === col("y.vid") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("ida"), col("y.nbr").as("idb")).distinct()
+    val freshScored = scoreIdPairs(iv,
+      non.join(init, Seq("ida", "idb"), "left_anti"))
+    topKNeighbors(s, s0.unionByName(freshScored), 5)
+  }
+
+  private val nndCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Memoized parquet path of the NN-descent graph asset — path-valued so
+    * the q_ann_graph loop session can read it directly: the GEOMETRY part
+    * of the cache key resolves from the PARENT session's conf (a fresh
+    * clone would silently fall back to the default geometry and build a
+    * second asset). */
+  private[graft] def nndNeighborPath(s: SparkSession, d: String): String = {
+    val planes = planesFor(s, d)
+    nndCache.synchronized {
+      nndCache.getOrElseUpdate(s"$d|p=$planes", graft.Assets.timed("nnd_neighbors") {
+        val out = java.nio.file.Files.createTempDirectory("graft-nndnbrs").toString
+        // the build persists its double-consumed intermediates; sweep
+        // exactly those (and nothing a consumer query holds) once the
+        // asset parquet is on disk
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        computeNndNeighbors(s, d).write.mode("overwrite").parquet(out)
+        (s.sparkContext.getPersistentRDDs.keySet -- before).foreach(id =>
+          s.sparkContext.getPersistentRDDs.get(id)
+            .foreach(_.unpersist(blocking = false)))
+        out
+      })
+    }
+  }
+
+  private[graft] def nndNeighborTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(nndNeighborPath(s, d))
+
   /** One full pair-scoring build (the path [[exactPairs]] amortizes). */
   private[graft] def computeExactPairs(s: SparkSession, d: String): DataFrame = {
     val B = 8
@@ -364,24 +429,34 @@ object Similarity {
       .select(col("ida"), col("idb"), cos.as("cos"))
   }
 
-  /** Scored multi-table LSH candidate pairs — candidates = id pairs
-    * sharing a bucket in ANY of the L tables, deduped on the pair key
-    * while id-only, then each surviving pair's exact dot computed ONCE.
-    * Shared by q_knn_join_ann_multi and q_label_noise_ann. */
-  private[graft] def mtPairs(s: SparkSession, d: String): DataFrame = {
+  /** Multi-table LSH candidate id pairs (ida < idb) — pairs sharing a
+    * bucket in ANY of the L tables, deduped on the pair key while
+    * id-only (16 bytes/row). */
+  private def mtCandIds(s: SparkSession, d: String): DataFrame = {
     val bk = mtBucketTable(s, d)
-    val cands = bk.select(col("vec_id").as("ida"), col("l"), col("bucket"))
+    bk.select(col("vec_id").as("ida"), col("l"), col("bucket"))
       .join(bk.select(col("vec_id").as("idb"), col("l"), col("bucket")),
         Seq("l", "bucket"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb")).distinct()
-    val iv = intVecs(s, d)
+  }
+
+  /** Exact cosine for an id-pair set: shuffle-by-id vector fetch, one dot
+    * per pair — the shared scoring tail of the LSH candidate machinery
+    * and the NN-descent rounds. */
+  private def scoreIdPairs(iv: DataFrame, ids: DataFrame): DataFrame = {
     val va = iv.select(col("vec_id").as("ida"), col("v").as("va"), col("nv").as("na"))
     val vb = iv.select(col("vec_id").as("idb"), col("v").as("vb"), col("nv").as("nb"))
-    cands.join(va, "ida").join(vb, "idb")
+    ids.join(va, "ida").join(vb, "idb")
       .select(col("ida"), col("idb"),
         cosine(dotL("va", "vb"), col("na"), col("nb")).as("cos"))
   }
+
+  /** Scored multi-table LSH candidate pairs — each surviving pair's exact
+    * dot computed ONCE. Shared by q_knn_join_ann_multi, q_label_noise_ann,
+    * q_hard_negatives, and the NN-descent graph build. */
+  private[graft] def mtPairs(s: SparkSession, d: String): DataFrame =
+    scoreIdPairs(intVecs(s, d), mtCandIds(s, d))
 
   /** The composed IVF-PQ probe (FAISS IndexIVFPQ shape) at a given probe
     * width — shared by q_ann_ivfpq (nprobe from conf, default 1) and the
@@ -709,15 +784,16 @@ object Similarity {
     // fixture. Watching this panel drop on real data is exactly the
     // signal it exists to produce.
     "q_ann_recall_panel" -> ((s, d) => {
-      val iv = intVecs(s, d)
-      val qv = iv.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("nv").as("nq"))
-      val exactIds = iv.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"),
-          cosine(dotL("v", "qv"), col("nv"), col("nq")).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
-        .collect().map(_.getLong(0)).toSeq
+      // exact ground truth from the MEMOIZED knn_neighbors asset (the
+      // exact build q_ann_graph no longer pays — kept alive here and by
+      // q_knn_join/q_label_noise as the quality reference): vec 0's rows
+      // ARE its exact top-5 by the shared (cos DESC, nbr ASC) rule, so
+      // the panel reads 5 rows of parquet instead of re-scoring the
+      // corpus per invocation
+      val exactIds = neighborTable(s, d)
+        .filter(col("vec_id") === 0)
+        .orderBy(col("rnk"))
+        .collect().map(_.getAs[Long]("nbr_id")).toSeq
       def leg(family: String, res: DataFrame): DataFrame =
         res.select(col("vec_id"))
           .agg(sum(when(col("vec_id").isin(exactIds: _*), 1L).otherwise(0L))
@@ -905,15 +981,18 @@ object Similarity {
       graft.expressions.GraftFunctions.register(loopS)
       val iv = intVecs(loopS, d)
       val coarse = coarseModel(s, d) // literal k×d model state, session-free
-      // ensure the neighbor asset exists (built by the PARENT session at
-      // its full width — the one-job-builds shape), then read it in the
-      // clone; the proximity graph is the top-5 edges SYMMETRIZED (HNSW
-      // links neighbors bidirectionally — reverse edges are what make a
-      // kNN digraph navigable; a node can be nobody's top-5 yet still be
-      // reachable through its own out-edges reversed), corpus members
-      // only (vec 0 is the query — it is being searched, not indexed)
-      neighborTable(s, d)
-      val fwd = neighborTable(loopS, d)
+      // ensure the ANN-BUILT neighbor asset exists (built by the PARENT
+      // session at its full width AND its conf-resolved geometry — the
+      // one-job-builds shape; the exact quadratic build stays behind
+      // q_knn_join/q_label_noise as the quality reference), then read the
+      // parquet in the clone; the proximity graph is the top-5 edges
+      // SYMMETRIZED (HNSW links neighbors bidirectionally — reverse edges
+      // are what make a kNN digraph navigable; a node can be nobody's
+      // top-5 yet still be reachable through its own out-edges reversed),
+      // corpus members only (vec 0 is the query — it is being searched,
+      // not indexed)
+      val gPath = nndNeighborPath(s, d)
+      val fwd = loopS.read.parquet(gPath)
         .filter(col("vec_id") =!= 0 && col("nbr_id") =!= 0)
         .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
       val assigned = iv
@@ -1676,32 +1755,38 @@ object Similarity {
     * q_embed_neardup_lsh_multi): per-(table, plane) sign dots → 4-bit
     * bucket per table → DISTINCT candidate pairs sharing any table's
     * bucket → exact integer dot/norms → `cs(vec_a, vec_b, cos)`. */
-  private lazy val mtCtes =
-    s"""$ivCte,
-       |tbl AS (SELECT UNNEST(range(0, $MtTables)) AS l),
-       |pl AS (SELECT UNNEST(range(0, ${PLANES})) AS p),
-       |dots AS (SELECT iv.vec_id, l, p,
+  /** The multi-table LSH candidate chain (buckets → distinct id pairs →
+    * scored pairs), with `ns`-prefixed CTE names so it composes into
+    * WITH-chains that already bind cand/cs (the recall panel). Requires
+    * iv/idx upstream; ends in `${ns}cand` (vec_a < vec_b id pairs) and
+    * `${ns}cs` (vec_a, vec_b, cos). */
+  private def mtChainCtes(ns: String): String =
+    s"""${ns}tbl AS (SELECT UNNEST(range(0, $MtTables)) AS l),
+       |${ns}pl AS (SELECT UNNEST(range(0, ${PLANES})) AS p),
+       |${ns}dots AS (SELECT iv.vec_id, l, p,
        |           SUM(iv.v[i] * list_extract(CASE l
        |             ${(0 until MtTables).map(l => s"WHEN $l THEN ${mtSqlLit(l)}").mkString(" ")}
        |             END, p*64 + i)) AS dp
-       |         FROM iv, tbl, pl, idx GROUP BY iv.vec_id, l, p),
-       |bk AS (SELECT vec_id, l,
+       |         FROM iv, ${ns}tbl, ${ns}pl, idx GROUP BY iv.vec_id, l, p),
+       |${ns}bk AS (SELECT vec_id, l,
        |         CAST(SUM(CASE WHEN dp >= 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-       |       FROM dots GROUP BY vec_id, l),
-       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |         FROM bk a JOIN bk b
+       |       FROM ${ns}dots GROUP BY vec_id, l),
+       |${ns}cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM ${ns}bk a JOIN ${ns}bk b
        |           ON a.l = b.l AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-       |sc AS (SELECT c.vec_a, c.vec_b,
+       |${ns}sc AS (SELECT c.vec_a, c.vec_b,
        |         SUM(x.v[i] * y.v[i]) AS dot,
        |         SUM(x.v[i] * x.v[i]) AS na,
        |         SUM(y.v[i] * y.v[i]) AS nb
-       |       FROM cand c
+       |       FROM ${ns}cand c
        |       JOIN iv x ON x.vec_id = c.vec_a
        |       JOIN iv y ON y.vec_id = c.vec_b, idx
        |       GROUP BY c.vec_a, c.vec_b),
-       |cs AS (SELECT vec_a, vec_b,
+       |${ns}cs AS (SELECT vec_a, vec_b,
        |         CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cos
-       |       FROM sc)""".stripMargin
+       |       FROM ${ns}sc)""".stripMargin
+
+  private lazy val mtCtes = s"$ivCte,\n${mtChainCtes("")}"
 
   // Shared oracle scaffolding: scaled int vectors, index table 1..64.
   private val ivCte =
@@ -1749,7 +1834,7 @@ object Similarity {
   private[graft] def graphWalkRoundProbe(s: SparkSession, d: String): DataFrame = {
     val iv = intVecs(s, d)
     val coarse = coarseModel(s, d)
-    val fwd = neighborTable(s, d)
+    val fwd = nndNeighborTable(s, d)
       .filter(col("vec_id") =!= 0 && col("nbr_id") =!= 0)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val edges = fwd
@@ -1774,15 +1859,18 @@ object Similarity {
   }
 
   /** Graph-ANN oracle chain (q_ann_graph + the recall panel's graph leg)
-    * — g-namespaced so it composes with the panel's other families.
-    * Requires iv/idx (ivCte) and vn/asg3/dot3/nrm3 (kmPrefix +
-    * kmRoundCtes(3)) upstream. Replays: the knn_neighbors asset (exact
-    * all-pairs cos → per-vector top-5 by (cos DESC, nbr ASC) — ranked
-    * INCLUDING vec 0, then both-endpoint-filtered, matching the shared
-    * asset's build-then-filter), the per-cell entry (argmax centroid
-    * cosine under the trained model, ties to smallest vec_id), and
-    * [[GraphRounds]] unrolled beam rounds at beam [[GraphBeam]], ending
-    * in `gv{GraphRounds}` = every scored (vec_id, hop, cos). */
+    * — g/nd-namespaced so it composes with the panel's other families.
+    * Requires iv/idx (ivCte), gcand/gcs (mtChainCtes("g") — the
+    * multi-table LSH candidate replay), and vn/asg3/dot3/nrm3 (kmPrefix +
+    * kmRoundCtes(3)) upstream. Replays: the NN-DESCENT `nnd_neighbors`
+    * asset (LSH-candidate init top-5 → one neighbor-of-neighbor round
+    * scoring only fresh pairs → re-rank, every rank by (cos DESC, nbr
+    * ASC) — ranked INCLUDING vec 0, then both-endpoint-filtered,
+    * matching the shared asset's build-then-filter), the per-cell entry
+    * (argmax centroid cosine under the trained model, ties to smallest
+    * vec_id), and [[GraphRounds]] unrolled beam rounds at beam
+    * [[GraphBeam]], ending in `gv{GraphRounds}` = every scored
+    * (vec_id, hop, cos). */
   private lazy val graphCtes: String = {
     val rounds = (1 to GraphRounds).map { r =>
       val prevV = s"gv${r - 1}"
@@ -1800,18 +1888,39 @@ object Similarity {
            |         ORDER BY cos DESC, vec_id ASC LIMIT $GraphBeam)""".stripMargin
       else step
     }.mkString(",\n")
-    s"""gsc AS MATERIALIZED (SELECT a.vec_id AS vid, b.vec_id AS nbr,
-       |          SUM(a.v[i] * b.v[i]) AS dot,
-       |          SUM(a.v[i] * a.v[i]) AS na,
-       |          SUM(b.v[i] * b.v[i]) AS nb
-       |        FROM iv a, iv b, idx WHERE a.vec_id <> b.vec_id
-       |        GROUP BY a.vec_id, b.vec_id),
+    s"""nd0 AS MATERIALIZED (SELECT vid, nbr FROM (
+       |          SELECT vid, nbr, ROW_NUMBER() OVER (PARTITION BY vid
+       |            ORDER BY cos DESC, nbr ASC) AS rnk
+       |          FROM (SELECT vec_a AS vid, vec_b AS nbr, cos FROM gcs
+       |                UNION ALL
+       |                SELECT vec_b AS vid, vec_a AS nbr, cos FROM gcs) z0) z
+       |        WHERE rnk <= 5),
+       |nds AS MATERIALIZED (SELECT vid, nbr FROM nd0
+       |       UNION SELECT nbr AS vid, vid AS nbr FROM nd0),
+       |ndn AS MATERIALIZED (SELECT DISTINCT x.nbr AS vec_a, y.nbr AS vec_b
+       |        FROM nds x JOIN nds y ON x.vid = y.vid AND x.nbr < y.nbr),
+       |ndf AS MATERIALIZED (SELECT n.vec_a, n.vec_b FROM ndn n
+       |        WHERE NOT EXISTS (SELECT 1 FROM gcand c
+       |          WHERE c.vec_a = n.vec_a AND c.vec_b = n.vec_b)),
+       |ndsc AS MATERIALIZED (SELECT f.vec_a, f.vec_b,
+       |          SUM(x.v[i] * y.v[i]) AS dot,
+       |          SUM(x.v[i] * x.v[i]) AS na,
+       |          SUM(y.v[i] * y.v[i]) AS nb
+       |        FROM ndf f JOIN iv x ON x.vec_id = f.vec_a
+       |                   JOIN iv y ON y.vec_id = f.vec_b, idx
+       |        GROUP BY f.vec_a, f.vec_b),
+       |ndall AS MATERIALIZED (SELECT vec_a, vec_b, cos FROM gcs
+       |        UNION ALL
+       |        SELECT vec_a, vec_b, CAST(dot AS DOUBLE) /
+       |          (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cos
+       |        FROM ndsc),
        |grk AS MATERIALIZED (SELECT vid, nbr FROM (
-       |          SELECT vid, nbr,
-       |            ROW_NUMBER() OVER (PARTITION BY vid ORDER BY
-       |              CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) DESC,
-       |              nbr ASC) AS rnk
-       |          FROM gsc) z WHERE rnk <= 5),
+       |          SELECT vid, nbr, ROW_NUMBER() OVER (PARTITION BY vid
+       |            ORDER BY cos DESC, nbr ASC) AS rnk
+       |          FROM (SELECT vec_a AS vid, vec_b AS nbr, cos FROM ndall
+       |                UNION ALL
+       |                SELECT vec_b AS vid, vec_a AS nbr, cos FROM ndall) z0) z
+       |        WHERE rnk <= 5),
        |gg AS MATERIALIZED (SELECT vid, nbr FROM grk WHERE vid <> 0 AND nbr <> 0
        |       UNION
        |       SELECT nbr AS vid, vid AS nbr FROM grk WHERE vid <> 0 AND nbr <> 0),
@@ -1985,13 +2094,15 @@ object Similarity {
 
     // graph-ANN replay: trained coarse model (kmPrefix + 3 rounds, the
     // q_ann_ivf_trained chain verbatim) routes the query to its cell;
-    // graphCtes then replays the knn_neighbors edges, the per-cell entry,
-    // and the unrolled beam rounds — the final gv{R} holds every scored
-    // node with its first-reached hop, cut by the same (cos, vec_id) rule
+    // mtChainCtes("g") replays the LSH candidate init, graphCtes the
+    // NN-descent refinement, the per-cell entry, and the unrolled beam
+    // rounds — the final gv{R} holds every scored node with its
+    // first-reached hop, cut by the same (cos, vec_id) rule
     "q_ann_graph" ->
       s"""WITH $ivCte,
          |$kmPrefix,
          |${kmRoundCtes(3, sumsAtLast = false)},
+         |${mtChainCtes("g")},
          |$graphCtes
          |SELECT vec_id, hop, cos FROM gv$GraphRounds
          |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
@@ -2246,6 +2357,7 @@ object Similarity {
          |           SELECT vec_id, CAST(dot AS DOUBLE) /
          |             (SQRT(CAST(nv AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE))) AS cos
          |           FROM prr) ORDER BY cos DESC, vec_id ASC LIMIT 5),
+         |${mtChainCtes("g")},
          |$graphCtes,
          |gtop AS (SELECT vec_id FROM gv$GraphRounds
          |         ORDER BY cos DESC, vec_id ASC LIMIT 5)

@@ -388,8 +388,28 @@ class QueriesSpec extends SparkSpec {
     info(f"trained-IVF top-5 recall on the same fixture: $ivfRecall%.2f")
     assert(recall >= ivfRecall,
       f"graph recall $recall%.2f below the trained-IVF leg $ivfRecall%.2f")
-    // deterministic fixture — the measured value, not a hopeful floor
-    assert(recall >= 0.8, f"graph recall $recall%.2f below the measured 0.8")
+    // deterministic fixture — the measured value, not a hopeful floor.
+    // The walk runs over the ANN-BUILT (NN-descent) graph; the round-13
+    // verdict's bar is >= 0.9 of the exact-graph walk's recall (1.00 on
+    // this fixture), so the floor is 0.9
+    assert(recall >= 0.9, f"graph recall $recall%.2f below the 0.9 bar")
+
+    // index quality of the NN-descent build itself: each vector's ANN
+    // top-5 list vs the exact top-5 (brute-forced here) — edge recall
+    // >= 0.9 on clustered vectors
+    val nnd = graft.queries.Similarity.nndNeighborTable(spark, dir)
+      .collect().groupBy(_.getAs[Long]("vec_id"))
+      .map { case (v, rs) => v -> rs.map(_.getAs[Long]("nbr_id")).toSet }
+    val ids = vecs.keySet
+    val edgeHits = ids.toSeq.map { v =>
+      val exactN = ids.toSeq.filter(_ != v)
+        .map(o => (o, cos(vecs(v), vecs(o))))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      nnd.getOrElse(v, Set.empty).intersect(exactN).size
+    }.sum
+    val edgeRecall = edgeHits.toDouble / (ids.size * 5)
+    info(f"NN-descent graph edge recall vs exact 5-NN: $edgeRecall%.2f")
+    assert(edgeRecall >= 0.9, f"NND edge recall $edgeRecall%.2f below 0.9")
   }
 
   test("q_hard_negatives mines cross-label near neighbors; recall vs exact on clustered vectors") {
