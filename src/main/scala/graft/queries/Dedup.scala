@@ -1119,6 +1119,73 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // AUDIO NEAR-DUP as a GATE ROW (round-13 directive #4): the audio
+    // fingerprint family end-to-end through the REAL javax.sound codec
+    // under the DuckDB oracle — the audio twin of q_image_neardup. The sf
+    // dirs carry no binary media, so the query derives a deterministic
+    // PCM clip per doc id: 65 time slices × 16 samples of constant
+    // EXACT-POWER-OF-TWO amplitude (LOW = 4096/2^15 = 2^-3, HIGH =
+    // 16384/2^15 = 2^-1, alternating sign), slice levels md5-derived per
+    // 8-doc group with two id-derived slice flips (range 1..62), slice 64
+    // forced LOW so gradient bit 63 is always 0 (the fp stays in
+    // [0, 2^63) — sign-free, hence shift/xor/popcount semantics agree
+    // across engines). Powers of two make every float step EXACT: decode
+    // yields ±u/2^15, squares, the 16-term sums, the mean, and the sqrt
+    // are all dyadic rationals inside float precision, so each slice RMS
+    // is exactly 2^-3 or 2^-1 and every gradient sign is integer logic
+    // the oracle replays arithmetically. Each clip is encoded as a REAL
+    // 16-bit PCM WAV (AudioSystem.write) and the production pipeline runs
+    // verbatim: Multimodal.audioHashes (javax.sound decode → RMS slices →
+    // gradient-sign fp) → Multimodal.nearDupImagePairs (Hamming-banded
+    // self-join, radius 3, exact popcount rerank) — a hash-exact row
+    // certifies the WAV encode→decode round-trip itself. Pure map work +
+    // the banded equi-join; no all-pairs stage at any scale.
+    "q_audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(x: String): String =
+          md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        it.map { id =>
+          val digits = hex(s"aud:${id / 8}:0") + hex(s"aud:${id / 8}:1") +
+            hex(s"aud:${id / 8}:2")
+          val p = 1 + ((id * 7) % 62).toInt
+          val q = 1 + ((id * 13) % 62).toInt
+          val pcm = new Array[Byte](65 * 16 * 2)
+          var k = 0
+          while (k < 65) {
+            val high0 = Character.digit(digits.charAt(k), 16) >= 8
+            val high = if (k == 64) false else high0 ^ (k == p || k == q)
+            val u = if (high) 16384 else 4096
+            var j = 0
+            while (j < 16) {
+              val v = if (j % 2 == 0) u else -u
+              val off = (k * 16 + j) * 2
+              pcm(off) = (v & 0xff).toByte // 16-bit PCM, little-endian
+              pcm(off + 1) = ((v >> 8) & 0xff).toByte
+              j += 1
+            }
+            k += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, 65L * 16)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          graft.multimodal.Multimodal.Media(id, "audio", bos.toByteArray,
+            graft.multimodal.Multimodal.MediaMeta(None, None, Some(8000)))
+        }
+      }
+      val hashes = graft.multimodal.Multimodal.audioHashes(media).toDF()
+      graft.multimodal.Multimodal.nearDupImagePairs(hashes, "afp", 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // 16-bit SimHash fingerprint per document (sign of per-bit weighted
     // token-hash sum). One md5 + one int per token, 16 arithmetic sums in a
     // single per-doc aggregate — no row blow-up, one shuffle. Pair search is
@@ -1521,6 +1588,40 @@ object Dedup {
         |      THEN (CAST(1 AS BIGINT) << CAST(LEAST(c.i, 62) AS INTEGER))
         |      ELSE 0 END) AS BIGINT) AS h
         |  FROM cell c JOIN sv USING (doc_id) GROUP BY 1),
+        |bnd AS (SELECT doc_id, h, b,
+        |    CASE WHEN b < 3 THEN (h >> CAST(b * 16 AS INTEGER)) & 65535
+        |         ELSE h >> 48 END AS bv
+        |  FROM hsh, (SELECT UNNEST(range(0, 4)) AS b) bb),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |           a.h AS ha, b2.h AS hb
+        |  FROM bnd a JOIN bnd b2
+        |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Arithmetic replay of the audio fingerprint: the md5-derived 65-slice
+    // high/low pattern (with the two id-derived flips and the forced-low
+    // slice 64), gradient bit i = low(i) AND high(i+1), then the identical
+    // 4×16 Hamming banding — bit-exact because the Spark side's codec
+    // round-trip lands on exact power-of-two RMS values.
+    "q_audio_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |sl AS (SELECT doc_id, k,
+        |    CASE WHEN k = 64 THEN FALSE
+        |         ELSE ((strpos('0123456789abcdef',
+        |                substr(md5('aud:' || CAST(doc_id // 8 AS VARCHAR) || ':' ||
+        |                           CAST(k // 32 AS VARCHAR)),
+        |                       CAST(k % 32 AS INTEGER) + 1, 1)) - 1) >= 8)
+        |              <> (k = 1 + (doc_id * 7) % 62 OR k = 1 + (doc_id * 13) % 62)
+        |         END AS hi
+        |  FROM ids, (SELECT UNNEST(range(0, 65)) AS k) kk),
+        |hsh AS (SELECT a.doc_id,
+        |    CAST(COALESCE(SUM(CASE WHEN (NOT a.hi) AND b.hi
+        |      THEN (CAST(1 AS BIGINT) << CAST(a.k AS INTEGER)) ELSE 0 END), 0) AS BIGINT) AS h
+        |  FROM sl a JOIN sl b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        |  WHERE a.k < 64
+        |  GROUP BY 1),
         |bnd AS (SELECT doc_id, h, b,
         |    CASE WHEN b < 3 THEN (h >> CAST(b * 16 AS INTEGER)) & 65535
         |         ELSE h >> 48 END AS bv
