@@ -43,7 +43,20 @@ object LangTriScores {
       "aße" -> 3, "mäd" -> 3, "it " -> 1, "ze " -> 1),
     "fr" -> Seq(" le" -> 3, "le " -> 2, "les" -> 2, " la" -> 1, "la " -> 1,
       "ent" -> 1, "eur" -> 2, "une" -> 2, " un" -> 1, "ais" -> 2,
-      "ait" -> 2, "oir" -> 2, "ans" -> 1, "che" -> 1))
+      "ait" -> 2, "oir" -> 2, "ans" -> 1, "che" -> 1),
+    // round-14 tier widening (verdict stretch #8): the next three
+    // languages the corpus fixture can plant — same curated-orthography
+    // sourcing (affixes, clitics, characteristic digraph clusters), same
+    // integer voting
+    "pt" -> Seq("ção" -> 3, "ão " -> 3, "ões" -> 3, "nha" -> 2,
+      "nho" -> 2, "lho" -> 2, " da" -> 2, "da " -> 2, " do" -> 2,
+      "do " -> 2, "uma" -> 2, " um" -> 1, "em " -> 1, "ara" -> 1),
+    "it" -> Seq("gli" -> 3, " il" -> 3, "il " -> 2, "ità" -> 3, "zio" -> 2,
+      "zza" -> 2, " di" -> 2, "di " -> 2, "ell" -> 2, "lla" -> 2,
+      "are" -> 1, "one" -> 1, "ono" -> 2, " un" -> 1),
+    "nl" -> Seq("ijk" -> 3, "ij " -> 3, "het" -> 3, "van" -> 3, " va" -> 1,
+      "aar" -> 2, "oor" -> 2, "een" -> 2, "cht" -> 1, "sch" -> 1,
+      "de " -> 1, " de" -> 1, "ng " -> 1, "ver" -> 1))
 
   val Langs: Seq[String] = Model.map(_._1)
 

@@ -68,6 +68,34 @@ object TextOps {
   private def sqlTriScore(lang: String): String =
     s"CAST(COALESCE(list_sum(list_transform(tris, g -> ${triCase(lang)})), 0) AS BIGINT)"
 
+  /** Chained trigram argmax over [[graft.expressions.LangTriScores.Langs]]
+    * (first in model order wins ties), 'und' when no score is positive —
+    * GENERATED from the language list, so widening the model widens every
+    * consumer and the oracle in lockstep. */
+  private def triArgmaxChain(
+      score: String => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val langs = graft.expressions.LangTriScores.Langs
+    langs.zipWithIndex.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case ((l, i), acc) =>
+        val cond = langs.drop(i + 1)
+          .map(l2 => score(l) >= score(l2))
+          .foldLeft(score(l) > 0)(_ && _)
+        when(cond, l).otherwise(acc)
+    }
+  }
+
+  /** The oracle's spelling of [[triArgmaxChain]] over `<prefix><lang>`
+    * score columns. */
+  private def sqlTriArgmax(prefix: String): String = {
+    val langs = graft.expressions.LangTriScores.Langs
+    val whens = langs.zipWithIndex.map { case (l, i) =>
+      val conds = s"$prefix$l > 0" +:
+        langs.drop(i + 1).map(l2 => s"$prefix$l >= $prefix$l2")
+      s"WHEN ${conds.mkString(" AND ")} THEN '$l'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE 'und' END"
+  }
+
   /** Decile thresholds on the logit axis (q_model_calibration): the
     * score-k/10 boundary is z = ln(k/(10−k)). Shared VERBATIM with the
     * oracle (Scala's shortest-round-trip Double.toString parses back to
@@ -115,13 +143,10 @@ object TextOps {
     * prefer it when the input is real multilingual prose — the spec
     * measures it ≥ the stopword tier on a planted multilingual fixture. */
   def predLangNgramExpr: org.apache.spark.sql.Column = {
-    val Seq(en, es, de, fr) = (1 to 4).map(i =>
-      coalesce(element_at(expr("graft_lang_tri(lower(text))"), lit(i)), lit(0L)))
-    when(en >= es && en >= de && en >= fr && en > 0, "en")
-      .when(es >= de && es >= fr && es > 0, "es")
-      .when(de >= fr && de > 0, "de")
-      .when(fr > 0, "fr")
-      .otherwise("und")
+    val langs = graft.expressions.LangTriScores.Langs
+    def sc(l: String) = coalesce(element_at(
+      expr("graft_lang_tri(lower(text))"), lit(langs.indexOf(l) + 1)), lit(0L))
+    triArgmaxChain(sc)
   }
 
   /** Predicted language over a `text` column (argmax stopword heuristic). */
@@ -991,24 +1016,17 @@ object TextOps {
           expr("graft_lang_tri(lower(text))").as("tris") +:
           Stops.map { case (l, p) => hits(l, p) }: _*)
       val Seq(en, es, de, fr) = Stops.map { case (l, _) => col(s"h_$l") }
-      val Seq(sen, ses, sde, sfr) = Seq("en", "es", "de", "fr").map(triScore)
-      base
+      val langs = graft.expressions.LangTriScores.Langs
+      val withScores = langs.foldLeft(base)((df, l) =>
+        df.withColumn(s"s_$l", triScore(l)))
+      withScores
         .withColumn("pred_lang",
           when(en >= es && en >= de && en >= fr && en > 0, "en")
             .when(es >= de && es >= fr && es > 0, "es")
             .when(de >= fr && de > 0, "de")
             .when(fr > 0, "fr")
             .otherwise("und"))
-        .withColumn("s_en", sen).withColumn("s_es", ses)
-        .withColumn("s_de", sde).withColumn("s_fr", sfr)
-        .withColumn("pred_lang_ngram",
-          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
-            col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
-            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") &&
-              col("s_es") > 0, "es")
-            .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
-            .when(col("s_fr") > 0, "fr")
-            .otherwise("und"))
+        .withColumn("pred_lang_ngram", triArgmaxChain(l => col(s"s_$l")))
         .drop("tris")
         .orderBy(col("doc_id"))
     }),
@@ -1874,8 +1892,9 @@ object TextOps {
 
     "q_lang_id" -> {
       val h = Stops.map { case (l, p) => s"${sqlHits(p)} AS h_$l" }.mkString(",\n  ")
-      val sc = Seq("en", "es", "de", "fr")
-        .map(l => s"${sqlTriScore(l)} AS s_$l").mkString(",\n  ")
+      val langs = graft.expressions.LangTriScores.Langs
+      val sc = langs.map(l => s"${sqlTriScore(l)} AS s_$l").mkString(",\n  ")
+      val sCols = langs.map(l => s"s_$l").mkString(", ")
       s"""WITH h AS (SELECT doc_id, lang AS lang_true, $sqlTris AS tris,
          |  $h
          |FROM documents),
@@ -1888,12 +1907,8 @@ object TextOps {
          |       WHEN h_de >= h_fr AND h_de > 0 THEN 'de'
          |       WHEN h_fr > 0 THEN 'fr'
          |       ELSE 'und' END AS pred_lang,
-         |  s_en, s_es, s_de, s_fr,
-         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
-         |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-         |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-         |       WHEN s_fr > 0 THEN 'fr'
-         |       ELSE 'und' END AS pred_lang_ngram
+         |  $sCols,
+         |  ${sqlTriArgmax("s_")} AS pred_lang_ngram
          |FROM sc ORDER BY doc_id""".stripMargin
     },
 

@@ -101,7 +101,21 @@ class TextOpsSpec extends SparkSpec {
       "fr" -> "le chien court dans la rue et la fille mange une pomme rouge",
       "fr" -> "les enfants aiment jouer dans le jardin pendant les longues vacances",
       "fr" -> "le lecteur attentif trouvait toujours une grande satisfaction dans les livres",
-      "fr" -> "une bonne lecture apporte une grande satisfaction chaleureuse aux voyageurs")
+      "fr" -> "une bonne lecture apporte une grande satisfaction chaleureuse aux voyageurs",
+      // round-14 tier widening: pt/it/nl, same pattern — last doc of each
+      // group avoids its language's clearest function words
+      "pt" -> "a educação do povo é uma das grandes missões da nação portuguesa",
+      "pt" -> "o menino ganhou um livro da biblioteca e uma maçã do pomar vizinho",
+      "pt" -> "as lições da história mostram que as nações crescem com educação",
+      "pt" -> "coração apaixonado, canções antigas, tradições guardadas em cada geração",
+      "it" -> "il ragazzo legge il giornale mentre gli amici giocano in piazza",
+      "it" -> "la città offre una grande quantità di opportunità per gli studenti",
+      "it" -> "il professore spiega la lezione di storia con grande passione",
+      "it" -> "felicità, serenità, generosità: parole che illuminano ogni piazza italiana",
+      "nl" -> "het meisje loopt door de straat en de jongen eet een appel",
+      "nl" -> "het weerbericht voorspelt zware regen van de kust naar het oosten",
+      "nl" -> "de leraar geeft een moeilijk boek aan de ijverige leerlingen van de klas",
+      "nl" -> "prachtige vergezichten lijken eerlijk gezegd bijzonder rijk wanneer wandelaars tijdig vertrekken")
     val df = spark.createDataFrame(
       fixture.zipWithIndex.map { case ((l, t), i) => Row(i.toLong, t, l) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
