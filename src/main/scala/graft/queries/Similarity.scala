@@ -806,6 +806,11 @@ object Similarity {
         .unionByName(leg("lsh", queries("q_ann_lsh")(s, d)))
         .unionByName(leg("prefix", queries("q_ann_prefix")(s, d)))
         .unionByName(leg("graph", queries("q_ann_graph")(s, d)))
+        // the NND index's own answer for the query: vec 0's top-5 list —
+        // the index-quality leg next to the walk that searches it
+        .unionByName(leg("nnd_knn", queries("q_ann_nnd")(s, d)
+          .filter(col("vec_id") === 0)
+          .select(col("nbr_id").as("vec_id"))))
         .orderBy(col("family"))
     }),
 
@@ -1382,6 +1387,16 @@ object Similarity {
     "q_knn_join_ann_multi" -> ((s, d) =>
       topKNeighbors(s, mtPairs(s, d), 3)),
 
+    // The NN-DESCENT index itself as a GATE ROW: the (vec_id, nbr_id,
+    // cos, rnk ≤ 5) proximity-graph asset q_ann_graph walks — registered
+    // so the index BUILD (multi-table LSH init → one neighbor-of-neighbor
+    // refinement round scoring only fresh pairs → re-rank under the
+    // (cos DESC, nbr ASC) total order) is oracle-certified directly, not
+    // only through the walk that consumes it. Probes read the memoized
+    // parquet; the build runs once per JVM per geometry (assets_s).
+    "q_ann_nnd" -> ((s, d) =>
+      nndNeighborTable(s, d).orderBy(col("vec_id"), col("rnk"))),
+
     // Approximate near-dup via LSH candidates + exact rerank — the scale
     // path when recall < 1 is acceptable. Candidates = pairs whose
     // sign-random-projection buckets are equal or Hamming-1 apart
@@ -1871,23 +1886,10 @@ object Similarity {
     * vec_id), and [[GraphRounds]] unrolled beam rounds at beam
     * [[GraphBeam]], ending in `gv{GraphRounds}` = every scored
     * (vec_id, hop, cos). */
-  private lazy val graphCtes: String = {
-    val rounds = (1 to GraphRounds).map { r =>
-      val prevV = s"gv${r - 1}"
-      val prevF = if (r == 1) "gv0" else s"gf${r - 1}"
-      val step =
-        s"""gc$r AS MATERIALIZED (SELECT DISTINCT g.nbr AS vec_id
-           |         FROM gg g JOIN $prevF f ON g.vid = f.vec_id
-           |         WHERE g.nbr NOT IN (SELECT vec_id FROM $prevV)),
-           |gs$r AS MATERIALIZED (SELECT c.vec_id, CAST($r AS BIGINT) AS hop, q.cos
-           |         FROM gc$r c JOIN gqs q USING (vec_id)),
-           |gv$r AS MATERIALIZED (SELECT * FROM $prevV UNION ALL SELECT * FROM gs$r)""".stripMargin
-      if (r < GraphRounds)
-        step + s""",
-           |gf$r AS MATERIALIZED (SELECT vec_id FROM gs$r
-           |         ORDER BY cos DESC, vec_id ASC LIMIT $GraphBeam)""".stripMargin
-      else step
-    }.mkString(",\n")
+  /** The NN-descent index replay alone (nd0 .. ndrk/grk) — requires
+    * iv/idx + gcand/gcs (mtChainCtes("g")) upstream; shared by the
+    * q_ann_nnd gate row and the graph-walk chain below. */
+  private lazy val nndCtes: String =
     s"""nd0 AS MATERIALIZED (SELECT vid, nbr FROM (
        |          SELECT vid, nbr, ROW_NUMBER() OVER (PARTITION BY vid
        |            ORDER BY cos DESC, nbr ASC) AS rnk
@@ -1914,13 +1916,33 @@ object Similarity {
        |        SELECT vec_a, vec_b, CAST(dot AS DOUBLE) /
        |          (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cos
        |        FROM ndsc),
-       |grk AS MATERIALIZED (SELECT vid, nbr FROM (
-       |          SELECT vid, nbr, ROW_NUMBER() OVER (PARTITION BY vid
+       |ndrk AS MATERIALIZED (SELECT vid, nbr, cos, rnk FROM (
+       |          SELECT vid, nbr, cos, ROW_NUMBER() OVER (PARTITION BY vid
        |            ORDER BY cos DESC, nbr ASC) AS rnk
        |          FROM (SELECT vec_a AS vid, vec_b AS nbr, cos FROM ndall
        |                UNION ALL
        |                SELECT vec_b AS vid, vec_a AS nbr, cos FROM ndall) z0) z
        |        WHERE rnk <= 5),
+       |grk AS MATERIALIZED (SELECT vid, nbr FROM ndrk)""".stripMargin
+
+  private lazy val graphCtes: String = {
+    val rounds = (1 to GraphRounds).map { r =>
+      val prevV = s"gv${r - 1}"
+      val prevF = if (r == 1) "gv0" else s"gf${r - 1}"
+      val step =
+        s"""gc$r AS MATERIALIZED (SELECT DISTINCT g.nbr AS vec_id
+           |         FROM gg g JOIN $prevF f ON g.vid = f.vec_id
+           |         WHERE g.nbr NOT IN (SELECT vec_id FROM $prevV)),
+           |gs$r AS MATERIALIZED (SELECT c.vec_id, CAST($r AS BIGINT) AS hop, q.cos
+           |         FROM gc$r c JOIN gqs q USING (vec_id)),
+           |gv$r AS MATERIALIZED (SELECT * FROM $prevV UNION ALL SELECT * FROM gs$r)""".stripMargin
+      if (r < GraphRounds)
+        step + s""",
+           |gf$r AS MATERIALIZED (SELECT vec_id FROM gs$r
+           |         ORDER BY cos DESC, vec_id ASC LIMIT $GraphBeam)""".stripMargin
+      else step
+    }.mkString(",\n")
+    s"""$nndCtes,
        |gg AS MATERIALIZED (SELECT vid, nbr FROM grk WHERE vid <> 0 AND nbr <> 0
        |       UNION
        |       SELECT nbr AS vid, vid AS nbr FROM grk WHERE vid <> 0 AND nbr <> 0),
@@ -2106,6 +2128,16 @@ object Similarity {
          |$graphCtes
          |SELECT vec_id, hop, cos FROM gv$GraphRounds
          |ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    // the NN-descent index replay standalone: LSH candidate chain → init
+    // top-5 → fresh neighbor-of-neighbor pairs → union re-rank — the
+    // ndrk table IS the asset
+    "q_ann_nnd" ->
+      s"""WITH $ivCte,
+         |${mtChainCtes("g")},
+         |$nndCtes
+         |SELECT vid AS vec_id, nbr AS nbr_id, cos, rnk FROM ndrk
+         |ORDER BY vec_id, rnk""".stripMargin,
 
     "q_colbert_maxsim" ->
       s"""WITH iv AS (SELECT vec_id, ${sqlIntVec("embedding")} AS v FROM embeddings),
@@ -2360,7 +2392,9 @@ object Similarity {
          |${mtChainCtes("g")},
          |$graphCtes,
          |gtop AS (SELECT vec_id FROM gv$GraphRounds
-         |         ORDER BY cos DESC, vec_id ASC LIMIT 5)
+         |         ORDER BY cos DESC, vec_id ASC LIMIT 5),
+         |ntop AS (SELECT nbr AS vec_id FROM ndrk WHERE vid = 0
+         |         ORDER BY rnk LIMIT 5)
          |SELECT * FROM (
          |  SELECT 'ivf_trained' AS family, CAST(5 AS BIGINT) AS k,
          |    (SELECT COUNT(*) FROM vtop
@@ -2384,6 +2418,12 @@ object Similarity {
          |    (SELECT COUNT(*) FROM gtop
          |     WHERE vec_id IN (SELECT vec_id FROM xtop)),
          |    CAST((SELECT COUNT(*) FROM gtop
+         |     WHERE vec_id IN (SELECT vec_id FROM xtop)) AS DOUBLE) / 5.0
+         |  UNION ALL
+         |  SELECT 'nnd_knn', CAST(5 AS BIGINT),
+         |    (SELECT COUNT(*) FROM ntop
+         |     WHERE vec_id IN (SELECT vec_id FROM xtop)),
+         |    CAST((SELECT COUNT(*) FROM ntop
          |     WHERE vec_id IN (SELECT vec_id FROM xtop)) AS DOUBLE) / 5.0
          |) ORDER BY family""".stripMargin,
 

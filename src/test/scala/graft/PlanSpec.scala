@@ -244,6 +244,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p) // typed Aggregator w/ partial merge
   }
 
+  test("NN-descent BUILD: LSH equi-join candidates + bounded partial top-k — no cartesian, no window") {
+    // the ANN index build q_ann_graph/q_ann_nnd amortize: candidate
+    // generation is equi-joins on (table, bucket) and the shared graph
+    // endpoint; ranking is the bounded typed aggregator, never row_number
+    val p = graft.queries.Similarity.computeNndNeighbors(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("q_knn_join_ann joins candidates on the probe bucket and aggregates top-k partially") {
     val p = plan("q_knn_join_ann")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
