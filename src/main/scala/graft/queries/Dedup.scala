@@ -162,6 +162,8 @@ object Dedup {
 
   private val docCount = scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  private val ssjoinEstCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Seed count of an existing signature frame — geometry travels WITH
     * the asset (columns m0..m_{n-1}), so every consumer of a signature
     * table derives its seed list from the frame instead of a global. */
@@ -959,10 +961,15 @@ object Dedup {
       // q_dedup_ngram maxDocs precedent — and points at the capped/minhash
       // tier, whose cost is candidate-bounded by construction.
       val maxEst = s.conf.get("graft.ssjoin.maxCandPairs", "20000000").toLong
-      val est = prefixIndex(s, d)
-        .groupBy(col("g")).agg(count(lit(1)).as("dfp"))
-        .agg(coalesce(sum(expr("dfp * (dfp - 1) div 2")), lit(0L)))
-        .first().getLong(0)
+      // the bound is a pure function of the immutable dataset dir (conf
+      // only moves the BUDGET), so the aggregate runs once per JVM — the
+      // vecCount guard-cache precedent, keeping the guard's cost off
+      // every repeat invocation
+      val est = ssjoinEstCache.getOrElseUpdate(d,
+        prefixIndex(s, d)
+          .groupBy(col("g")).agg(count(lit(1)).as("dfp"))
+          .agg(coalesce(sum(expr("dfp * (dfp - 1) div 2")), lit(0L)))
+          .first().getLong(0))
       require(est <= maxEst,
         s"q_ssjoin_prefix: prefix-candidate upper bound $est exceeds the " +
           s"dense-vocabulary guard ($maxEst). This corpus's shingle " +
