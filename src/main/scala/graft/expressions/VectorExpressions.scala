@@ -298,6 +298,96 @@ case class Md5UInt32(child: Expression)
   override def prettyName: String = "graft_md5_u32"
 }
 
+/** Max-cosine centroid assignment against a DATA centroid table — the
+  * k-scalable twin of the literal-struct argmax in
+  * `graft.operators.KMeans.centArgmax`. The literal form builds an
+  * expression tree ∝ k·d (one named_struct + one dot per centroid);
+  * measured at sf1 its cost grows ~0.3 s per centroid once k passes a
+  * few dozen — the generated method outgrows what JIT optimizes. Here
+  * the centroids arrive as three CONSTANT arrays (flattened k·d sums,
+  * per-centroid norms², centroid ids — folded to single literals before
+  * codegen), and the whole argmax is ONE compiled k·d loop per row.
+  * Arithmetic is the literal form's exactly — (double)dot /
+  * (sqrt((double)nv) · sqrt((double)cn)), ties to the smallest cid — so
+  * assignments are bit-identical (spec-pinned). */
+object CentArgmaxData {
+  def eval(v: ArrayData, nv: Long, flat: ArrayData, norms: ArrayData,
+           cids: ArrayData): Long = {
+    val d = v.numElements()
+    val k = norms.numElements()
+    var bestCos = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      var dot = 0L
+      var j = 0
+      val off = c * d
+      while (j < d) { dot += v.getLong(j) * flat.getLong(off + j); j += 1 }
+      val cos = dot.toDouble / (java.lang.Math.sqrt(nv.toDouble) *
+        java.lang.Math.sqrt(norms.getLong(c).toDouble))
+      val cid = cids.getLong(c)
+      if (cos > bestCos || (cos == bestCos && cid < bestCid)) {
+        bestCos = cos
+        bestCid = cid
+      }
+      c += 1
+    }
+    bestCid
+  }
+}
+
+case class CentArgmaxExpr(children: Seq[Expression]) extends Expression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isLongArray(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val ok = children.length == 5 &&
+      isLongArray(children(0)) && children(1).dataType == LongType &&
+      isLongArray(children(2)) && isLongArray(children(3)) &&
+      isLongArray(children(4))
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, bigint, array<bigint>, " +
+        "array<bigint>, array<bigint>)")
+  }
+
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = LongType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else CentArgmaxData.eval(vs(0).asInstanceOf[ArrayData],
+      vs(1).asInstanceOf[Long], vs(2).asInstanceOf[ArrayData],
+      vs(3).asInstanceOf[ArrayData], vs(4).asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(_.isNull.toString).mkString(" || ")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expressions.CentArgmaxData.eval(
+            ${evals(0).value}, ${evals(1).value}, ${evals(2).value},
+            ${evals(3).value}, ${evals(4).value});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CentArgmaxExpr =
+    copy(children = newChildren)
+
+  override def prettyName: String = "graft_cent_argmax"
+}
+
 /** Registration for graft's native expressions.
   *
   * Preferred route: `spark.sql.extensions=graft.expressions.GraftExtensions`
@@ -312,6 +402,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bucketDescriptor)
     ext.injectFunction(GraftFunctions.md5U32Descriptor)
     ext.injectFunction(GraftFunctions.langTriDescriptor)
+    ext.injectFunction(GraftFunctions.centArgmaxDescriptor)
   }
 }
 
@@ -346,10 +437,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[LangTriScoresExpr].getName, "graft_lang_tri"),
       (children: Seq[Expression]) => LangTriScoresExpr(children.head))
 
+  val centArgmaxDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_cent_argmax"),
+      new ExpressionInfo(classOf[CentArgmaxExpr].getName, "graft_cent_argmax"),
+      (children: Seq[Expression]) => CentArgmaxExpr(children))
+
   /** Idempotent session-level registration. */
   def register(spark: SparkSession): Unit =
     Seq(longDotDescriptor, levenshteinDescriptor, nfcDescriptor,
-      bucketDescriptor, md5U32Descriptor, langTriDescriptor)
+      bucketDescriptor, md5U32Descriptor, langTriDescriptor,
+      centArgmaxDescriptor)
       .foreach { case (fid, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(fid)) {
         spark.sessionState.functionRegistry.registerFunction(fid, info, builder)

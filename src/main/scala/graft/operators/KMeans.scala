@@ -59,6 +59,24 @@ object KMeans {
     -expr(structs).getField("negcid")
   }
 
+  /** [[centArgmax]] with the model as DATA instead of an expression tree:
+    * the literal-struct argmax generates code ∝ k·d and measured ~0.3 s
+    * PER CENTROID at sf1 once k passes a few dozen (the generated method
+    * outgrows what JIT optimizes), while this form folds the k·d sums,
+    * norms², and ids into three constant arrays and runs ONE compiled
+    * loop per row ([[graft.expressions.CentArgmaxData]]). Assignments
+    * are bit-identical (same dot/sqrt/divide IEEE ops, same min-cid tie
+    * rule — spec-pinned), so consumers switch purely on k: the default
+    * k=8 stays on the literal form the oracle mirrors structurally, the
+    * conf-scaled SemDeDup path (k ∝ N) uses this. */
+  def centArgmaxData(cents: Model): Column = {
+    val sorted = cents.sortBy(_._1)
+    val flat = sorted.flatMap(_._2).mkString("array(", "L, ", "L)")
+    val norms = sorted.map(_._3).mkString("array(", "L, ", "L)")
+    val cids = sorted.map(_._1).mkString("array(", "L, ", "L)")
+    expr(s"graft_cent_argmax(v, nv, $flat, $norms, $cids)")
+  }
+
   /** The n nearest centroids (cos DESC, ties to smallest cid) as an
     * in-row ARRAY of cids — the multi-probe router of an IVF index
     * (FAISS `nprobe`): probing the top-n coarse cells trades n× candidate
@@ -90,9 +108,12 @@ object KMeans {
     expr(structs).getField("cos")
   }
 
-  /** vecs + `cluster` column (max-cos centroid, ties to smallest cid). */
+  /** vecs + `cluster` column (max-cos centroid, ties to smallest cid) —
+    * the same k-switch as the consumers: identical assignments either
+    * way, so which form trains is invisible to the oracle. */
   private def assign(vecs: DataFrame, cents: Model): DataFrame =
-    vecs.withColumn("cluster", centArgmax(cents))
+    vecs.withColumn("cluster",
+      if (cents.length > 16) centArgmaxData(cents) else centArgmax(cents))
 
   /** Per-(cluster, dim) integer sums + counts of the given assignment. */
   private def clusterSums(assigned: DataFrame): DataFrame =

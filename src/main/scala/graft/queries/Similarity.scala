@@ -1650,8 +1650,15 @@ object Similarity {
   private def semanticVerdict(s: SparkSession, d: String): DataFrame = {
     val iv = intVecs(s, d)
     val cents = semModel(s, d)
+    // assignment form switches on k alone — bit-identical results (the
+    // centArgmaxData contract): literal argmax for the default/oracle
+    // k=8, the compiled-loop data form once the conf scales k with N
+    // (the literal expression's cost grows ~0.3 s/centroid at sf1)
+    val assign =
+      if (cents.length > 16) graft.operators.KMeans.centArgmaxData(cents)
+      else graft.operators.KMeans.centArgmax(cents)
     val assigned = iv
-      .withColumn("cluster", graft.operators.KMeans.centArgmax(cents))
+      .withColumn("cluster", assign)
       .select(col("vec_id"), col("v"), col("nv"), col("cluster"))
     val a = assigned.select(col("vec_id").as("ida"), col("v").as("va"),
       col("nv").as("na"), col("cluster").as("ca"))

@@ -10,6 +10,20 @@ class KMeansSpec extends SparkSpec {
     .select(col("vec_id"), intVec("embedding").as("v"))
     .withColumn("nv", normL("v"))
 
+  test("centArgmaxData assigns bit-identically to the literal-expression argmax at k=8 and k=24") {
+    // the data form exists so SemDeDup's conf-scaled k doesn't pay the
+    // literal expression's ~per-centroid codegen cost — it must be a pure
+    // execution-strategy swap: same IEEE arithmetic, same min-cid ties
+    for (k <- Seq(8, 24)) {
+      val model = KMeans.model(vecs, (1L to k.toLong).toSeq, updates = 2)
+      val both = vecs
+        .withColumn("lit_c", KMeans.centArgmax(model))
+        .withColumn("dat_c", KMeans.centArgmaxData(model))
+      val diff = both.filter(col("lit_c") =!= col("dat_c")).count()
+      assert(diff == 0, s"k=$k: $diff rows assigned differently")
+    }
+  }
+
   test("train with iters=1 equals the registered single Lloyd step") {
     val step = graft.queries.Similarity.queries("q_kmeans_step")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
