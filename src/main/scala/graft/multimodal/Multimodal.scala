@@ -287,19 +287,74 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling stub for video-kind rows: deterministic byte-range
-    * slices standing in for decoded frames (n evenly spaced "frames"). */
+  /** Minimal length-prefixed frame container ("GFV1"): the JDK ships no
+    * video codec, so video payloads the pipeline itself produces travel as
+    * `'GFV1' | frameCount:int32BE | { frameLen:int32BE | frame bytes }*`
+    * where each frame is an independently decodable still (PNG/JPEG via
+    * javax.imageio). The container is the honest stub boundary: swap
+    * [[decodeVideoFrames]] for a real demuxer (JNI/javacv) and every
+    * downstream stage — frame sampling, per-frame hashing, the banded
+    * near-dup join — is unchanged, because they only ever see frame bytes. */
+  private val VideoMagic = Array[Byte]('G', 'F', 'V', '1')
+
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(VideoMagic)
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Parse a GFV1 container into its frame payloads; None for anything
+    * else (absent payload, foreign container, truncated body) — callers
+    * fall back to the byte-range stub so one bad blob never kills a task. */
+  private[multimodal] def decodeVideoFrames(bytes: Array[Byte]): Option[Array[Array[Byte]]] =
+    if (bytes == null || bytes.length < 8 ||
+      !java.util.Arrays.equals(bytes.take(4), VideoMagic)) None
+    else
+      try {
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes, 4, bytes.length - 4))
+        val n = in.readInt()
+        if (n < 0 || n > (1 << 20)) None
+        else {
+          val frames = new Array[Array[Byte]](n)
+          var i = 0
+          while (i < n) {
+            val len = in.readInt()
+            if (len < 0 || len > bytes.length) return None
+            val f = new Array[Byte](len)
+            in.readFully(f)
+            frames(i) = f
+            i += 1
+          }
+          Some(frames)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Frame sampling for video-kind rows: GFV1 containers yield n evenly
+    * spaced REAL frame payloads (frame j of n reads contained frame
+    * `j * count / n` — the production temporal-sampling rule); payloads in
+    * any other format keep the deterministic byte-range stub slices, so
+    * the distributed plumbing stays testable without an external demuxer. */
   def sampleFrames(media: Dataset[Media], n: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
       if (bytes.isEmpty) Iterator.empty
-      else {
-        val frameLen = math.max(1, bytes.length / math.max(n, 1))
-        (0 until n).iterator
-          .map(i => (m.id, i, bytes.slice(i * frameLen,
-            math.min(bytes.length, (i + 1) * frameLen))))
-          .filter(_._3.nonEmpty)
+      else decodeVideoFrames(bytes) match {
+        case Some(frames) if frames.nonEmpty =>
+          val k = math.min(n, frames.length)
+          (0 until k).iterator.map(j =>
+            (m.id, j, frames(((j.toLong * frames.length) / k).toInt)))
+        case _ =>
+          val frameLen = math.max(1, bytes.length / math.max(n, 1))
+          (0 until n).iterator
+            .map(i => (m.id, i, bytes.slice(i * frameLen,
+              math.min(bytes.length, (i + 1) * frameLen))))
+            .filter(_._3.nonEmpty)
       }
     }.toDF("id", "frame_idx", "frame_bytes")
   }
@@ -375,6 +430,20 @@ object Multimodal {
     * cheap near-dup signal for an image corpus. Undecodable payloads and
     * non-image rows are dropped (they have no pixels to hash); route those
     * through exact byte dedup instead. Pure map work — scales linearly. */
+  /** aHash of one decoded image: each cell of the 8×8 luminance downscale
+    * vs the grid mean — shared by the image and per-frame video paths. */
+  private[multimodal] def ahashOf(img: java.awt.image.BufferedImage): Long = {
+    val a = luminanceGrid(img, 8, 8)
+    var mean = 0f
+    var i = 0
+    while (i < 64) { mean += a(i); i += 1 }
+    mean /= 64f
+    var ahash = 0L
+    i = 0
+    while (i < 64) { if (a(i) >= mean) ahash |= 1L << i; i += 1 }
+    ahash
+  }
+
   def imageHashes(media: Dataset[Media]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -382,14 +451,7 @@ object Multimodal {
       it.flatMap { m =>
         if (m.kind != "image") None
         else decodeImage(m.bytes).map { img =>
-          val a = luminanceGrid(img, 8, 8)
-          var mean = 0f
-          var i = 0
-          while (i < 64) { mean += a(i); i += 1 }
-          mean /= 64f
-          var ahash = 0L
-          i = 0
-          while (i < 64) { if (a(i) >= mean) ahash |= 1L << i; i += 1 }
+          val ahash = ahashOf(img)
           val d = luminanceGrid(img, 9, 8)
           var dhash = 0L
           var y = 0
@@ -405,6 +467,68 @@ object Multimodal {
         }
       }
     }
+  }
+
+  final case class VideoFrameHash(id: Long, frame_idx: Int, ahash: Long)
+
+  /** Per-frame perceptual hashes for video-kind rows: [[sampleFrames]]
+    * (GFV1 → real frame payloads; anything else → byte-range stub slices)
+    * → ImageIO decode per frame → [[ahashOf]]. Frames that don't decode as
+    * images (stub slices, corrupt stills) are dropped — they have no
+    * pixels to hash; exact byte dedup is their path. Pure map work, one
+    * row per (video, sampled frame): scales linearly and never widens
+    * beyond n rows per video. */
+  def videoHashes(media: Dataset[Media], n: Int): Dataset[VideoFrameHash] = {
+    import media.sparkSession.implicits._
+    sampleFrames(media, n).as[(Long, Int, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { case (id, f, bytes) =>
+        decodeImage(bytes).map(img => VideoFrameHash(id, f, ahashOf(img)))
+      }
+    }
+  }
+
+  /** Video-level near-duplicate pairs from per-frame hashes: the
+    * [[nearDupImagePairs]] Hamming banding run PER ALIGNED FRAME INDEX
+    * (band keys are (frame_idx, band, slice) — two videos only ever meet
+    * on the same temporal sample, so candidate volume is the per-frame
+    * image case × n, never n²), then a per-pair rollup: a pair is
+    * near-dup when ≥ minFrames sampled frames match within maxHamming.
+    * Output: (id_a, id_b, frames_matched, hamming_sum over the matched
+    * frames). Same scale shape as the image join — narrow shuffle keys,
+    * no all-pairs stage, all codegen'd builtins after the hash map. */
+  def nearDupVideoPairs(frameHashes: Dataset[VideoFrameHash],
+                        maxHamming: Int = 3, minFrames: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7], got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val h = col("ahash")
+    val bandStructs = (0 until nBands).map { b =>
+      val slice =
+        if (b == nBands - 1) shiftright(h, b * width)
+        else shiftright(h, b * width).bitwiseAND(lit((1L << width) - 1))
+      struct(lit(b).as("band"), slice.as("bv"))
+    }
+    val bands = frameHashes.toDF()
+      .select(col("id"), col("frame_idx"), h.as("h"),
+        explode(array(bandStructs: _*)).as("x"))
+      .select(col("id"), col("frame_idx"), col("h"),
+        col("x.band").as("band"), col("x.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.frame_idx").as("frame_idx"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // one row per (pair, frame) however many bands agreed
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("frames_matched"),
+        sum(col("hamming")).as("hamming_sum"))
+      .filter(col("frames_matched") >= minFrames)
   }
 
   /** Near-duplicate pairs (id_a < id_b, hamming ≤ maxHamming) by

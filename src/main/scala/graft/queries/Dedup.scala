@@ -1193,6 +1193,129 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // VIDEO NEAR-DUP as a GATE ROW — the third leg of the multimodal trio
+    // (image r13, audio r14, video here), run end-to-end through the REAL
+    // per-frame codec under the DuckDB oracle. The JDK has no video
+    // demuxer, so the container is the declared stub boundary
+    // (Multimodal.encodeVideo: 'GFV1' length-prefixed frames) while every
+    // frame is a REAL PNG: the fixture derives 4 frames per doc id (per
+    // (8-doc group, frame), an md5-derived 8×8 {32, 224} luminance
+    // pattern; per (doc, frame), ONE id-derived cell flip — so same-group
+    // videos sit at per-frame Hamming ≤ 2 and cross-group frames at ~32),
+    // encodes each frame as a real PNG inside a GFV1 container, and runs
+    // the production pipeline verbatim: Multimodal.videoHashes
+    // (sampleFrames container parse → ImageIO decode → aHash per frame) →
+    // Multimodal.nearDupVideoPairs (Hamming banding PER ALIGNED FRAME
+    // INDEX, radius 3, pair rollup requiring ≥ 3 of 4 frames matched).
+    // The oracle replays the ARITHMETIC spec (md5 grid → integer
+    // mean-threshold bits → per-frame band slices → xor popcount → pair
+    // rollup), so a hash-exact row certifies the container round-trip AND
+    // the per-frame PNG codec path. Margins engineered as in
+    // q_image_neardup ({32, 224} cells, cell 0 forced high / 63 forced
+    // low — hash in [0, 2^63), no float tie). Pure map work + the
+    // frame-aligned banded equi-join; candidates are the per-frame image
+    // case × 4, never frames², never all-pairs.
+    "q_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(x: String): String =
+          md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        it.map { id =>
+          val frames = (0 until 4).map { f =>
+            val digits = hex(s"vid:${id / 8}:$f:0") + hex(s"vid:${id / 8}:$f:1")
+            val p = 1 + ((id * 7 + f * 11) % 62).toInt
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0
+            while (i < 64) {
+              val high0 = Character.digit(digits.charAt(i), 16) >= 8
+              val high =
+                if (i == 0) true
+                else if (i == 63) false
+                else high0 ^ (i == p)
+              val v = if (high) 224 else 32
+              img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          graft.multimodal.Multimodal.Media(id, "video",
+            graft.multimodal.Multimodal.encodeVideo(frames),
+            graft.multimodal.Multimodal.MediaMeta(Some(8), Some(8), None))
+        }
+      }
+      val fh = graft.multimodal.Multimodal.videoHashes(media, 4)
+      graft.multimodal.Multimodal.nearDupVideoPairs(fh, maxHamming = 3, minFrames = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("frames_matched"), col("hamming_sum"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // VIDEO SCENE-CUT DETECTION: the temporal use of the per-frame hash —
+    // consecutive sampled frames whose aHash Hamming distance exceeds the
+    // cut threshold mark a scene boundary (the classical cheap shot-change
+    // detector; a real pipeline samples 1 fps and uses exactly this
+    // gradient). Fixture: 6 frames per doc, frame f's pattern keyed on
+    // scene index f / L with per-doc scene length L = 1 + (id % 3) — so
+    // frames inside one scene are IDENTICAL stills (Hamming 0) and scene
+    // boundaries land at md5-independent patterns (~32 bits apart). The
+    // oracle replays the hash arithmetic and the same consecutive-frame
+    // comparison, so the row is exact whatever the threshold decides.
+    // Per-video window over ≤ 6 frame rows (bounded partition), pure map
+    // work before it — scales linearly in videos.
+    "q_video_scenes" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(x: String): String =
+          md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        it.map { id =>
+          val sceneLen = 1 + (id % 3).toInt
+          val frames = (0 until 6).map { f =>
+            val sc = f / sceneLen
+            val digits = hex(s"scn:$id:$sc:0") + hex(s"scn:$id:$sc:1")
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0
+            while (i < 64) {
+              val high =
+                if (i == 0) true
+                else if (i == 63) false
+                else Character.digit(digits.charAt(i), 16) >= 8
+              val v = if (high) 224 else 32
+              img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          graft.multimodal.Multimodal.Media(id, "video",
+            graft.multimodal.Multimodal.encodeVideo(frames),
+            graft.multimodal.Multimodal.MediaMeta(Some(8), Some(8), None))
+        }
+      }
+      val w = Window.partitionBy(col("id")).orderBy(col("frame_idx"))
+      graft.multimodal.Multimodal.videoHashes(media, 6).toDF()
+        .withColumn("prev", lag(col("ahash"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev").isNotNull &&
+            bit_count(col("prev").bitwiseXOR(col("ahash"))) > 10, 1L)
+            .otherwise(0L))
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"),
+          (sum(col("cut")) + 1).as("n_scenes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // 16-bit SimHash fingerprint per document (sign of per-bit weighted
     // token-hash sum). One md5 + one int per token, 16 arithmetic sums in a
     // single per-doc aggregate — no row blow-up, one shuffle. Pair search is
@@ -1640,6 +1763,77 @@ object Dedup {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // video near-dup replay: the per-frame image arithmetic (md5 grid →
+    // integer mean-threshold aHash, LEAST caps the shift as in the image
+    // replay — cell 63 is provably low) lifted to (doc, frame), banded per
+    // aligned frame index, then the ≥ 3-of-4 matched-frame pair rollup.
+    "q_video_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |cell AS (SELECT doc_id, f, i,
+        |    CASE WHEN i = 0 THEN 224 WHEN i = 63 THEN 32
+        |         WHEN ((strpos('0123456789abcdef',
+        |                substr(md5('vid:' || CAST(doc_id // 8 AS VARCHAR) || ':' ||
+        |                           CAST(f AS VARCHAR) || ':' ||
+        |                           CAST(i // 32 AS VARCHAR)),
+        |                       CAST(i % 32 AS INTEGER) + 1, 1)) - 1) >= 8)
+        |              <> (i = 1 + (doc_id * 7 + f * 11) % 62)
+        |         THEN 224 ELSE 32 END AS v
+        |  FROM ids, (SELECT UNNEST(range(0, 4)) AS f) ff,
+        |       (SELECT UNNEST(range(0, 64)) AS i) ii),
+        |sv AS (SELECT doc_id, f, SUM(v) AS s FROM cell GROUP BY 1, 2),
+        |hsh AS (SELECT c.doc_id, c.f,
+        |    CAST(SUM(CASE WHEN c.v * 64 >= sv.s
+        |      THEN (CAST(1 AS BIGINT) << CAST(LEAST(c.i, 62) AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS h
+        |  FROM cell c JOIN sv ON sv.doc_id = c.doc_id AND sv.f = c.f
+        |  GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, f, h, b,
+        |    CASE WHEN b < 3 THEN (h >> CAST(b * 16 AS INTEGER)) & 65535
+        |         ELSE h >> 48 END AS bv
+        |  FROM hsh, (SELECT UNNEST(range(0, 4)) AS b) bb),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |           a.f AS f, a.h AS ha, b2.h AS hb
+        |  FROM bnd a JOIN bnd b2
+        |    ON a.f = b2.f AND a.b = b2.b AND a.bv = b2.bv
+        |       AND a.doc_id < b2.doc_id),
+        |fm AS (SELECT doc_a, doc_b, f, bit_count(xor(ha, hb)) AS hm
+        |  FROM cand WHERE bit_count(xor(ha, hb)) <= 3)
+        |SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS frames_matched,
+        |  CAST(SUM(hm) AS BIGINT) AS hamming_sum
+        |FROM fm GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // scene-cut replay: per (doc, frame) hash keyed on scene index
+    // f // (1 + doc_id % 3), consecutive-frame xor popcount vs the cut
+    // threshold, per-video rollup.
+    "q_video_scenes" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |cell AS (SELECT doc_id, f, i,
+        |    CASE WHEN i = 0 THEN 224 WHEN i = 63 THEN 32
+        |         WHEN (strpos('0123456789abcdef',
+        |                substr(md5('scn:' || CAST(doc_id AS VARCHAR) || ':' ||
+        |                           CAST(f // (1 + doc_id % 3) AS VARCHAR) || ':' ||
+        |                           CAST(i // 32 AS VARCHAR)),
+        |                       CAST(i % 32 AS INTEGER) + 1, 1)) - 1) >= 8
+        |         THEN 224 ELSE 32 END AS v
+        |  FROM ids, (SELECT UNNEST(range(0, 6)) AS f) ff,
+        |       (SELECT UNNEST(range(0, 64)) AS i) ii),
+        |sv AS (SELECT doc_id, f, SUM(v) AS s FROM cell GROUP BY 1, 2),
+        |hsh AS (SELECT c.doc_id, c.f,
+        |    CAST(SUM(CASE WHEN c.v * 64 >= sv.s
+        |      THEN (CAST(1 AS BIGINT) << CAST(LEAST(c.i, 62) AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS h
+        |  FROM cell c JOIN sv ON sv.doc_id = c.doc_id AND sv.f = c.f
+        |  GROUP BY 1, 2),
+        |cut AS (SELECT a.doc_id,
+        |    CASE WHEN bit_count(xor(a.h, b.h)) > 10 THEN 1 ELSE 0 END AS c
+        |  FROM hsh a JOIN hsh b ON b.doc_id = a.doc_id AND b.f = a.f + 1)
+        |SELECT i.doc_id, CAST(6 AS BIGINT) AS n_frames,
+        |  CAST(SUM(c) AS BIGINT) AS n_cuts,
+        |  CAST(SUM(c) + 1 AS BIGINT) AS n_scenes
+        |FROM ids i JOIN cut ON cut.doc_id = i.doc_id
+        |GROUP BY 1 ORDER BY i.doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, tkn FROM (

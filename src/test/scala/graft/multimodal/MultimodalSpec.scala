@@ -328,6 +328,94 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GFV1 container: encode→decode round-trip; foreign/truncated payloads → None") {
+    val frames = Seq("aa".getBytes, Array.emptyByteArray, "frame-three".getBytes)
+    val enc = encodeVideo(frames)
+    val dec = decodeVideoFrames(enc)
+    assert(dec.isDefined && dec.get.length == 3)
+    assert(dec.get.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    assert(decodeVideoFrames(encodeVideo(Nil)).exists(_.isEmpty))
+    assert(decodeVideoFrames("not-a-container".getBytes).isEmpty)
+    assert(decodeVideoFrames(null).isEmpty)
+    assert(decodeVideoFrames(enc.take(enc.length - 2)).isEmpty) // truncated body
+  }
+
+  test("sampleFrames: GFV1 containers yield real evenly-sampled frames; others keep the stub") {
+    val fr = (0 until 6).map(i => s"frame-$i".getBytes)
+    val media = Seq(
+      Media(1, "video", encodeVideo(fr), MediaMeta(None, None, None)),
+      Media(2, "video", ("raw" * 8).getBytes, MediaMeta(None, None, None))).toDS()
+    // n = 3 of 6 → contained frames 0, 2, 4, re-indexed 0..2
+    val real = sampleFrames(media.filter(_.id == 1L), n = 3).collect()
+      .sortBy(_.getInt(1))
+    assert(real.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(real.map(r => new String(r.getAs[Array[Byte]](2))).toSeq ==
+      Seq("frame-0", "frame-2", "frame-4"))
+    // n ≥ count → every contained frame exactly once
+    val all = sampleFrames(media.filter(_.id == 1L), n = 99).collect()
+    assert(all.length == 6 &&
+      all.sortBy(_.getInt(1)).map(r => new String(r.getAs[Array[Byte]](2))).toSeq ==
+        fr.map(new String(_)).toSeq)
+    // non-GFV1 video rows keep the byte-range stub slices
+    val stub = sampleFrames(media.filter(_.id == 2L), n = 4).collect()
+    assert(stub.length == 4 && stub.forall(_.getLong(0) == 2L))
+  }
+
+  test("videoHashes: per-frame aHash equals imageHashes of the stills; undecodable frames dropped") {
+    val stills = Seq(noisyPng(seed = 7), noisyPng(seed = 99), noisyPng(seed = 123))
+    val media = Seq(
+      Media(1, "video", encodeVideo(stills), MediaMeta(None, None, None)),
+      Media(2, "video", ("raw-bytes" * 10).getBytes, MediaMeta(None, None, None))).toDS()
+    val got = videoHashes(media, n = 3).collect()
+    assert(got.forall(_.id == 1L), "stub slices are not decodable images → dropped")
+    assert(got.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2))
+    val still = stills.zipWithIndex.map { case (png, i) =>
+      Media(i.toLong, "image", png, MediaMeta(None, None, None))
+    }.toDS()
+    val want = imageHashes(still).collect().map(ih => ih.id -> ih.ahash).toMap
+    assert(got.forall(h => want(h.frame_idx.toLong) == h.ahash))
+    // deterministic across partitionings
+    val again = videoHashes(media.repartition(4), n = 3).collect()
+    assert(got.sortBy(_.frame_idx).toSeq == again.sortBy(_.frame_idx).toSeq)
+  }
+
+  test("nearDupVideoPairs: frame-aligned banding, brute-force ground truth, equi-join plan") {
+    def vid(seeds: Seq[Int], flipped: Int = 0): Array[Byte] =
+      encodeVideo(seeds.map(sd => noisyPng(seed = sd, flipped = flipped)))
+    val media = Seq(
+      Media(1, "video", vid(Seq(7, 21, 35, 49)), MediaMeta(None, None, None)),
+      Media(2, "video", vid(Seq(7, 21, 35, 49), flipped = 6), MediaMeta(None, None, None)), // light edit
+      Media(3, "video", vid(Seq(7, 21, 99, 123)), MediaMeta(None, None, None)), // half shared
+      Media(4, "video", vid(Seq(201, 202, 203, 204)), MediaMeta(None, None, None))).toDS()
+    val fh = videoHashes(media, n = 4).persist()
+    val hs = fh.collect().map(h => (h.id, h.frame_idx) -> h.ahash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // brute-force rollup over the collected per-frame hashes
+    def want(minFrames: Int) = (for {
+      a <- Seq(1L, 2L, 3L, 4L); b <- Seq(1L, 2L, 3L, 4L) if a < b
+      ms = (0 until 4).flatMap { f =>
+        val d = ham(hs((a, f)), hs((b, f)))
+        if (d <= 3) Some(d.toLong) else None
+      } if ms.size >= minFrames
+    } yield (a, b, ms.size.toLong, ms.sum)).toSet
+    val pairs = nearDupVideoPairs(fh, maxHamming = 3, minFrames = 3)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want(3), s"got=$got want=${want(3)}")
+    assert(got.exists { case (a, b, _, _) => (a, b) == (1L, 2L) },
+      "the lightly edited copy must match on every frame")
+    assert(!got.exists { case (a, b, _, _) => a == 4L || b == 4L })
+    // minFrames = 1 admits the half-shared video pair (frames 0-1 shared)
+    val loose = nearDupVideoPairs(fh, maxHamming = 3, minFrames = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(loose == want(1))
+    assert(loose.exists { case (a, b, _, _) => (a, b) == (1L, 3L) })
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"video near-dup join must stay an equi-join:\n$plan")
+    fh.unpersist()
+  }
+
   test("metaOnly never reads the binary column (scan prunes bytes)") {
     val dir = tmpDir("media")
     sampleMedia.toDF().write.mode("overwrite").parquet(dir)
