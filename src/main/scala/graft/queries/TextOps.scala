@@ -1166,6 +1166,99 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // URL CANONICALIZATION + DEDUP CENSUS — the first stage of every
+    // web-corpus pipeline (CommonCrawl/CCNet/RefinedWeb dedupe by
+    // canonical URL before touching any text). The sf dirs carry no URL
+    // column, so the fixture derives a deterministic raw URL per doc
+    // (4 variants: clean, SHOUTED-scheme/host + default port + trailing
+    // slash, utm-tracking params, unsorted params + fragment) and the
+    // operator canonicalizes GENERICALLY — nothing in the algorithm
+    // knows the fixture: lowercase scheme+host, strip the scheme's
+    // default port, drop the fragment, drop utm_* tracking params, sort
+    // surviving params, strip trailing slashes. Census = one hash
+    // aggregate keyed on the canonical URL (min-doc keep rule, variant
+    // count). Pure per-row map work + one narrow-key aggregate — no
+    // corpus shuffle wider than the URL column at any scale.
+    "q_url_canonical" -> ((s, d) => {
+      val pid = (col("doc_id") % 40).cast("string")
+      val v = col("doc_id") % 4
+      val hostLower = concat(lit("www."), col("source"), lit(".example.com"))
+      val raw = concat(
+        when(v === 1, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+        when(v === 1, upper(hostLower)).otherwise(hostLower),
+        when(v === 1, lit(":443")).otherwise(lit("")),
+        lit("/articles/"), pid,
+        when(v === 1, lit("/")).otherwise(lit("")),
+        when(v === 2, lit("?utm_source=feed&utm_campaign=x"))
+          .when(v === 3, lit("?b=2&a=1")).otherwise(lit("")),
+        when(v === 3, lit("#frag")).otherwise(lit("")))
+      val noFrag = regexp_replace(raw, "#.*$", "")
+      val base = regexp_replace(noFrag, "\\?.*$", "")
+      val qs = when(noFrag.contains("?"),
+        regexp_replace(noFrag, "^[^?]*\\?", "")).otherwise(lit(""))
+      val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+      val hostport = lower(regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1))
+      val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+        .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+      val path = regexp_replace(
+        regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1),
+        "/+$", "")
+      val canonQ = expr(
+        "array_join(array_sort(filter(split(qs, '&'), " +
+          "p -> p != '' AND NOT startswith(p, 'utm_'))), '&')")
+      t(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw_url"), scheme.as("scheme"),
+          host.as("host"), path.as("path"), qs.as("qs"))
+        .withColumn("canon_url",
+          concat(col("scheme"), lit("://"), col("host"), col("path"),
+            when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ))))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("raw_url")).as("n_variants"),
+          min(col("doc_id")).as("keep_doc"))
+        .orderBy(col("canon_url"))
+    }),
+
+    // HTML BOILERPLATE EXTRACTION — the text-extraction stage of a web
+    // pipeline (the trafilatura/jusText slot): recover the main content
+    // from a page, strip markup, and measure text density. The sf dirs
+    // carry no HTML, so the fixture wraps each doc's text in a
+    // deterministic page (title/nav chrome, an id-gated <aside> ad,
+    // <main> around the payload, a footer) and the operator extracts
+    // GENERICALLY: <main> slice → tag strip → whitespace collapse, with
+    // page-level tag-stripped length as the denominator. The
+    // clean_roundtrip bit re-checks extraction against the original text
+    // — the oracle-replayable stand-in for a gold-standard extraction
+    // eval. Pure per-row map work (three regexes per row), no shuffle,
+    // no UDF — all codegen'd builtins at any scale.
+    "q_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><nav>home | about | contact</nav>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<aside>sponsored: buy now</aside>")).otherwise(lit("")),
+        lit("<main><p>"), col("text"),
+        lit("</p></main><footer>(c) example.com | src="), col("source"),
+        lit("</footer></body></html>"))
+      def stripTags(c: org.apache.spark.sql.Column) =
+        trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"), html.as("html"))
+        .select(col("doc_id"), col("text"),
+          stripTags(regexp_extract(col("html"), "<main>(.*)</main>", 1))
+            .as("main_text"),
+          stripTags(col("html")).as("page_text"))
+        .select(col("doc_id"),
+          length(col("main_text")).cast("long").as("main_chars"),
+          length(col("page_text")).cast("long").as("page_chars"),
+          (length(col("main_text")).cast("double") /
+            length(col("page_text")).cast("double")).as("density"),
+          (col("main_text") === trim(regexp_replace(col("text"), "\\s+", " ")))
+            .as("clean_roundtrip"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Out-of-vocabulary rate per document against the top-512 corpus
     // vocabulary (q_vocab_build's ranking) — the tokenizer-coverage
     // metric that decides whether a vocab is big enough for a corpus
@@ -1995,6 +2088,82 @@ object TextOps {
         |  FROM documents)
         |SELECT doc_id, text_clean, CAST(length(text_clean) AS INT) AS clean_chars
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Raw-URL fixture rebuilt verbatim, then the SAME generic
+    // canonicalization: strip fragment/query, lowercase scheme+host,
+    // default-port strip, utm_* filter + param sort, trailing-slash
+    // strip; census keyed on the canonical string.
+    "q_url_canonical" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN doc_id % 4 = 1 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 4 = 1 THEN upper('www.' || source || '.example.com')
+        |          ELSE 'www.' || source || '.example.com' END) ||
+        |    (CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
+        |    '/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 2 THEN '?utm_source=feed&utm_campaign=x'
+        |          WHEN doc_id % 4 = 3 THEN '?b=2&a=1' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 3 THEN '#frag' ELSE '' END) AS raw_url
+        |  FROM documents),
+        |parsed AS (
+        |  SELECT doc_id, raw_url,
+        |    regexp_replace(regexp_replace(raw_url, '#.*$', ''), '\?.*$', '') AS base,
+        |    CASE WHEN contains(regexp_replace(raw_url, '#.*$', ''), '?')
+        |         THEN regexp_replace(regexp_replace(raw_url, '#.*$', ''), '^[^?]*\?', '')
+        |         ELSE '' END AS qs
+        |  FROM docs),
+        |canon AS (
+        |  SELECT doc_id, raw_url,
+        |    lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)) AS hostport,
+        |    regexp_replace(regexp_extract(base,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1), '/+$', '') AS pth,
+        |    COALESCE(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS cq
+        |  FROM parsed),
+        |cu AS (
+        |  SELECT doc_id, raw_url,
+        |    scheme || '://' ||
+        |    (CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |          WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |          ELSE hostport END) || pth ||
+        |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canon_url
+        |  FROM canon)
+        |SELECT canon_url, COUNT(*) AS n_raw,
+        |  CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_variants,
+        |  MIN(doc_id) AS keep_doc
+        |FROM cu GROUP BY 1 ORDER BY canon_url""".stripMargin,
+
+    // Page fixture rebuilt verbatim, then the SAME generic extraction:
+    // <main> slice → tag strip → whitespace collapse ('g' flags — DuckDB
+    // replaces first-only by default, Spark replaces all).
+    "q_html_extract" ->
+      """WITH pg AS (
+        |  SELECT doc_id, text,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body><nav>home | about | contact</nav>' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '<aside>sponsored: buy now</aside>'
+        |          ELSE '' END) ||
+        |    '<main><p>' || text || '</p></main><footer>(c) example.com | src=' ||
+        |    source || '</footer></body></html>' AS html
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(
+        |      regexp_extract(html, '<main>(.*)</main>', 1), '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS main_text,
+        |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS page_text
+        |  FROM pg)
+        |SELECT doc_id,
+        |  CAST(length(main_text) AS BIGINT) AS main_chars,
+        |  CAST(length(page_text) AS BIGINT) AS page_chars,
+        |  CAST(length(main_text) AS DOUBLE) / CAST(length(page_text) AS DOUBLE)
+        |    AS density,
+        |  (main_text = trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |    AS clean_roundtrip
+        |FROM ex ORDER BY doc_id""".stripMargin,
 
     "q_oov_rate" ->
       s"""WITH tok AS (SELECT doc_id,

@@ -520,4 +520,90 @@ class TextOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("auc") == 0.5, r2.toString)
     assert(r2.getAs[Double]("gini_coef") == 0.0)
   }
+
+  /** Independent in-memory replay of q_url_canonical's generic algorithm
+    * (regex parse → lowercase → default-port/utm/fragment/trailing-slash
+    * strip → param sort) — written against the spec prose, not the query
+    * code, so a drift in either shows up here. */
+  private def canonOf(raw: String): String = {
+    val noFrag = raw.replaceAll("#.*$", "")
+    val base = noFrag.replaceAll("\\?.*$", "")
+    val qs = if (noFrag.contains("?")) noFrag.replaceAll("^[^?]*\\?", "") else ""
+    val m = java.util.regex.Pattern
+      .compile("^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$").matcher(base)
+    assert(m.matches(), s"unparseable fixture url: $raw")
+    val scheme = m.group(1).toLowerCase
+    val hostport = m.group(2).toLowerCase
+    val host = scheme match {
+      case "https" => hostport.replaceAll(":443$", "")
+      case "http"  => hostport.replaceAll(":80$", "")
+      case _       => hostport
+    }
+    val path = Option(m.group(3)).getOrElse("").replaceAll("/+$", "")
+    val params = qs.split("&").filter(p => p.nonEmpty && !p.startsWith("utm_")).sorted
+    val cq = if (params.isEmpty) "" else "?" + params.mkString("&")
+    s"$scheme://$host$path$cq"
+  }
+
+  test("q_url_canonical equals the in-memory canonicalization replay; census exact") {
+    val got = SparkEntry.queries("q_url_canonical")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    // no canonical key retains scheme/host case, default ports, fragments,
+    // tracking params, or a trailing slash
+    got.keys.foreach { u =>
+      assert(u == u.toLowerCase.replaceAll(":443", "").replaceAll("#.*$", ""), u)
+      assert(!u.contains("utm_") && !u.endsWith("/"), u)
+    }
+    // replay: rebuild every raw URL from the table and canonicalize in memory
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val raws = docs.map { case (id, src) =>
+      val v = id % 4
+      val host = s"www.$src.example.com"
+      val sb = new StringBuilder
+      sb ++= (if (v == 1) "HTTPS" else "https")
+      sb ++= "://"
+      sb ++= (if (v == 1) host.toUpperCase else host)
+      if (v == 1) sb ++= ":443"
+      sb ++= s"/articles/${id % 40}"
+      if (v == 1) sb ++= "/"
+      if (v == 2) sb ++= "?utm_source=feed&utm_campaign=x"
+      if (v == 3) sb ++= "?b=2&a=1#frag"
+      (id, sb.toString)
+    }
+    val want = raws.groupBy { case (_, raw) => canonOf(raw) }
+      .map { case (c, g) =>
+        c -> (g.length.toLong, g.map(_._2).distinct.length.toLong, g.map(_._1).min)
+      }
+    assert(got == want)
+    // the three slash/port/utm variants of one page really collapse: every
+    // v∈{0,1,2} group of one (source, pid) shares a query-less canonical
+    assert(got.keys.exists(u => !u.contains("?")))
+    assert(got.keys.exists(u => u.endsWith("?a=1&b=2")), "sorted params kept")
+  }
+
+  test("q_html_extract: round-trip recovers every doc; density strictly < 1") {
+    val rows = SparkEntry.queries("q_html_extract")(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.length.toLong == docs)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("clean_roundtrip"),
+        s"main-content extraction must recover the original text: $r")
+      val (main, page) = (r.getAs[Long]("main_chars"), r.getAs[Long]("page_chars"))
+      assert(main > 0 && page > main, s"chrome adds page mass: $r")
+      val d = r.getAs[Double]("density")
+      assert(d > 0 && d < 1 && math.abs(d - main.toDouble / page) < 1e-12)
+    }
+    // the injected <aside> really lands in the page: the ad third's chrome
+    // (page − main) strictly exceeds the ad-free chrome everywhere (the ad
+    // text is ~19 chars; the only other chrome variation is the title's
+    // id digit count)
+    val byMod = rows.groupBy(r => r.getLong(0) % 3 == 0)
+    def chrome(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("page_chars") - r.getAs[Long]("main_chars")
+    assert(byMod(true).map(chrome).min > byMod(false).map(chrome).max,
+      "ad pages carry strictly more boilerplate than clean pages")
+  }
 }
