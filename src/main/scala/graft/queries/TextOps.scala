@@ -365,6 +365,50 @@ object TextOps {
         .withColumn("lm_ok", col("ppl") <= PplMax)
         .orderBy(col("doc_id"))),
 
+    // CCNet-STYLE PERPLEXITY BUCKETS (Wenzek et al. 2020): per language,
+    // split the corpus into head/middle/tail thirds by LM perplexity —
+    // the standard recipe for grading crawl text by fluency before
+    // choosing which thirds to train on. Reads the memoized bigram-LM
+    // asset (one train+score per dataset dir, shared with
+    // q_lm_perplexity / the pipeline capstone). Thirds are EXACT-RANK
+    // cuts, not interpolated quantiles: rank by normalized log-prob
+    // (nlp = −logprob/n_bigrams — a bit-identical double in both
+    // engines, unlike exp(nlp) whose libm may differ in the last ulp)
+    // via the q_seq_pack two-level prefix decomposition — coarse-bin
+    // window inside (lang, ⌊4·nlp⌋) + broadcast bin-prefix — so no
+    // single-partition window ever sees a whole language; the bucket
+    // verdict is integer logic (3r ≤ n / 3r ≤ 2n). Docs under 2 words
+    // have no LM rows and take no bucket, as in q_lm_perplexity.
+    "q_ppl_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docPerplexity(s, d)
+        .select(col("doc_id"), col("ppl"),
+          (-col("logprob") / col("n_bigrams").cast("double")).as("nlp"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("fl", floor(col("nlp") * 4).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val wIn = Window.partitionBy(col("lang"), col("fl"))
+        .orderBy(col("nlp"), col("doc_id"))
+      val bc = scored.groupBy(col("lang"), col("fl")).agg(count(lit(1)).as("btot"))
+      val wB = Window.partitionBy(col("lang")).orderBy(col("fl"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bc
+        .withColumn("bprev", coalesce(sum(col("btot")).over(wB), lit(0L)))
+        .select(col("lang"), col("fl"), col("bprev"))
+      val n = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      scored
+        .withColumn("lr", row_number().over(wIn).cast("long"))
+        .join(broadcast(bpre), Seq("lang", "fl"))
+        .join(broadcast(n), "lang")
+        .withColumn("r", col("bprev") + col("lr"))
+        .withColumn("bucket",
+          when(col("r") * 3 <= col("n"), "head")
+            .when(col("r") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("ppl"), col("r"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition filter: duplicate-word fraction, most-
     // frequent-word fraction, most-frequent-bigram fraction + verdict
     // (thresholds sit just above this corpus's medians: top-word 0.15,
@@ -1028,6 +1072,42 @@ object TextOps {
             .otherwise("und"))
         .withColumn("pred_lang_ngram", triArgmaxChain(l => col(s"s_$l")))
         .drop("tris")
+        .orderBy(col("doc_id"))
+    }),
+
+    // MIXED-LANGUAGE DETECTION — the per-document language-consistency
+    // check (CCNet-class pipelines run language ID per paragraph and
+    // quarantine documents whose sections disagree; code-switched or
+    // concatenated-crawl docs poison monolingual training slices while
+    // PASSING whole-doc language ID, because the majority language wins
+    // the aggregate vote). Documents have no paragraph marks here, so the
+    // unit is the half: the codegen'd `graft_lang_tri` scores each half
+    // independently (two native single-pass calls per row — the argmax
+    // chain and model are q_lang_id's, applied per section), and a doc is
+    // mixed when the halves identify as two different known languages.
+    // The corpus fixture is monolingual, so the oracle row certifies the
+    // all-consistent census (the q_pii_scrub precedent); the
+    // planted-fixture behavior contract (en+de concatenations flagged,
+    // monolingual and short-half docs not) lives in TextOpsSpec. Pure map
+    // work — two expression evaluations per row, no shuffle at any scale.
+    "q_lang_mix" -> ((s, d) => {
+      val langs = graft.expressions.LangTriScores.Langs
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .withColumn("cut", expr("length(lt) div 2"))
+        .withColumn("tris_h", expr("graft_lang_tri(substring(lt, 1, cut))"))
+        .withColumn("tris_t", expr("graft_lang_tri(substring(lt, cut + 1))"))
+      def sc(c: String, l: String) = {
+        val idx = langs.indexOf(l) + 1
+        coalesce(element_at(col(c), idx), lit(0L))
+      }
+      base
+        .withColumn("lang_head", triArgmaxChain(l => sc("tris_h", l)))
+        .withColumn("lang_tail", triArgmaxChain(l => sc("tris_t", l)))
+        .withColumn("mixed",
+          col("lang_head") =!= col("lang_tail") &&
+            col("lang_head") =!= "und" && col("lang_tail") =!= "und")
+        .select(col("doc_id"), col("lang_head"), col("lang_tail"), col("mixed"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1861,6 +1941,25 @@ object TextOps {
          |  exp(-logprob / n_bigrams) AS ppl,
          |  (exp(-logprob / n_bigrams) <= $PplMax) AS lm_ok
          |FROM pscore ORDER BY doc_id""".stripMargin,
+
+    // The oracle ranks with ONE window per language — the reference
+    // semantics the Spark side's two-level prefix decomposition must
+    // equal exactly (rank key (nlp, doc_id); nlp = −logprob/n is the
+    // pre-exp double, bit-identical across engines).
+    "q_ppl_buckets" ->
+      s"""WITH $pplCtes,
+         |sc AS (SELECT p.doc_id, d.lang,
+         |    exp(-logprob / n_bigrams) AS ppl,
+         |    -(logprob / CAST(n_bigrams AS DOUBLE)) AS nlp
+         |  FROM pscore p JOIN documents d ON d.doc_id = p.doc_id),
+         |rk AS (SELECT doc_id, lang, ppl,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nlp, doc_id) AS r,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM sc)
+         |SELECT doc_id, lang, ppl, CAST(r AS BIGINT) AS r,
+         |  CASE WHEN r * 3 <= n THEN 'head'
+         |       WHEN r * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM rk ORDER BY doc_id""".stripMargin,
     "q_vocab_build" ->
       s"""WITH tok AS (SELECT doc_id,
          |    UNNEST(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token
@@ -2003,6 +2102,34 @@ object TextOps {
          |  $sCols,
          |  ${sqlTriArgmax("s_")} AS pred_lang_ngram
          |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    // Per-half trigram replay: each half's sliding windows fold through
+    // the same literal model CASE, argmaxed with q_lang_id's chain.
+    "q_lang_mix" -> {
+      val langs = graft.expressions.LangTriScores.Langs
+      val sh = langs.map(l => s"${sqlTriScore(l)} AS sh_$l").mkString(",\n  ")
+      val st = langs.map(l => s"${sqlTriScore(l)} AS st_$l").mkString(",\n  ")
+      s"""WITH base AS (SELECT doc_id, lower(text) AS lt,
+         |    CAST(length(lower(text)) // 2 AS INTEGER) AS cut FROM documents),
+         |hx AS (SELECT doc_id,
+         |    list_transform(range(1, greatest(length(substring(lt, 1, cut)) - 2, 1) + 1),
+         |      i -> substring(substring(lt, 1, cut), CAST(i AS INTEGER), 3)) AS tris
+         |  FROM base),
+         |tx AS (SELECT doc_id,
+         |    list_transform(range(1, greatest(length(substring(lt, cut + 1)) - 2, 1) + 1),
+         |      i -> substring(substring(lt, cut + 1), CAST(i AS INTEGER), 3)) AS tris
+         |  FROM base),
+         |hs AS (SELECT doc_id, $sh FROM hx),
+         |ts AS (SELECT doc_id, $st FROM tx),
+         |am AS (SELECT hs.doc_id,
+         |    ${sqlTriArgmax("sh_")} AS lang_head,
+         |    ${sqlTriArgmax("st_")} AS lang_tail
+         |  FROM hs JOIN ts ON ts.doc_id = hs.doc_id)
+         |SELECT doc_id, lang_head, lang_tail,
+         |  (lang_head <> lang_tail AND lang_head <> 'und' AND lang_tail <> 'und')
+         |    AS mixed
+         |FROM am ORDER BY doc_id""".stripMargin
     },
 
     "q_fingerprint" ->

@@ -521,6 +521,70 @@ class TextOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("gini_coef") == 0.0)
   }
 
+  test("q_ppl_buckets: two-pass rank equals one-window semantics; thirds balanced per language") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("q_ppl_buckets")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // single-window replay of the reference semantics over the same asset
+    val ppl = SparkEntry.queries("q_lm_perplexity")(spark, sf)
+      .select(col("doc_id"), col("ppl"),
+        (-col("logprob") / col("n_bigrams").cast("double")).as("nlp"))
+      .join(graft.Tables.load(spark, sf, "documents").select("doc_id", "lang"), "doc_id")
+    val w = Window.partitionBy(col("lang")).orderBy(col("nlp"), col("doc_id"))
+    val want = ppl.withColumn("r", row_number().over(w).cast("long")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("r")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("r") == want(r.getAs[Long]("doc_id")),
+        s"two-pass rank must equal the single-window rank: $r")
+    }
+    // exact thirds: per language, |head| and |tail| differ by at most 1 and
+    // head ranks strictly precede middle which precede tail
+    got.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+        .map { case (b, g) => b -> g.map(_.getAs[Long]("r")).sorted }
+      val n = rows.length.toLong
+      Seq("head", "middle", "tail").foreach(b => assert(byBucket.contains(b) || n < 3,
+        s"$lang missing bucket $b"))
+      if (n >= 3) {
+        assert(math.abs(byBucket("head").length - byBucket("tail").length) <= 1, lang)
+        assert(byBucket("head").max < byBucket("middle").min, lang)
+        assert(byBucket("middle").max < byBucket("tail").min, lang)
+        assert(byBucket("head").length == (n / 3).toInt, s"$lang head = floor(n/3)")
+      }
+    }
+  }
+
+  test("q_lang_mix flags concatenated-language docs; monolingual and short docs stay consistent") {
+    import spark.implicits._
+    val en = ("the thing is going to the end of the morning and " +
+      "the sound of the thing is the song ") * 2
+    val de = ("der schein und die schicht ein ding und die sache " +
+      "der schule noch ich dich ein buch ") * 2
+    val docs = Seq(
+      (1L, en.trim, "en"),
+      (2L, de.trim, "de"),
+      (3L, (en + de).trim, "en"), // concatenated-crawl doc: en head, de tail
+      (4L, "xyz", "en")           // too short for any trigram vote
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = tmpDir("langmix")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_lang_mix")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) == (("en", "en", false)), got(1L).toString)
+    assert(got(2L) == (("de", "de", false)), got(2L).toString)
+    assert(got(3L) == (("en", "de", true)),
+      s"concatenated doc must flag mixed: ${got(3L)}")
+    assert(got(4L) == (("und", "und", false)), got(4L).toString)
+    // whole-doc language ID PASSES the concatenated doc (the majority vote
+    // hides the contamination) — the reason this operator exists
+    val wholeDoc = SparkEntry.queries("q_lang_id")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred_lang_ngram")).toMap
+    assert(wholeDoc(3L) != "und", "whole-doc vote resolves to SOME language")
+  }
+
   /** Independent in-memory replay of q_url_canonical's generic algorithm
     * (regex parse → lowercase → default-port/utm/fragment/trailing-slash
     * strip → param sort) — written against the spec prose, not the query
