@@ -531,6 +531,57 @@ object Multimodal {
       .filter(col("frames_matched") >= minFrames)
   }
 
+  /** Temporal-alignment detection for shifted/clipped video copies: a
+    * re-timed copy (intro trimmed, content re-cut) never matches under
+    * frame-ALIGNED comparison, but its frames still pair 1:1 at one
+    * consistent index offset. The per-frame hashes band-join WITHOUT the
+    * frame-index key (candidates are frames agreeing on a hash slice —
+    * the image-near-dup candidate volume with frames as items, never
+    * frames² within a pair), matched frames within maxHamming vote on
+    * their index delta, and each pair reports its best-supported offset
+    * (ties → smaller |offset|, then smaller offset). Pairs below
+    * minSupport matched frames are dropped. All equi-joins + two narrow
+    * aggregates; the corpus is never shuffled wider than the hash-band
+    * table. */
+  def videoOffsetPairs(frameHashes: Dataset[VideoFrameHash],
+                       maxHamming: Int = 3, minSupport: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7], got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val h = col("ahash")
+    val bandStructs = (0 until nBands).map { b =>
+      val slice =
+        if (b == nBands - 1) shiftright(h, b * width)
+        else shiftright(h, b * width).bitwiseAND(lit((1L << width) - 1))
+      struct(lit(b).as("band"), slice.as("bv"))
+    }
+    val bands = frameHashes.toDF()
+      .select(col("id"), col("frame_idx"), h.as("h"),
+        explode(array(bandStructs: _*)).as("x"))
+      .select(col("id"), col("frame_idx"), col("h"),
+        col("x.band").as("band"), col("x.bv").as("bv"))
+    val votes = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.frame_idx").as("f_a"), col("b.frame_idx").as("f_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // one vote per (pair, frame pair) however many bands agreed
+      .groupBy(col("id_a"), col("id_b"),
+        (col("f_b").cast("long") - col("f_a").cast("long")).as("offset"))
+      .agg(count(lit(1)).as("support"))
+    votes
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(struct((-col("support")).as("ns"), abs(col("offset")).as("ao"),
+        col("offset").as("off"))).as("best"))
+      .select(col("id_a"), col("id_b"), col("best.off").as("best_offset"),
+        (-col("best.ns")).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   /** Near-duplicate pairs (id_a < id_b, hamming ≤ maxHamming) by
     * Hamming-banded self-join over ANY 64-bit hash column — image
     * aHash/dHash or the [[audioHashes]] fingerprint alike; only the

@@ -1316,6 +1316,62 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // VIDEO TEMPORAL ALIGNMENT (shifted-copy detection): a re-timed copy
+    // (trimmed intro, re-cut) never matches frame-ALIGNED comparison
+    // (q_video_neardup), but its frames still pair 1:1 at one consistent
+    // index offset — the production video-dedup case the aligned join
+    // misses. Fixture: 6 frames per doc, frame f shows the GROUP
+    // timeline's pattern at position t = f + (doc_id % 3) — so the 8-doc
+    // group holds three shift classes of the same underlying reel, and a
+    // pair with shifts (sa, sb) overlaps on 6 − |sa − sb| frames at
+    // exactly offset sa − sb (other offsets pair md5-independent
+    // patterns, ~32 bits apart). Production pipeline verbatim:
+    // Multimodal.videoHashes → videoOffsetPairs (hash-band join WITHOUT
+    // the frame key, per-(pair, offset) support vote, argmax with the
+    // |offset| tie-break, support ≥ 3). The oracle replays the
+    // arithmetic spec including the banding and the vote, so the row
+    // certifies the unaligned-join path end-to-end.
+    "q_video_offset" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(x: String): String =
+          md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        it.map { id =>
+          val shift = (id % 3).toInt
+          val frames = (0 until 6).map { f =>
+            val tpos = f + shift
+            val digits = hex(s"off:${id / 8}:$tpos:0") + hex(s"off:${id / 8}:$tpos:1")
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var i = 0
+            while (i < 64) {
+              val high =
+                if (i == 0) true
+                else if (i == 63) false
+                else Character.digit(digits.charAt(i), 16) >= 8
+              val v = if (high) 224 else 32
+              img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          graft.multimodal.Multimodal.Media(id, "video",
+            graft.multimodal.Multimodal.encodeVideo(frames),
+            graft.multimodal.Multimodal.MediaMeta(Some(8), Some(8), None))
+        }
+      }
+      val fh = graft.multimodal.Multimodal.videoHashes(media, 6)
+      graft.multimodal.Multimodal.videoOffsetPairs(fh, maxHamming = 3, minSupport = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("best_offset"), col("support"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // 16-bit SimHash fingerprint per document (sign of per-bit weighted
     // token-hash sum). One md5 + one int per token, 16 arithmetic sums in a
     // single per-doc aggregate — no row blow-up, one shuffle. Pair search is
@@ -1802,6 +1858,49 @@ object Dedup {
         |SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS frames_matched,
         |  CAST(SUM(hm) AS BIGINT) AS hamming_sum
         |FROM fm GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // temporal-alignment replay: per-(doc, frame) hash at timeline
+    // position f + doc_id % 3, banded WITHOUT the frame key, per-offset
+    // support vote, ROW_NUMBER argmax (support desc, |offset|, offset).
+    "q_video_offset" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |cell AS (SELECT doc_id, f, i,
+        |    CASE WHEN i = 0 THEN 224 WHEN i = 63 THEN 32
+        |         WHEN (strpos('0123456789abcdef',
+        |                substr(md5('off:' || CAST(doc_id // 8 AS VARCHAR) || ':' ||
+        |                           CAST(f + doc_id % 3 AS VARCHAR) || ':' ||
+        |                           CAST(i // 32 AS VARCHAR)),
+        |                       CAST(i % 32 AS INTEGER) + 1, 1)) - 1) >= 8
+        |         THEN 224 ELSE 32 END AS v
+        |  FROM ids, (SELECT UNNEST(range(0, 6)) AS f) ff,
+        |       (SELECT UNNEST(range(0, 64)) AS i) ii),
+        |sv AS (SELECT doc_id, f, SUM(v) AS s FROM cell GROUP BY 1, 2),
+        |hsh AS (SELECT c.doc_id, c.f,
+        |    CAST(SUM(CASE WHEN c.v * 64 >= sv.s
+        |      THEN (CAST(1 AS BIGINT) << CAST(LEAST(c.i, 62) AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS h
+        |  FROM cell c JOIN sv ON sv.doc_id = c.doc_id AND sv.f = c.f
+        |  GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, f, h, b,
+        |    CASE WHEN b < 3 THEN (h >> CAST(b * 16 AS INTEGER)) & 65535
+        |         ELSE h >> 48 END AS bv
+        |  FROM hsh, (SELECT UNNEST(range(0, 4)) AS b) bb),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |           a.f AS f_a, b2.f AS f_b, a.h AS ha, b2.h AS hb
+        |  FROM bnd a JOIN bnd b2
+        |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+        |votes AS (SELECT doc_a, doc_b, f_b - f_a AS off,
+        |    COUNT(*) AS support
+        |  FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_a, doc_b, off, support,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+        |      ORDER BY support DESC, abs(off), off) AS rn
+        |  FROM votes)
+        |SELECT doc_a, doc_b, CAST(off AS BIGINT) AS best_offset,
+        |  CAST(support AS BIGINT) AS support
+        |FROM best WHERE rn = 1 AND support >= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // scene-cut replay: per (doc, frame) hash keyed on scene index

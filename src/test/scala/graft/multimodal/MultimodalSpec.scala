@@ -416,6 +416,46 @@ class MultimodalSpec extends SparkSpec {
     fh.unpersist()
   }
 
+  test("videoOffsetPairs: shifted copy found at its true offset; brute-force vote ground truth") {
+    // one 6-still reel; three videos sample 4-frame windows at shifts
+    // 0/1/2, a fourth is unrelated
+    val reel = (0 until 6).map(t => noisyPng(seed = 300 + t))
+    def clip(shift: Int): Array[Byte] = encodeVideo(reel.slice(shift, shift + 4))
+    val media = Seq(
+      Media(1, "video", clip(0), MediaMeta(None, None, None)),
+      Media(2, "video", clip(1), MediaMeta(None, None, None)),
+      Media(3, "video", clip(2), MediaMeta(None, None, None)),
+      Media(4, "video", encodeVideo((0 until 4).map(t => noisyPng(seed = 900 + t))),
+        MediaMeta(None, None, None))).toDS()
+    val fh = videoHashes(media, n = 4).persist()
+    val got = videoOffsetPairs(fh, maxHamming = 3, minSupport = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // brute-force replay of the vote from the collected hashes
+    val hs = fh.collect().map(h => (h.id, h.frame_idx) -> h.ahash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val want = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+      votes = (for {
+        fa <- 0 until 4; fb <- 0 until 4
+        if ham(hs((a, fa)), hs((b, fb))) <= 3
+      } yield fb - fa).groupBy(identity).map { case (o, v) => o -> v.size }
+      if votes.nonEmpty
+      best = votes.toSeq.minBy { case (o, s) => (-s, math.abs(o), o) }
+      if best._2 >= 2
+    } yield (a, b) -> ((best._1.toLong, best._2.toLong))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // shift k vs shift k+1 of the same reel: the copy aligns at offset -1
+    // with 3 of 4 frames matched
+    assert(got((1L, 2L)) == ((-1L, 3L)) && got((2L, 3L)) == ((-1L, 3L)))
+    assert(got((1L, 3L)) == ((-2L, 2L)))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // and the frame-ALIGNED near-dup join misses every shifted pair at
+    // minFrames 2 — the case this operator exists for
+    val aligned = nearDupVideoPairs(fh, maxHamming = 3, minFrames = 2).collect()
+    assert(aligned.isEmpty, s"aligned join must miss shifted copies: ${aligned.toSeq}")
+    fh.unpersist()
+  }
+
   test("metaOnly never reads the binary column (scan prunes bytes)") {
     val dir = tmpDir("media")
     sampleMedia.toDF().write.mode("overwrite").parquet(dir)
