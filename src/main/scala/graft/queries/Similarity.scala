@@ -202,6 +202,7 @@ object Similarity {
   private[graft] val MmrQIds: Seq[Long] = (0L to 450L by 50L)
   private val MmrPool = 8
   private val MmrK = 3
+  private val CoresetK = 8
   private val MmrLam = 0.7
   private val MmrDivW = 0.3
 
@@ -1118,6 +1119,56 @@ object Similarity {
     // previous centroid. This trains the IVF index q_ann_ivf probes.
     "q_kmeans_train" -> ((s, d) =>
       graft.operators.KMeans.train(intVecs(s, d), (1L to 8L).toSeq, iters = 3)),
+
+    // CORESET SELECTION — k-center greedy / farthest-point sampling (the
+    // classical 2-approximation to the k-center cover, Gonzalez 1985; the
+    // diverse-subset primitive behind data-pruning recipes that keep a
+    // maximally spread representative sample instead of a uniform draw).
+    // Seed = min vec_id; each of the K−1 rounds picks the vector FARTHEST
+    // from the selected set (max over the corpus of min-over-selected
+    // distance, ties to the smaller id) and reports that distance — the
+    // sequence of picked radii is the coverage-radius curve. Exactness:
+    // distances are whole-integer ‖a−b‖² = na + nb − 2·dot over the ×1e6
+    // scaled vectors (no float ordering ambiguity in either engine).
+    // Scale shape: K−1 corpus passes, each ONE codegen'd projection
+    // (min over ≤K literal-center LongDots — the centArgmax discipline)
+    // + a TakeOrdered(1); selected state is K rows of collected model
+    // state (the KMeans k×d precedent). The DuckDB oracle replays every
+    // round as chained CTEs, bit-for-bit.
+    "q_coreset" -> ((s, d) => {
+      import s.implicits._
+      val vecs = intVecs(s, d).select(col("vec_id"), col("v"), col("nv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seed = vecs.orderBy(col("vec_id")).limit(1).collect()
+      if (seed.isEmpty)
+        Seq.empty[(Long, Long, Long)].toDF("rnk", "vec_id", "mind")
+      else {
+        var sel = Vector((seed(0).getLong(0),
+          seed(0).getSeq[Long](1).toArray, seed(0).getLong(2)))
+        var picks = Vector((1L, sel(0)._1, 0L))
+        var k = 2
+        var exhausted = false
+        while (k <= CoresetK && !exhausted) {
+          val mind = sel.map { case (_, cv, nc) =>
+            col("nv") + lit(nc) - lit(2L) *
+              expr(s"graft_long_dot(v, ${cv.mkString("array(", "L, ", "L)")})")
+          }.reduce(least(_, _))
+          val row = vecs
+            .filter(!col("vec_id").isin(sel.map(_._1): _*))
+            .select(col("vec_id"), col("v"), col("nv"), mind.as("mind"))
+            .orderBy(col("mind").desc, col("vec_id")).limit(1).collect()
+          if (row.isEmpty) exhausted = true
+          else {
+            sel = sel :+ ((row(0).getLong(0),
+              row(0).getSeq[Long](1).toArray, row(0).getLong(2)))
+            picks = picks :+ ((k.toLong, row(0).getLong(0),
+              row(0).getAs[Long]("mind")))
+            k += 1
+          }
+        }
+        picks.toDF("rnk", "vec_id", "mind").orderBy(col("rnk"))
+      }
+    }),
 
     // kNN self-join: every vector's top-3 cosine neighbors. Exact kNN is
     // inherently all-pairs (same geometry argument as q_embed_neardup
@@ -2252,6 +2303,55 @@ object Similarity {
          |  CAST(SUM(iv.v[i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
          |FROM iv JOIN assign a USING (vec_id), idx
          |GROUP BY 1, 2 ORDER BY cluster, pos""".stripMargin,
+
+    // k-center greedy replay: K−1 chained rounds, each a dist CTE to the
+    // newest pick, a running LEAST fold, and a top-1 by (mind DESC, id).
+    // All-integer (scaled dots), so LEAST/ORDER BY agree bit-for-bit.
+    // Every round CTE is MATERIALIZED (the nd-chain precedent): the
+    // chain references each round from two successors, and DuckDB's
+    // default CTE inlining re-expands the whole subtree per reference —
+    // exponential in K without the keyword.
+    "q_coreset" -> {
+      val nrm =
+        "nrm AS MATERIALIZED (SELECT vec_id, CAST(SUM(v[i] * v[i]) AS BIGINT) AS nv " +
+          "FROM iv, idx GROUP BY 1)"
+      val p1 = "p1 AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM iv)"
+      val rounds = (2 to CoresetK).map { k =>
+        val j = k - 1
+        val prevIds = (1 to j).map(x => s"SELECT id FROM p$x").mkString(" UNION ALL ")
+        val dj =
+          s"""d$j AS MATERIALIZED (SELECT t.vec_id,
+             |    CAST(tn.nv + cn.nv - 2 * SUM(t.v[i] * c.v[i]) AS BIGINT) AS dist
+             |  FROM iv t
+             |  CROSS JOIN p$j pj
+             |  JOIN iv c ON c.vec_id = pj.id
+             |  CROSS JOIN idx
+             |  JOIN nrm tn ON tn.vec_id = t.vec_id
+             |  JOIN nrm cn ON cn.vec_id = c.vec_id
+             |  GROUP BY t.vec_id, tn.nv, cn.nv)""".stripMargin
+        val mj =
+          if (j == 1) s"m1 AS MATERIALIZED (SELECT vec_id, dist AS mind FROM d1)"
+          else
+            s"""m$j AS MATERIALIZED (SELECT a.vec_id, LEAST(a.mind, b.dist) AS mind
+               |  FROM m${j - 1} a JOIN d$j b ON b.vec_id = a.vec_id)""".stripMargin
+        val pk =
+          s"""p$k AS MATERIALIZED (SELECT vec_id AS id, mind FROM m$j
+             |  WHERE vec_id NOT IN ($prevIds)
+             |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+        s"$dj,\n$mj,\n$pk"
+      }.mkString(",\n")
+      val seedArm = "SELECT CAST(1 AS BIGINT) AS rnk, id AS vec_id, " +
+        "CAST(0 AS BIGINT) AS mind FROM p1"
+      val arms = seedArm +: (2 to CoresetK).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS rnk, id AS vec_id, " +
+          s"CAST(mind AS BIGINT) AS mind FROM p$k")
+      s"""WITH $ivCte,
+         |$nrm,
+         |$p1,
+         |$rounds
+         |${arms.mkString("", "\nUNION ALL ", "")}
+         |ORDER BY rnk""".stripMargin
+    },
 
     "q_kmeans_train" -> {
       val iters = 3

@@ -1125,4 +1125,34 @@ class QueriesSpec extends SparkSpec {
       assert(math.abs(score - sh.toDouble / math.min(na, nb)) < 1e-12)
     }
   }
+
+  test("q_coreset equals the brute-force farthest-point greedy; radii non-increasing") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var na = 0L; var nb = 0L; var dot = 0L; var i = 0
+      while (i < a.length) {
+        na += a(i) * a(i); nb += b(i) * b(i); dot += a(i) * b(i); i += 1
+      }
+      na + nb - 2 * dot
+    }
+    var sel = Vector(emb.keys.min)
+    var want = Vector((1L, sel(0), 0L))
+    for (k <- 2 to 8) {
+      val (id, mind) = emb.keys.filterNot(sel.contains).map { v =>
+        v -> sel.map(sid => d2(emb(v), emb(sid))).min
+      }.minBy { case (v, m) => (-m, v) }
+      sel = sel :+ id
+      want = want :+ ((k.toLong, id, mind))
+    }
+    val got = SparkEntry.queries("q_coreset")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got == want, s"got=$got\nwant=$want")
+    // the picked radii form the coverage curve: never increasing
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a }, radii.toString)
+  }
 }
