@@ -90,6 +90,74 @@ object Sampling {
       lit(4294967296.0)
 
   val queries: Map[String, QFn] = Map(
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023),
+    // the hashed n-gram importance-weighting recipe for targeting a
+    // corpus at a domain: featurize every doc into hashed word uni+bigram
+    // buckets, estimate add-1-smoothed bucket distributions for the
+    // TARGET slice (here lang = 'en' — the domain the pretraining mix
+    // wants more of) and the full-corpus PROPOSAL, score each doc by its
+    // summed log likelihood ratio, and keep the top quarter. Exactness
+    // discipline: the per-BUCKET log ratio is cast DECIMAL(28,12) once
+    // (absorbing libm's last-ulp ln differences — the q_entropy per-term
+    // precedent), per-doc weights are exact decimal sums of those terms,
+    // and the keep cut is an integer rank rule (4·rnk ≤ n) over the
+    // DECIMAL weight — no float ordering anywhere. Scale shape: one
+    // feature explode (map-side combined into a 1024-row bucket model,
+    // broadcast back), one doc-keyed weight aggregate, and the
+    // q_seq_pack two-level prefix rank (coarse ⌊−w⌋ bin window +
+    // broadcast bin prefix) — the corpus never sees a one-partition
+    // window or a wide shuffle.
+    "q_dsir" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 1024
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+      val uni = docs.select(col("doc_id"), col("lang"),
+        explode(col("w")).as("f"))
+      val bi = docs.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> " +
+            "concat_ws(' ', element_at(w, i), element_at(w, i+1)))")).as("f"))
+      val feats = uni.unionByName(bi)
+        .select(col("doc_id"), col("lang"),
+          (expr("graft_md5_u32(f)") % B).as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val pc = feats.groupBy(col("b")).agg(count(lit(1)).as("pc"))
+      val tcq = feats.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val model = pc.join(tcq, Seq("b"), "left")
+        .select(col("b"), col("pc"), coalesce(col("tc"), lit(0L)).as("tc"))
+      val tot = model.agg(sum(col("pc")).as("pn"), sum(col("tc")).as("tn"))
+      val terms = model.crossJoin(broadcast(tot))
+        .select(col("b"),
+          log(((col("tc") + 1) * (col("pn") + B)).cast("double") /
+            ((col("pc") + 1) * (col("tn") + B)).cast("double"))
+            .cast("decimal(28,12)").as("term"))
+      val ws = feats.join(broadcast(terms), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("term")).as("wsum"))
+        .withColumn("negw", -col("wsum"))
+        .withColumn("fl", floor(col("negw")).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wIn = Window.partitionBy(col("fl")).orderBy(col("negw"), col("doc_id"))
+      val bc = ws.groupBy(col("fl")).agg(count(lit(1)).as("btot"))
+      val wB = Window.orderBy(col("fl"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = bc
+        .withColumn("bprev", coalesce(sum(col("btot")).over(wB), lit(0L)))
+        .select(col("fl"), col("bprev"))
+      val n = ws.agg(count(lit(1)).as("n"))
+      ws.withColumn("lr", row_number().over(wIn).cast("long"))
+        .join(broadcast(bpre), "fl")
+        .crossJoin(broadcast(n))
+        .withColumn("rnk", col("bprev") + col("lr"))
+        .select(col("doc_id"), col("n_feats"),
+          col("wsum").cast("double").as("w"), col("rnk"),
+          (col("rnk") * 4 <= col("n")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // NEGATIVE SAMPLING for contrastive/recommender training — the
     // standard (entity, item) batch construction: for every observed
     // (supplier, part) pair, draw 3 seeded uniform candidate parts and
@@ -742,6 +810,40 @@ object Sampling {
        |     ELSE 'test' END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // DSIR replay: same hashed buckets, add-1 ratio per bucket cast
+    // DECIMAL(28,12) once, exact decimal weight sums, ROW_NUMBER rank
+    // over (wsum DESC, doc_id) with the 4·rnk ≤ n keep rule.
+    "q_dsir" ->
+      s"""WITH dt AS (SELECT doc_id, lang,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+         |uni AS (SELECT doc_id, lang, UNNEST(w) AS f FROM dt),
+         |bi AS (SELECT doc_id, lang,
+         |    UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+         |  FROM dt WHERE len(w) >= 2),
+         |fe AS (SELECT doc_id, lang,
+         |    ${sqlBucketN("f", 8)} % 1024 AS b
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) z),
+         |pcq AS (SELECT b, COUNT(*) AS pc FROM fe GROUP BY 1),
+         |tcq AS (SELECT b, COUNT(*) AS tc FROM fe WHERE lang = 'en' GROUP BY 1),
+         |mdl AS (SELECT p.b, p.pc, COALESCE(t.tc, 0) AS tc
+         |  FROM pcq p LEFT JOIN tcq t ON t.b = p.b),
+         |tot AS (SELECT CAST(SUM(pc) AS BIGINT) AS pn,
+         |    CAST(SUM(tc) AS BIGINT) AS tn FROM mdl),
+         |trm AS (SELECT b,
+         |    CAST(ln(CAST((tc + 1) * (pn + 1024) AS DOUBLE)
+         |            / CAST((pc + 1) * (tn + 1024) AS DOUBLE))
+         |      AS DECIMAL(28,12)) AS term
+         |  FROM mdl, tot),
+         |wsq AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(term) AS wsum
+         |  FROM fe JOIN trm USING (b) GROUP BY 1),
+         |rk AS (SELECT doc_id, n_feats, wsum,
+         |    ROW_NUMBER() OVER (ORDER BY wsum DESC, doc_id) AS rnk,
+         |    COUNT(*) OVER () AS n
+         |  FROM wsq)
+         |SELECT doc_id, n_feats, CAST(wsum AS DOUBLE) AS w,
+         |  CAST(rnk AS BIGINT) AS rnk, (rnk * 4 <= n) AS keep
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
     "q_negative_sample" ->
       s"""WITH pos AS (
          |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),

@@ -299,4 +299,33 @@ class SamplingSpec extends SparkSpec {
     assert(got("s1") == ((1L, true)), got.toString)
     assert(got("s2") == ((3L, false)), got.toString)
   }
+
+  test("q_dsir: importance weights favor the target domain; keep is the exact top quarter") {
+    val got = SparkEntry.queries("q_dsir")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val n = got.length.toLong
+    // the keep rule is exactly floor(n/4) docs, and they are exactly the
+    // top-ranked ones
+    val kept = got.filter(_.getAs[Boolean]("keep"))
+    assert(kept.length.toLong == n / 4, s"kept ${kept.length} of $n")
+    assert(kept.map(_.getAs[Long]("rnk")).max <= n / 4)
+    // ranks are a permutation of 1..n
+    assert(got.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to n).toSeq)
+    // the method works: target-domain (en) docs carry higher importance
+    // weights than the rest on average — that is DSIR's whole point
+    val lang = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, rest) = got.partition(r => lang(r.getAs[Long]("doc_id")) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("w")).sum / rs.length
+    assert(mean(en) > mean(rest),
+      s"en mean ${mean(en)} must exceed non-en mean ${mean(rest)}")
+    // and the kept quarter is en-enriched vs the corpus base rate
+    val enShareKept = kept.count(r => lang(r.getAs[Long]("doc_id")) == "en").toDouble / kept.length
+    val enShareAll = en.length.toDouble / n
+    assert(enShareKept > enShareAll,
+      s"kept en share $enShareKept must exceed base rate $enShareAll")
+  }
 }
