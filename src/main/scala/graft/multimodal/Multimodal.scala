@@ -497,8 +497,10 @@ object Multimodal {
     * Output: (id_a, id_b, frames_matched, hamming_sum over the matched
     * frames). Same scale shape as the image join — narrow shuffle keys,
     * no all-pairs stage, all codegen'd builtins after the hash map. */
-  def nearDupVideoPairs(frameHashes: Dataset[VideoFrameHash],
-                        maxHamming: Int = 3, minFrames: Int = 3): DataFrame = {
+  /** Band-explode per-frame hashes for the pigeonhole Hamming join:
+    * (id, frame_idx, h, band, bv) — shared by the batch pair joins and
+    * the streaming ingest's corpus probe. */
+  private[graft] def frameBands(frameHashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming must be in [0, 7], got $maxHamming")
     val nBands = maxHamming + 1
@@ -510,11 +512,16 @@ object Multimodal {
         else shiftright(h, b * width).bitwiseAND(lit((1L << width) - 1))
       struct(lit(b).as("band"), slice.as("bv"))
     }
-    val bands = frameHashes.toDF()
+    frameHashes
       .select(col("id"), col("frame_idx"), h.as("h"),
         explode(array(bandStructs: _*)).as("x"))
       .select(col("id"), col("frame_idx"), col("h"),
         col("x.band").as("band"), col("x.bv").as("bv"))
+  }
+
+  def nearDupVideoPairs(frameHashes: Dataset[VideoFrameHash],
+                        maxHamming: Int = 3, minFrames: Int = 3): DataFrame = {
+    val bands = frameBands(frameHashes.toDF(), maxHamming)
     bands.as("a")
       .join(bands.as("b"),
         col("a.frame_idx") === col("b.frame_idx") &&
@@ -545,22 +552,7 @@ object Multimodal {
     * table. */
   def videoOffsetPairs(frameHashes: Dataset[VideoFrameHash],
                        maxHamming: Int = 3, minSupport: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming must be in [0, 7], got $maxHamming")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands
-    val h = col("ahash")
-    val bandStructs = (0 until nBands).map { b =>
-      val slice =
-        if (b == nBands - 1) shiftright(h, b * width)
-        else shiftright(h, b * width).bitwiseAND(lit((1L << width) - 1))
-      struct(lit(b).as("band"), slice.as("bv"))
-    }
-    val bands = frameHashes.toDF()
-      .select(col("id"), col("frame_idx"), h.as("h"),
-        explode(array(bandStructs: _*)).as("x"))
-      .select(col("id"), col("frame_idx"), col("h"),
-        col("x.band").as("band"), col("x.bv").as("bv"))
+    val bands = frameBands(frameHashes.toDF(), maxHamming)
     val votes = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
