@@ -50,19 +50,84 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tune(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // Normalize events.ts to TimestampType regardless of how the testdata
-      // generation wrote it. The session tz is UTC, so the NTZ→LTZ cast is a
-      // wall-clock identity and all three branches yield identical values.
-      df.schema("ts").dataType match {
-        case LongType =>
-          // TIMESTAMP(NANOS) read as raw longs: ns → µs truncation (matches
-          // DuckDB's TIMESTAMP_NS → TIMESTAMP cast).
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-        case _                => df
-      }
-    else df
+    val typed =
+      if (name == "events")
+        // Normalize events.ts to TimestampType regardless of how the testdata
+        // generation wrote it. The session tz is UTC, so the NTZ→LTZ cast is a
+        // wall-clock identity and all three branches yield identical values.
+        df.schema("ts").dataType match {
+          case LongType =>
+            // TIMESTAMP(NANOS) read as raw longs: ns → µs truncation (matches
+            // DuckDB's TIMESTAMP_NS → TIMESTAMP cast).
+            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+          case _                => df
+        }
+      else df
+    typed
+  }
+
+  /** [[load]] + the scale-adaptive scan [[fanout]] below — OPT-IN per call
+    * site: the fan-out exchange's map side is the same single scan task, so
+    * it only pays where the work BELOW it (per-row decimal panels, codec
+    * round-trips, shingling, vector math) outweighs one single-threaded
+    * shuffle write of the pruned columns. The round-14 measurement ledger
+    * (OPTIMIZATION_r14.md): blanket fan-out won 2-3.5× on the heavy-map
+    * queries but cost 0.3-1 s on scan-light and loop queries (every
+    * re-scan of an unpersisted multi-consumer lineage re-pays the
+    * exchange), so the heavy call sites opt in and everything else keeps
+    * its 1-task scan. */
+  def loadFan(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    fanout(spark, sfDir, name, load(spark, sfDir, name))
+
+  /** Leading high-cardinality key per table for the scan fan-out below —
+    * hash partitioning on a real key needs no sort-before-repartition (the
+    * round-robin determinism tax) and, when the fan-out width equals the
+    * session shuffle width, already SATISFIES any downstream join/aggregate
+    * keyed on it (EnsureRequirements adds no second exchange). Tables absent
+    * here (region/nation/supplier — broadcast-sized dims) are never fanned. */
+  private val fanoutKey: Map[String, String] = Map(
+    "customer" -> "c_custkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id",
+    "part" -> "p_partkey")
+
+  /** SCALE-ADAPTIVE SCAN FAN-OUT (optimization guide §2.5 "input skew",
+    * round-14 thread-dump finding): the driver's sf tables are each ONE
+    * parquet file with ONE row group, so Spark plans exactly one scan task
+    * per table and the WHOLE map side of every query — tokenize/shingle/
+    * md5/codec/decimal work — runs on one core while the other 31 park
+    * (90% executor-idle across a 43-dump jstack sample of the isolated
+    * bench). A one-row-group file cannot be split by
+    * `spark.sql.files.maxPartitionBytes` / `minPartitionNum` (byte-range
+    * splits of parquet assign whole row groups by midpoint), so the only
+    * correct fix is the guide's: repartition immediately after the read.
+    *
+    * The decision derives from the INPUT LAYOUT, not from local-mode
+    * constants: it fires only when the table path is a single file small
+    * enough that Spark would plan one task (≤ graft.scan.fanout.maxBytes,
+    * default 32 MB — a threshold no production table file sits under) yet
+    * big enough to carry real map work (≥ graft.scan.fanout.minBytes,
+    * default 256 KB — region/nation/supplier-sized dims stay broadcast-
+    * shaped single tasks). Width = the session shuffle width, so the added
+    * exchange aligns with every downstream requirement and shrinks with
+    * the driver's lower-core PERF runs. On a real multi-file table the
+    * path is a directory → `isFile` is false → the plan is untouched.
+    * `graft.scan.fanout=off` disables. Filters and column pruning push
+    * THROUGH RepartitionByExpression (PushDownPredicates handles
+    * RepartitionOperation), so parquet PushedFilters/ReadSchema are
+    * unchanged — re-verified in plans/r14/. */
+  private def fanout(spark: SparkSession, sfDir: String, name: String,
+                     df: DataFrame): DataFrame = {
+    if (spark.conf.get("graft.scan.fanout", "auto") == "off") return df
+    val key = fanoutKey.getOrElse(name, return df)
+    val f = new java.io.File(s"$sfDir/$name.parquet")
+    if (!f.isFile) return df
+    val minB = spark.conf.get("graft.scan.fanout.minBytes", "262144").toLong
+    val maxB = spark.conf.get("graft.scan.fanout.maxBytes", "33554432").toLong
+    if (f.length < minB || f.length > maxB) return df
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (n < 2) df else df.repartition(n, col(key))
   }
 }
 

@@ -109,6 +109,68 @@ object Multimodal {
     out
   }
 
+  /** Audio SPI providers, resolved ONCE per JVM. `AudioSystem.write` /
+    * `AudioSystem.getAudioInputStream` re-run the ServiceLoader provider
+    * scan (JDK13Services.getProviders → jar-entry lookups under a class-
+    * loader lock) on EVERY call — the round-14 thread-dump finding: 92/97
+    * busy executor samples of the isolated q_audio_neardup bench sat in
+    * JSSecurityManager.getProviders, and the scan-fanout parallelization
+    * made it WORSE (32 threads contending on the loader lock, 1.6 → 4.0 s).
+    * The spi.AudioFileReader/Writer interfaces are public API; resolving
+    * the provider list once and probing it directly is exactly what
+    * AudioSystem does per call, so the emitted/decoded bytes are
+    * bit-identical. */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    // Probe MIDI-backed readers LAST: SoftMidiAudioFileReader REJECTS a
+    // non-MIDI stream by calling MidiSystem.getSequence — which re-runs
+    // the MIDI provider ServiceLoader scan per call (the second half of
+    // the round-14 jstack finding; 61/64 busy samples after the writer
+    // fix sat there). Readers are mutually exclusive by container magic
+    // (a WAV stream is Unsupported to every non-WAV reader), so probe
+    // order cannot change which reader accepts — only how much rejection
+    // work precedes it.
+    val (midi, rest) = b.result().partition(_.getClass.getName.contains("Midi"))
+    rest ++ midi
+  }
+
+  private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** `AudioSystem.getAudioInputStream(stream)` without the per-call
+    * provider re-scan: first provider that parses wins — the same
+    * first-match rule AudioSystem applies. */
+  private def openAudioStream(in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
+  /** `AudioSystem.write(ais, type, out)` without the per-call provider
+    * re-scan; same first-supporting-provider rule, same bytes. */
+  def writeAudio(ais: javax.sound.sampled.AudioInputStream,
+                 tpe: javax.sound.sampled.AudioFileFormat.Type,
+                 out: java.io.OutputStream): Int = {
+    val it = audioWriters.iterator
+    while (it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(tpe, ais)) return w.write(ais, tpe, out)
+    }
+    throw new IllegalArgumentException(s"could not write file of type $tpe")
+  }
+
   /** JDK-native audio decode via javax.sound.sampled (WAV/AIFF PCM ship
     * with the JDK): (sample_rate, mono samples in [-1, 1]). Multi-channel
     * audio is downmixed by averaging. None when the payload is absent, a
@@ -117,7 +179,7 @@ object Multimodal {
     if (bytes == null || bytes.isEmpty) None
     else
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val in = openAudioStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat

@@ -20,6 +20,11 @@ object Dedup {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Fanned-out scan (Tables.loadFan) for the call sites whose map side is
+    * structurally heavy — codec round-trips, shingling — per the round-14
+    * measured ledger (OPTIMIZATION_r14.md). */
+  private def tf(s: SparkSession, d: String, n: String) = Tables.loadFan(s, d, n)
+
   /** doc_id, g: whitespace-token 3-gram shingles per document, WITH
     * repeats. Consumers that need set semantics (Jaccard counts) apply
     * [[shingles]]; the MinHash signature path deliberately does not —
@@ -40,7 +45,9 @@ object Dedup {
         .as("g"))
 
   private def shinglesRaw(s: SparkSession, d: String): DataFrame =
-    shinglesOf(t(s, d, "documents"))
+    // fanned scan (r14): tokenize+3-gram explode is the heavy map side of
+    // the whole dedup family's shared shingle asset
+    shinglesOf(tf(s, d, "documents"))
 
   /** doc_id, g: distinct whitespace-token 3-gram shingles per document —
     * MATERIALIZED ONCE per dataset dir per JVM (the [[signatureTable]]
@@ -568,7 +575,7 @@ object Dedup {
     // scale even when one hot span is shared by millions of docs (the
     // semi-join emits occurrences, never pairs).
     "q_substring_dedup" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = tf(s, d, "documents") // span-shingle explode: fanned scan (r14)
         .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       // (doc_id, p, k): every SpanL-token shingle with its 1-based start.
       // Two consumers (df aggregate + semi back): persist once.
@@ -631,7 +638,7 @@ object Dedup {
     // q_dedup_ngram_capped discipline. md5-based hash keeps the oracle
     // bit-identical; swap xxhash64 at production scale, same pipeline.
     "q_winnowing" -> ((s, d) => {
-      val fps = t(s, d, "documents")
+      val fps = tf(s, d, "documents") // per-gram md5 chain: fanned scan (r14)
         .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
         .filter(size(col("w")) >= 6) // k + w - 1: at least one full window
         .select(col("doc_id"), expr( // gram hashes, each md5 computed once
@@ -1090,7 +1097,8 @@ object Dedup {
     // all-pairs stage at any scale.
     "q_image_neardup" -> ((s, d) => {
       import s.implicits._
-      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      // fanned scan (r14): the map side below is a real codec round-trip
+      val ids = tf(s, d, "documents").select(col("doc_id")).as[Long]
       val media = ids.mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -1149,7 +1157,8 @@ object Dedup {
     // the banded equi-join; no all-pairs stage at any scale.
     "q_audio_neardup" -> ((s, d) => {
       import s.implicits._
-      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      // fanned scan (r14): the map side below is a real codec round-trip
+      val ids = tf(s, d, "documents").select(col("doc_id")).as[Long]
       val media = ids.mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def hex(x: String): String =
@@ -1180,7 +1189,10 @@ object Dedup {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, 65L * 16)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
+          // Multimodal.writeAudio == AudioSystem.write minus the PER-CALL
+          // ServiceLoader provider scan (the round-14 jstack finding: the
+          // scan, not the WAV encode, was ~all of this query's map time)
+          graft.multimodal.Multimodal.writeAudio(ais,
             javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           graft.multimodal.Multimodal.Media(id, "audio", bos.toByteArray,
             graft.multimodal.Multimodal.MediaMeta(None, None, Some(8000)))
@@ -1217,7 +1229,8 @@ object Dedup {
     // case × 4, never frames², never all-pairs.
     "q_video_neardup" -> ((s, d) => {
       import s.implicits._
-      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      // fanned scan (r14): the map side below is a real codec round-trip
+      val ids = tf(s, d, "documents").select(col("doc_id")).as[Long]
       val media = ids.mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -1271,7 +1284,8 @@ object Dedup {
     "q_video_scenes" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       import s.implicits._
-      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      // fanned scan (r14): the map side below is a real codec round-trip
+      val ids = tf(s, d, "documents").select(col("doc_id")).as[Long]
       val media = ids.mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -1333,7 +1347,8 @@ object Dedup {
     // certifies the unaligned-join path end-to-end.
     "q_video_offset" -> ((s, d) => {
       import s.implicits._
-      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      // fanned scan (r14): the map side below is a real codec round-trip
+      val ids = tf(s, d, "documents").select(col("doc_id")).as[Long]
       val media = ids.mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -110,7 +110,7 @@ object Sampling {
     "q_dsir" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val B = 1024
-      val docs = Tables.load(s, d, "documents")
+      val docs = Tables.loadFan(s, d, "documents") // token+bigram explode (r14)
         .select(col("doc_id"), col("lang"),
           split(lower(trim(col("text"))), "\\s+").as("w"))
       val uni = docs.select(col("doc_id"), col("lang"),
@@ -123,11 +123,16 @@ object Sampling {
         .select(col("doc_id"), col("lang"),
           (expr("graft_md5_u32(f)") % B).as("b"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val pc = feats.groupBy(col("b")).agg(count(lit(1)).as("pc"))
-      val tcq = feats.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
-      val model = pc.join(tcq, Seq("b"), "left")
-        .select(col("b"), col("pc"), coalesce(col("tc"), lit(0L)).as("tc"))
+      // ONE conditional aggregate builds both hash-LM count tables (guide
+      // §2.3 "aggregate before you shuffle"): the corpus count and the
+      // en-target count per bucket come from the same scan of the persisted
+      // feature table — previously two full scans + a bucket-keyed join,
+      // with `coalesce(tc, 0)` covering buckets absent from the filtered
+      // side; `sum(when(lang='en',1,0))` yields that 0 directly (en rows
+      // are a subset of all rows, so no bucket exists in tc but not pc).
+      val model = feats.groupBy(col("b"))
+        .agg(count(lit(1)).as("pc"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
       val tot = model.agg(sum(col("pc")).as("pn"), sum(col("tc")).as("tn"))
       val terms = model.crossJoin(broadcast(tot))
         .select(col("b"),

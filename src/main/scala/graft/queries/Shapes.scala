@@ -20,6 +20,10 @@ import graft.{Num, Tables}
 object Shapes {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Fanned-out scan (Tables.loadFan) for heavy-map call sites — the
+    * round-14 measured ledger (OPTIMIZATION_r14.md). */
+  private def tf(s: SparkSession, d: String, n: String) = Tables.loadFan(s, d, n)
+
   /** The year-2000 co-purchase edge table (a < b, cnt = co-purchase
     * count) — MATERIALIZED ONCE per dataset dir per JVM (the Dedup
     * signatureTable / labeledDocs asset idiom): the same
@@ -280,7 +284,7 @@ object Shapes {
     // ranking; ties in lift break on the part ids so the top-50 is
     // deterministic across engines.
     "q_basket_lift" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
+      val li = tf(s, d, "lineitem") // parallel partial-distinct (r14)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
         .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
@@ -401,7 +405,7 @@ object Shapes {
     // Pure map work + one map-side-combined aggregate; md5 (not
     // xxhash64) so any engine can reproduce it.
     "q_table_checksum" -> ((s, d) =>
-      t(s, d, "lineitem")
+      tf(s, d, "lineitem") // per-row md5: fanned scan (r14)
         .select(col("l_returnflag"),
           conv(substring(md5(encode(
             concat_ws(":", col("l_orderkey"), col("l_linenumber")), "UTF-8")),
@@ -1162,7 +1166,10 @@ object Shapes {
     // approx_percentile — q_histogram_eqdepth_approx IS that swap,
     // registered and green, plan-shape identical (spec-pinned).
     "q_histogram_eqdepth" -> ((s, d) => {
-      val e = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+      // fanned scan (r14): the exact-percentile partial buffers the full
+      // value set per task — building 32 partial buffers in parallel beats
+      // one task buffering 600k values
+      val e = tf(s, d, "lineitem").select(col("l_extendedprice").as("v"))
       // ONE array-percentile aggregate: four scalar percentile calls
       // would each buffer the full value set (4× the state and 4× the
       // merge cost — measured 7.8s vs 2s at sf0.1)
@@ -1190,7 +1197,7 @@ object Shapes {
     // the q_approx_distinct discipline: each band must hold 20% ± 5% of
     // rows, verified IN-ROW and pinned TRUE in the oracle.
     "q_histogram_eqdepth_approx" -> ((s, d) => {
-      val e = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+      val e = tf(s, d, "lineitem").select(col("l_extendedprice").as("v"))
       val b = e.agg(expr(
           "approx_percentile(v, array(0.2d, 0.4d, 0.6d, 0.8d), 10000)").as("bs"),
           count(lit(1)).as("total"))
@@ -1395,7 +1402,7 @@ object Shapes {
       val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
       val x = col("l_discount")
       val y = col("l_quantity")
-      val m = t(s, d, "lineitem")
+      val m = tf(s, d, "lineitem") // 6 decimal sums/row: fanned scan (r14)
         .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))

@@ -20,9 +20,11 @@ object Similarity {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  /** Scaled int vectors + cached norms for the whole table. */
+  /** Scaled int vectors + cached norms for the whole table. Fanned scan
+    * (r14): the embedding-string parse + norm is the heavy map side every
+    * ANN consumer pays. */
   private def intVecs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
+    Tables.loadFan(s, d, "embeddings")
       .select(col("vec_id"), col("label"), intVec("embedding").as("v"))
       .withColumn("nv", normL("v"))
 
