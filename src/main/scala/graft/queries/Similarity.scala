@@ -22,9 +22,13 @@ object Similarity {
 
   /** Scaled int vectors + cached norms for the whole table. Fanned scan
     * (r14): the embedding-string parse + norm is the heavy map side every
-    * ANN consumer pays. */
-  private def intVecs(s: SparkSession, d: String): DataFrame =
-    Tables.loadFan(s, d, "embeddings")
+    * ANN consumer pays. `fan = false` keeps the 1-task scan for the one
+    * consumer the A/B showed regressing — the q_kmeans_train convergence
+    * loop, whose per-round stages over the persisted input inherit the
+    * fan-out width and pay ~rounds × 32 task floors on loop-sized data
+    * (off 1.31 s vs on 2.21 s isolated; every non-loop consumer won). */
+  private def intVecs(s: SparkSession, d: String, fan: Boolean = true): DataFrame =
+    (if (fan) Tables.loadFan(s, d, "embeddings") else Tables.load(s, d, "embeddings"))
       .select(col("vec_id"), col("label"), intVec("embedding").as("v"))
       .withColumn("nv", normL("v"))
 
@@ -122,7 +126,10 @@ object Similarity {
   private def coarseModel(s: SparkSession, d: String): graft.operators.KMeans.Model =
     coarseCache.synchronized {
       coarseCache.getOrElseUpdate(d, graft.Assets.timed("coarse_quantizer") {
-        graft.operators.KMeans.model(intVecs(s, d), (1L to 8L).toSeq, updates = 2)
+        // fan = false: k-means update loop — same loop-floor trade as
+        // q_kmeans_train (intVecs doc comment)
+        graft.operators.KMeans.model(intVecs(s, d, fan = false),
+          (1L to 8L).toSeq, updates = 2)
       })
     }
 
@@ -132,7 +139,7 @@ object Similarity {
   private def pqModelsFor(s: SparkSession, d: String): Seq[graft.operators.KMeans.Model] =
     pqCache.synchronized {
       pqCache.getOrElseUpdate(d, graft.Assets.timed("pq_codebooks") {
-        pqModels(intVecs(s, d))
+        pqModels(intVecs(s, d, fan = false)) // 4 sub-quantizer loops
       })
     }
 
@@ -1120,7 +1127,8 @@ object Similarity {
     // chained CTEs and matches bit-for-bit. Empty clusters keep their
     // previous centroid. This trains the IVF index q_ann_ivf probes.
     "q_kmeans_train" -> ((s, d) =>
-      graft.operators.KMeans.train(intVecs(s, d), (1L to 8L).toSeq, iters = 3)),
+      graft.operators.KMeans.train(intVecs(s, d, fan = false), (1L to 8L).toSeq,
+        iters = 3)),
 
     // CORESET SELECTION — k-center greedy / farthest-point sampling (the
     // classical 2-approximation to the k-center cover, Gonzalez 1985; the
