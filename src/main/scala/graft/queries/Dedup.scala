@@ -1006,7 +1006,9 @@ object Dedup {
     // candidate-generation → exact-rerank split, here with a second,
     // independent similarity metric over the same candidate machinery.
     "q_dedup_fuzzy" -> ((s, d) => {
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      // fanned scan (r14): both text-side joins probe this frame, and the
+      // per-pair Levenshtein DP downstream is the heavy map work
+      val docs = tf(s, d, "documents").select(col("doc_id"), col("text"))
       // graft_levenshtein = builtin levenshtein with common-prefix/suffix
       // stripping (distance-preserving; bit-identical results) — near-dup
       // candidates share most of their text, so the O(n·m) DP shrinks to
