@@ -138,8 +138,20 @@ object Bench {
     // medians can't be misread as from-cold costs.
     val assets = graft.Assets.snapshot.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","loadavg_launch":"$loadLaunch","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","common64_s":$common64,"assets_s":$assets}"""
+    // value_plus_assets (round-14 verdict #3/#8): `value` = Σ per-query
+    // medians, which structurally excludes once-per-JVM memoized-asset
+    // builds (they land in the first repeat only); adding Σ assets_s back
+    // makes asset-cost relocation visible in one number, so round-over-
+    // round totals can be compared on either basis.
+    val assetsSum = graft.Assets.snapshot.values.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":"$cpus","loadavg_launch":"$loadLaunch","loadavg_start":"$loadStart","loadavg_end":"$loadEnd","common64_s":$common64,"assets_s":$assets,"value_plus_assets":${total + assetsSum}}"""
     println(line)
+    // Short machine-parseable summary AFTER the full line (round-14
+    // verdict #8): the full line is ~14 KB for 290 queries and the
+    // driver's bounded stdout-tail capture truncates it; this trailing
+    // line carries the headline numbers in under 200 bytes. The full
+    // line and bench.json are unchanged in shape — this is additive.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"common64_s":$common64,"assets_sum_s":$assetsSum,"value_plus_assets":${total + assetsSum},"sf":"$sfDir","cpus":"$cpus"}""")
     // sbt wraps stdout in [info] tags, which breaks machine parsing of the
     // metric line — mirror it to a plain file the driver can read directly.
     // A BENCH_ONLY-restricted run writes a suffixed file by default so a

@@ -8,9 +8,14 @@ import org.apache.spark.sql.execution.ExplainMode
   * commit under plans/<round>/ (`sbt "runMain graft.PlanDump q_a,q_b out_dir
   * suffix [sfDir]"`). Uses the analyzed plan's FormattedMode string (scan
   * pushdown, exchanges, join strategies, codegen spans) — the same text
-  * `df.explain("formatted")` prints. The query is also executed through the
-  * noop sink first so AQE-final plans land in the text where Spark 4 emits
-  * them (AdaptiveSparkPlan isFinalPlan=true).
+  * `df.explain("formatted")` prints. The query is executed through the noop
+  * sink first so eager/memoized builders (assets, loop queries) reach steady
+  * state, then the INITIAL adaptive plan is dumped (the write's own
+  * QueryExecution is separate, so `df.queryExecution` stays
+  * isFinalPlan=false — round-14 advice; committed dumps are therefore
+  * pre-AQE shape, directly comparable with plans/r14/). Exchange counts,
+  * join strategies and scan pushdown are all decided in this plan; AQE only
+  * coalesces/rewrites at runtime.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {

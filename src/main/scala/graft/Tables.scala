@@ -50,8 +50,7 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tune(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    val typed =
-      if (name == "events")
+    if (name == "events")
         // Normalize events.ts to TimestampType regardless of how the testdata
         // generation wrote it. The session tz is UTC, so the NTZ→LTZ cast is a
         // wall-clock identity and all three branches yield identical values.
@@ -63,8 +62,7 @@ object Tables {
           case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
           case _                => df
         }
-      else df
-    typed
+    else df
   }
 
   /** [[load]] + the scale-adaptive scan [[fanout]] below — OPT-IN per call

@@ -133,6 +133,13 @@ object Multimodal {
     // (a WAV stream is Unsupported to every non-WAV reader), so probe
     // order cannot change which reader accepts — only how much rejection
     // work precedes it.
+    //
+    // THREAD-SAFETY ASSUMPTION (round-14 advice): these single provider
+    // instances are shared across all executor threads, where AudioSystem
+    // instantiates per call. The JDK-shipped readers/writers are stateless
+    // (their parse/write state is method-local), so sharing is safe; a
+    // third-party javax.sound SPI on the classpath is NOT guaranteed
+    // re-entrant and would need per-call instantiation here.
     val (midi, rest) = b.result().partition(_.getClass.getName.contains("Midi"))
     rest ++ midi
   }
@@ -166,7 +173,13 @@ object Multimodal {
     val it = audioWriters.iterator
     while (it.hasNext) {
       val w = it.next()
-      if (w.isFileTypeSupported(tpe, ais)) return w.write(ais, tpe, out)
+      if (w.isFileTypeSupported(tpe, ais)) {
+        // Mirror AudioSystem.write exactly (round-14 advice): a writer that
+        // claims support but rejects the concrete stream falls through to
+        // the next provider instead of failing the call.
+        try return w.write(ais, tpe, out)
+        catch { case _: IllegalArgumentException => () }
+      }
     }
     throw new IllegalArgumentException(s"could not write file of type $tpe")
   }

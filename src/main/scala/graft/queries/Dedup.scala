@@ -61,6 +61,23 @@ object Dedup {
     * [[graft.Assets]] (bench `assets_s`). */
   private val ngCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Partition count for the DOC-LEVEL asset writes below (r15): the
+    * fanned build's heavy map side stays session-wide, but letting the
+    * final aggregate's width land as the file count made every probe-side
+    * consumer pay a session-width task floor per scan (r14 bench:
+    * q_dedup_minhash 0.40→0.76 against a 32-file signature asset; the
+    * r15 isolated A/B measured 1.35→0.55 after this coalesce). AQE cannot
+    * coalesce here — the fan-out is REPARTITION_BY_NUM and the aggregate
+    * reuses its exchange — so the write coalesces explicitly. Applied to
+    * the doc-sized SIGNATURE table only: the corpus-sized shingle table's
+    * consumers (q_dup_spans' df aggregate, the candidate joins) do real
+    * per-row work and the same A/B showed coalescing THAT asset regressing
+    * q_dup_spans 2.11→2.38, so it keeps the build width. 8 is a
+    * LOCAL-LAYOUT default (the asset is a few MB); a production asset
+    * write sizes files by bytes (guide §6), which the conf carries. */
+  private def assetParts(s: SparkSession): Int =
+    s.conf.get("graft.asset.writeParts", "8").toInt
+
   private def shingles(s: SparkSession, d: String): DataFrame = {
     val path = ngCache.synchronized {
       ngCache.getOrElseUpdate(d, graft.Assets.timed("shingle_table") {
@@ -125,10 +142,22 @@ object Dedup {
     * needs no further doc-level join. */
   private[graft] def ssjoinCandidates(s: SparkSession, d: String): DataFrame = {
     val pfx = prefixIndex(s, d)
-    pfx.select(col("doc_id").as("doc_a"), col("g"),
+    // fan the PROBE side to the session width (r15): the memoized index
+    // lands as a handful of small files, so the candidate join — the Σdf²
+    // work this operator exists to bound — otherwise runs at the file
+    // count's parallelism (5 tasks, 1.07 s of the r15 profile). ROUND-
+    // ROBIN, deliberately not g-keyed: g is exactly the skewed key here
+    // (hot shingles ARE the dense-vocab regime), and a g-hash fan would
+    // serialize each hot shingle's whole probe side onto one task (a/b'd:
+    // 6.2 s vs 2.6 s) — the broadcast-probe works row-wise, so row-level
+    // spread is what parallelizes it. The other side stays the broadcast
+    // build.
+    val nFan = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    pfx.repartition(nFan)
+      .select(col("doc_id").as("doc_a"), col("g"),
         col("sz").as("sa"), col("r").as("ra"))
-      .join(pfx.select(col("doc_id").as("doc_b"), col("g"),
-        col("sz").as("sb"), col("r").as("rb")), Seq("g"))
+      .join(broadcast(pfx.select(col("doc_id").as("doc_b"), col("g"),
+        col("sz").as("sb"), col("r").as("rb"))), Seq("g"))
       .filter(col("doc_a") < col("doc_b") &&
         col("sa") <= col("sb") * 2 && col("sb") <= col("sa") * 2 &&
         (least(col("sa") - col("ra"), col("sb") - col("rb")) + 1) * 3 >=
@@ -248,7 +277,8 @@ object Dedup {
     val path = sigCache.synchronized {
       sigCache.getOrElseUpdate(s"$d|$rows", graft.Assets.timed("minhash_signatures") {
         val out = java.nio.file.Files.createTempDirectory("graft-minhash-sig").toString
-        signature(shinglesRaw(s, d), rows).write.mode("overwrite").parquet(out)
+        signature(shinglesRaw(s, d), rows).coalesce(assetParts(s))
+          .write.mode("overwrite").parquet(out)
         out
       })
     }
@@ -987,10 +1017,26 @@ object Dedup {
       // exact verification: candidate-restricted (doc, g) equi-joins +
       // one pair-keyed count — the q_containment shape, never doc×doc
       // (array_intersect per pair measured 5× slower: per-row set
-      // rebuilds off codegen beat the 2-stage shuffle only on paper)
-      cand
+      // rebuilds off codegen beat the 2-stage shuffle only on paper).
+      // SHUFFLE_HASH hints (r15): Catalyst's static file-size estimate
+      // BROADCAST both corpus-shingle sides — two 1 M-row string hash
+      // tables each built on a single task (the two 1.5 s stages of the
+      // r15 profile; guide §3.1 "estimates are often badly wrong").
+      // Doc-keyed shuffle joins stream the shingle scan at full width,
+      // and the hinted build sides (the candidate sliver, then the
+      // per-partition shingle slice) stay bounded at any corpus size —
+      // the scale shape the q_dedup_fuzzy comment already prescribes.
+      // the explicit width pin on the candidate side (REPARTITION_BY_NUM,
+      // which AQE never coalesces) keeps the verify join at session width:
+      // its INPUT bytes are small enough that AQE's byte-based coalescing
+      // otherwise squeezed the join to 5 partitions, but its output is the
+      // |candidates| × shingles-per-doc fanout — compute-dense per input
+      // byte (928 ms at 5 tasks vs ~300 ms at 32 in the r15 stage profile)
+      val nVerify = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      cand.repartition(nVerify, col("doc_a")).hint("shuffle_hash")
         .join(ng.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-        .join(ng.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .join(ng.select(col("doc_id").as("doc_b"), col("g")).hint("shuffle_hash"),
+          Seq("doc_b", "g"))
         .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
         .agg(count(lit(1)).as("common"))
         .filter(col("common") * 2 >= col("n_a") + col("n_b") - col("common"))

@@ -721,15 +721,15 @@ object Relational {
     // with summation order. The loop discipline to iterate this to
     // convergence is operators/Graph.connectedComponents.
     "q_pagerank_iter" -> ((s, d) => {
+      // the asset carries deg (r15), so the round is join-free up to the
+      // node/inflow left join: one projection + one dst-keyed aggregate
       val edges = purchaseEdges(s, d)
-      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val inflow = edges.join(outdeg, "src")
+      val inflow = edges
         .select(col("dst"), expr("1000000 div deg").as("w"))
         .groupBy(col("dst")).agg(sum(col("w")).as("inflow"))
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct()
+      val nodes = purchaseNodes(s, d)
       nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-        .select(col("node"),
+        .select(decodeNode(col("node")).as("node"),
           (lit(150000L) + expr("(85 * coalesce(inflow, cast(0 as bigint))) div 100"))
             .as("rank_fp"))
         .orderBy(col("rank_fp").desc, col("node"))
@@ -755,7 +755,9 @@ object Relational {
     // the result survives). Callers that collect immediately and want the
     // memory back should unpersist via the frame's .rdd handle.
     "q_pagerank_k" -> ((s, d) =>
-      graft.operators.PageRank.ranks(purchaseEdges(s, d), PrRounds)
+      graft.operators.PageRank.ranks(purchaseEdges(s, d), PrRounds,
+          nodes = Some(purchaseNodes(s, d)))
+        .select(decodeNode(col("node")).as("node"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("node"))
         .limit(25)),
 
@@ -769,9 +771,11 @@ object Relational {
     "q_pagerank_personal" -> ((s, d) => {
       val seeds = t(s, d, "customer")
         .filter(col("c_acctbal") > 9000)
-        .select(concat(lit("c"), col("c_custkey")).as("node"))
+        .select((col("c_custkey") * 2).as("node"))
       graft.operators.PageRank
-        .ranksPersonalized(purchaseEdges(s, d), seeds, PrRounds)
+        .ranksPersonalized(purchaseEdges(s, d), seeds, PrRounds,
+          nodes = Some(purchaseNodes(s, d)))
+        .select(decodeNode(col("node")).as("node"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("node"))
         .limit(25)
     }),
@@ -810,10 +814,16 @@ object Relational {
     // re-join with lineitem; both remaining shuffles are on already-pruned
     // keys. Exact decimal quantity sums on both sides of the cut.
     "q_large_orders" -> ((s, d) => {
-      // fanned scan (r14): the fan-out key IS the aggregate key, so the
-      // exchange REPLACES the groupBy's own (exchange-count unchanged)
-      val li = tf(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
-      val big = li.groupBy(col("l_orderkey"))
+      // fanned scan (r14) on the AGGREGATE branch only (r15): the fan-out
+      // key IS the aggregate key, so the exchange REPLACES the groupBy's
+      // own — but `li` is also consumed by the re-join below, and the
+      // unpersisted multi-consumer lineage re-paid the REPARTITION_BY_NUM
+      // exchange there for nothing (plans/r14/q_large_orders_after.txt: 3
+      // Exchanges vs 2 before). The re-join side keeps the 1-task scan;
+      // its rows are exchanged by the final groupBy anyway.
+      val liFan = tf(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val big = liFan.groupBy(col("l_orderkey"))
         .agg(Num.dsum(col("l_quantity")).as("qty"))
         .filter(col("qty") > 200.0).select(col("l_orderkey").as("big_okey"))
       t(s, d, "orders")
@@ -879,34 +889,77 @@ object Relational {
     * rank job reads that artifact. Build cost ledgered in assets_s. */
   private val peCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // Sweeps every temp dir CREATED (not just the successfully-built ones):
+  // peTempDirs is appended before the write job launches, so a build that
+  // fails mid-write still gets its partial output deleted at JVM exit
+  // (round-14 advice). Files.walk is closed via Using — an unclosed stream
+  // leaks a directory handle per swept asset.
+  private val peTempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
   private val peSweeper: Unit = sys.addShutdownHook {
-    peCache.values.foreach { p =>
+    peTempDirs.forEach { p =>
       try {
         val root = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          }
       } catch { case _: Throwable => () }
     }
   }
+
+  /** Node ids ride the loop as LONGS — customer k ↦ 2k, supplier k ↦ 2k+1
+    * (disjoint by parity) — and decode to the c<k>/s<k> strings only in
+    * each query's final projection (r15, guide §2.3 "narrower types"):
+    * the ~587k-edge relation is persisted, Row-encoded across the loop
+    * session boundary, sorted and joined EVERY round, and 16 bytes/row
+    * beats two small strings everywhere in that path. The oracle replays
+    * the string form from the facts; decoding before the final ORDER BY
+    * keeps tie-breaks on the same string collation. */
+  private[graft] def decodeNode(c: Column): Column =
+    concat(when(c % 2 === 0, lit("c")).otherwise(lit("s")),
+      shiftright(c.cast("long"), 1).cast("string"))
 
   private def purchaseEdges(s: SparkSession, d: String): DataFrame = {
     val path = peCache.synchronized {
       peCache.getOrElseUpdate(d, graft.Assets.timed("purchase_edges") {
         val out = java.nio.file.Files.createTempDirectory("graft-pedges").toString
-        t(s, d, "orders")
+        peTempDirs.add(out)
+        // the asset also carries each edge's src OUT-DEGREE (r15): the
+        // degree-widened (src, dst, deg) relation is what every rank
+        // round actually probes, and it is as deterministic as the edge
+        // list — so the widening join is paid once at build instead of
+        // once per rank-query invocation (PageRank.run skips its in-loop
+        // widening when the column is present)
+        import org.apache.spark.sql.expressions.Window
+        val edges = t(s, d, "orders")
           .select(col("o_custkey"), col("o_orderkey"))
           .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
             col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
           .distinct()
-          .select(concat(lit("c"), col("ck")).as("src"),
-            concat(lit("s"), col("sk")).as("dst"))
-          .write.mode("overwrite").parquet(out)
+          .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+          .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+        edges.write.mode("overwrite").parquet(s"$out/edges")
+        // the distinct node list is index state too (r15): every rank
+        // invocation re-ran a distinct over 2·|edges| endpoint rows to
+        // seed the rank table — derived once here instead
+        val e = s.read.parquet(s"$out/edges")
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/nodes")
         out
       })
     }
-    s.read.parquet(path)
+    s.read.parquet(s"$path/edges")
+  }
+
+  /** The edge list's distinct endpoints — built alongside the edge asset
+    * (same temp root, same sweep); see the build comment above. */
+  private def purchaseNodes(s: SparkSession, d: String): DataFrame = {
+    purchaseEdges(s, d) // ensure the asset root exists
+    s.read.parquet(s"${peCache(d)}/nodes")
   }
 
   private val unionBase =

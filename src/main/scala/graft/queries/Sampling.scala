@@ -179,8 +179,16 @@ object Sampling {
     // the (entity, item) key — the partitioning the positives table
     // already has.
     "q_negative_sample" -> ((s, d) => {
+      // r15: fan the 1-task scan BY THE DISTINCT KEY — the repartition's
+      // exchange is the one the distinct needs anyway (EnsureRequirements
+      // adds none on top, and the renamed (sk, pk→cand) partitioning also
+      // satisfies the LEFT ANTI probe side below), so the distinct's
+      // reduce work runs session-wide for one exchange instead of the
+      // r14 blanket-fan A/B's two (which cost ~1 s here).
+      val nFan = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
       val pos = Tables.load(s, d, "lineitem")
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .repartition(nFan, col("sk"), col("pk"))
         .distinct()
       // draw in 1..max(p_partkey): part keys are 1-based, so `u % (max+1)`
       // would emit id 0 — a negative that references no real item

@@ -284,7 +284,9 @@ object Shapes {
     // ranking; ties in lift break on the part ids so the top-50 is
     // deterministic across engines.
     "q_basket_lift" -> ((s, d) => {
-      val li = tf(s, d, "lineitem") // parallel partial-distinct (r14)
+      // un-fanned (r15): the distinct's own exchange makes the fan-out
+      // redundant (r14 bench: 2.00→2.30 regressed under the fanned scan)
+      val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
         .join(li.select(col("l_orderkey"), col("l_partkey").as("pb")),
@@ -1197,7 +1199,11 @@ object Shapes {
     // the q_approx_distinct discipline: each band must hold 20% ± 5% of
     // rows, verified IN-ROW and pinned TRUE in the oracle.
     "q_histogram_eqdepth_approx" -> ((s, d) => {
-      val e = tf(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+      // un-fanned (r15): the GK sketch's partial state is bounded and its
+      // map side is cheap — unlike the exact twin there is no full value
+      // set to buffer, so the fan-out exchange was pure cost (r14 bench:
+      // 0.63→1.05 regressed)
+      val e = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
       val b = e.agg(expr(
           "approx_percentile(v, array(0.2d, 0.4d, 0.6d, 0.8d), 10000)").as("bs"),
           count(lit(1)).as("total"))

@@ -317,8 +317,31 @@ object Similarity {
     * immutable dataset dirs, shutdown sweep, build cost ledgered. */
   private val nbrCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** SYMMETRIZED proximity-graph edge table for q_ann_graph — INDEX STATE
+    * (r15): the walk probed `fwd ∪ reverse(fwd) → distinct` rebuilt from
+    * the nnd asset on EVERY invocation; a production graph index stores
+    * the bidirectional adjacency once (HNSW links are stored both ways).
+    * Same lifecycle as the nnd asset it derives from (geometry-keyed,
+    * shutdown sweep, build ledgered in assets_s). */
+  private val graphEdgeCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-cluster ENTRY POINTS for q_ann_graph — k rows of index state
+    * (r15): the per-invocation `entries` aggregate re-scanned the corpus
+    * with the two literal-centroid expressions (argmax + centBestCos) per
+    * row; the result is a k-row map, collected once per JVM like the
+    * coarse-quantizer model it derives from. */
+  private val graphEntryCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Long, Long]]
+
+  /** q_ann_graph's query row (vector, norm, coarse cell) — 1 row of
+    * serving state, deterministic per dataset dir; collected once per JVM
+    * instead of once per invocation (the coarseModel precedent). */
+  private val graphQueryCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Long], Long, Long)]
+
   private val pairSweeper: Unit = sys.addShutdownHook {
-    (pairCache.values ++ nbrCache.values ++ nndCache.values).foreach { p =>
+    (pairCache.values ++ nbrCache.values ++ nndCache.values ++
+      graphEdgeCache.values).foreach { p =>
       try {
         val root = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.exists(root))
@@ -420,6 +443,62 @@ object Similarity {
 
   private[graft] def nndNeighborTable(s: SparkSession, d: String): DataFrame =
     s.read.parquet(nndNeighborPath(s, d))
+
+  /** Memoized parquet path of the symmetrized graph-ANN adjacency (see
+    * [[graphEdgeCache]]) — built in the PARENT session (full width), read
+    * by the walk's loop session. coalesce(1): ≤ 2·N·5 id pairs, one file
+    * keeps the probe-side scan a single task (the asset-write layout
+    * discipline of Dedup.assetParts). */
+  private[graft] def graphEdgePath(s: SparkSession, d: String): String = {
+    val planes = planesFor(s, d)
+    // resolve the nnd dependency OUTSIDE the timed block: its own build is
+    // already ledgered as nnd_neighbors, and nesting it here would double-
+    // count it in assets_s
+    val nndPath = nndNeighborPath(s, d)
+    graphEdgeCache.synchronized {
+      graphEdgeCache.getOrElseUpdate(s"$d|p=$planes",
+        graft.Assets.timed("ann_graph_edges") {
+          val out = java.nio.file.Files.createTempDirectory("graft-gedges").toString
+          val fwd = s.read.parquet(nndPath)
+            .filter(col("vec_id") =!= 0 && col("nbr_id") =!= 0)
+            .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+          fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct().coalesce(1).write.mode("overwrite").parquet(out)
+          out
+        })
+    }
+  }
+
+  /** Memoized per-cluster entry points (see [[graphEntryCache]]): the
+    * corpus member most aligned with its trained centroid, ties to the
+    * smallest vec_id — byte-identical to the per-invocation aggregate it
+    * replaces (same max-over-struct), built once per JVM at the parent
+    * session's full scan width. */
+  private def graphEntryPoints(s: SparkSession, d: String): Map[Long, Long] =
+    graphEntryCache.getOrElseUpdate(d, graft.Assets.timed("ann_graph_entries") {
+      val coarse = coarseModel(s, d)
+      intVecs(s, d).filter(col("vec_id") =!= 0)
+        .withColumn("cluster", graft.operators.KMeans.centArgmax(coarse))
+        .withColumn("ccos", graft.operators.KMeans.centBestCos(coarse))
+        .groupBy(col("cluster"))
+        .agg(max(struct(col("ccos"), negate(col("vec_id")).as("nid"),
+          col("vec_id"))).as("e"))
+        .select(col("cluster"), col("e.vec_id").as("vec_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    })
+
+  /** Memoized query serving state for q_ann_graph (see
+    * [[graphQueryCache]]): vec 0's vector, norm and coarse cell. */
+  private def graphQueryState(s: SparkSession, d: String): (Array[Long], Long, Long) =
+    graphQueryCache.getOrElseUpdate(d, {
+      val coarse = coarseModel(s, d)
+      val qRows = intVecs(s, d).filter(col("vec_id") === 0)
+        .withColumn("cluster", graft.operators.KMeans.centArgmax(coarse))
+        .select(col("v"), col("nv"), col("cluster")).limit(1).collect()
+      require(qRows.nonEmpty,
+        "q_ann_graph: query vector vec_id=0 missing from the embeddings table")
+      (qRows(0).getSeq[Long](0).toArray, qRows(0).getLong(1), qRows(0).getLong(2))
+    })
 
   /** One full pair-scoring build (the path [[exactPairs]] amortizes). */
   private[graft] def computeExactPairs(s: SparkSession, d: String): DataFrame = {
@@ -732,7 +811,10 @@ object Similarity {
     // that trains the IVF index at 100 TB (dims × clusters output rows,
     // independent of corpus size).
     "q_kmeans_step" -> ((s, d) => {
-      val iv = intVecs(s, d)
+      // fan = false (r15): the single Lloyd step is loop-sized work — the
+      // r14 bench showed the fanned scan REGRESSING it 0.47→0.91 (the same
+      // task-floor trade that exempted the k-means training loops)
+      val iv = intVecs(s, d, fan = false)
       val cents = iv.filter(col("vec_id").between(1, 8))
         .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"),
           col("nv").as("cn"))).as("cents"))
@@ -812,15 +894,42 @@ object Similarity {
             coalesce(col("h"), lit(0L)).as("hits"),
             (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0))
               .as("recall"))
-      leg("ivf_trained", queries("q_ann_ivf_trained")(s, d))
-        .unionByName(leg("lsh", queries("q_ann_lsh")(s, d)))
-        .unionByName(leg("prefix", queries("q_ann_prefix")(s, d)))
-        .unionByName(leg("graph", queries("q_ann_graph")(s, d)))
-        // the NND index's own answer for the query: vec 0's top-5 list —
-        // the index-quality leg next to the walk that searches it
-        .unionByName(leg("nnd_knn", queries("q_ann_nnd")(s, d)
-          .filter(col("vec_id") === 0)
-          .select(col("nbr_id").as("vec_id"))))
+      // The five legs still compose the REGISTERED family queries verbatim
+      // (the integrity property the panel exists for), but each leg's
+      // frame is now BUILT AND MATERIALIZED on its own driver thread into
+      // a cache the union then reads (guide §2.6 — the legs are
+      // independent jobs, and the panel previously serialized them: the
+      // graph walk's eager loop ran start-to-finish before any other
+      // leg's first task, on a box with 31 idle cores). Job descriptions
+      // are thread-local, so each leg labels its own jobs; results are
+      // unchanged — the same five frames, just filled concurrently.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      val legs =
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          def built(family: String, mk: => DataFrame) = Future {
+            s.sparkContext.setJobDescription(s"q_ann_recall_panel: $family leg")
+            val df = mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            df.count()
+            family -> df
+          }
+          Await.result(Future.sequence(Seq(
+            built("ivf_trained", queries("q_ann_ivf_trained")(s, d)),
+            built("lsh", queries("q_ann_lsh")(s, d)),
+            built("prefix", queries("q_ann_prefix")(s, d)),
+            built("graph", queries("q_ann_graph")(s, d)),
+            // the NND index's own answer for the query: vec 0's top-5
+            // list — the index-quality leg next to the walk that
+            // searches it
+            built("nnd_knn", queries("q_ann_nnd")(s, d)
+              .filter(col("vec_id") === 0)
+              .select(col("nbr_id").as("vec_id"))))),
+            scala.concurrent.duration.Duration(10, "min"))
+        } finally pool.shutdown()
+      legs.map { case (f, df) => leg(f, df) }
+        .reduce(_.unionByName(_))
         .orderBy(col("family"))
     }),
 
@@ -994,48 +1103,24 @@ object Similarity {
       // expression (graft_long_dot) must be registered there explicitly
       // (Tables.load does it on first touch; this keeps it load-order-free)
       graft.expressions.GraftFunctions.register(loopS)
-      val iv = intVecs(loopS, d)
-      val coarse = coarseModel(s, d) // literal k×d model state, session-free
-      // ensure the ANN-BUILT neighbor asset exists (built by the PARENT
-      // session at its full width AND its conf-resolved geometry — the
-      // one-job-builds shape; the exact quadratic build stays behind
-      // q_knn_join/q_label_noise as the quality reference), then read the
-      // parquet in the clone; the proximity graph is the top-5 edges
-      // SYMMETRIZED (HNSW links neighbors bidirectionally — reverse edges
-      // are what make a kNN digraph navigable; a node can be nobody's
-      // top-5 yet still be reachable through its own out-edges reversed),
-      // corpus members only (vec 0 is the query — it is being searched,
-      // not indexed)
-      val gPath = nndNeighborPath(s, d)
-      val fwd = loopS.read.parquet(gPath)
-        .filter(col("vec_id") =!= 0 && col("nbr_id") =!= 0)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      val assigned = iv
-        .withColumn("cluster", graft.operators.KMeans.centArgmax(coarse))
-      // the query is ONE row of serving state (vector, norm, coarse
-      // cell) — collected once (the KMeans k×d / MMR-pool discipline)
-      // so scoring embeds it as a literal and cell routing is a filter
-      val qRows = assigned.filter(col("vec_id") === 0)
-        .select(col("v"), col("nv"), col("cluster")).limit(1).collect()
-      require(qRows.nonEmpty,
-        "q_ann_graph: query vector vec_id=0 missing from the embeddings table")
-      val qv = qRows(0).getSeq[Long](0).toArray
-      val nq = qRows(0).getLong(1)
-      val qcl = qRows(0).getLong(2)
-      // per-cell entry points: ONE k-row aggregate (argmax via max-over-
-      // struct, ties to smallest vec_id) — index state, not query work
-      val entries = assigned.filter(col("vec_id") =!= 0)
-        .withColumn("ccos", graft.operators.KMeans.centBestCos(coarse))
-        .groupBy(col("cluster"))
-        .agg(max(struct(col("ccos"), negate(col("vec_id")).as("nid"),
-          col("vec_id"))).as("e"))
-        .select(col("cluster").as("qcl"), col("e.vec_id").as("vec_id"))
-      val entry = entries.filter(col("qcl") === lit(qcl))
-        .select(col("vec_id"))
-      val edges = fwd
-        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().persist(MEMORY_AND_DISK)
-      val vecs = iv.select(col("vec_id"), col("v"), col("nv"))
+      // INDEX + SERVING STATE memoized per dataset (r15): the symmetrized
+      // adjacency ([[graphEdgePath]] — HNSW links neighbors
+      // bidirectionally; reverse edges make the kNN digraph navigable, and
+      // vec 0 is the query, searched not indexed), the per-cell entry
+      // points ([[graphEntryPoints]]) and the query row
+      // ([[graphQueryState]]) were all rebuilt from corpus scans on EVERY
+      // invocation; each is index state a production graph store serves,
+      // so each gets the established asset discipline. Cell routing is a
+      // map lookup on the k-row entry state; an empty cell keeps the old
+      // empty-entry semantics (the walk starts, and stays, empty).
+      val (qv, nq, qcl) = graphQueryState(s, d)
+      val entry = graphEntryPoints(s, d).get(qcl) match {
+        case Some(id) => loopS.range(1).select(lit(id).as("vec_id"))
+        case None     => loopS.range(0).select(col("id").as("vec_id"))
+      }
+      val edges = loopS.read.parquet(graphEdgePath(s, d))
+        .persist(MEMORY_AND_DISK)
+      val vecs = intVecs(loopS, d).select(col("vec_id"), col("v"), col("nv"))
         .persist(MEMORY_AND_DISK)
       var visited = graphScore(entry, vecs, qv, nq, 0L)
         .persist(MEMORY_AND_DISK)
@@ -1386,7 +1471,10 @@ object Similarity {
     // concentration property (pairwise, not just norms) is measured in
     // QueriesSpec.
     "q_jl_project" -> ((s, d) => {
-      val iv = intVecs(s, d)
+      // fan = false (r15): 16 literal dots per row is light next to the
+      // fan-out exchange of the vector column (r14 bench: 0.43→0.63
+      // regressed under the fan; this restores the 1-task scan)
+      val iv = intVecs(s, d, fan = false)
       val proj = array((0 until JlOut).map(r => dotL("v", jlPlaneLit(r))): _*)
       iv.withColumn("y", proj)
         .select(col("vec_id"), col("nv"),
@@ -1709,7 +1797,11 @@ object Similarity {
   }
 
   private def semanticVerdict(s: SparkSession, d: String): DataFrame = {
-    val iv = intVecs(s, d)
+    // fan = false (r15): the verdict's map side is one argmax per row and
+    // the within-cluster join re-pays the unpersisted fan exchange on both
+    // sides (r14 bench: q_semantic_dedup 0.83→1.13, q_pipeline_vectors
+    // 0.97→1.29 regressed under the fanned scan)
+    val iv = intVecs(s, d, fan = false)
     val cents = semModel(s, d)
     // assignment form switches on k alone — bit-identical results (the
     // centArgmaxData contract): literal argmax for the default/oracle
